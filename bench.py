@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Headline benchmark: WDL-Criteo training throughput on one TPU chip.
+
+Mirrors the reference's canonical A/B methodology
+(`examples/ctr/tests/run.sh`: run_laia vs run_hetu on wdl_criteo) as a
+single-chip examples/sec measurement:
+
+- "ours":  the herald_tpu engine step (deduped lookup, row-wise sparse
+  update, fused tower).
+- "naive": the un-optimized step a straight port would produce — gather
+  every (duplicated) ID and scatter-add the full [B*F, D] gradient with no
+  dedup; the reference's SparsePull-every-step path.
+
+Prints ONE json line:
+    {"metric": ..., "value": examples/sec, "unit": ..., "vs_baseline": ours/naive}
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from herald_tpu import HeraldConfig
+from herald_tpu.data import DATASETS, synthetic_ctr_data
+from herald_tpu.models import get_model
+from herald_tpu.train.engine import Engine
+
+BATCH = 256
+EMB_DIM = 128
+ROWS = DATASETS["criteo"].num_embed_rows    # 33,762,577 (wdl_criteo.py:9)
+WARMUP = 5
+ITERS = 30
+
+
+def _host_batches(model, n_batches, seed=0):
+    dense, sparse, labels = synthetic_ctr_data(
+        model.spec, BATCH * n_batches, seed=seed, num_rows=ROWS)
+    return [(dense[i * BATCH:(i + 1) * BATCH],
+             sparse[i * BATCH:(i + 1) * BATCH],
+             labels[i * BATCH:(i + 1) * BATCH])
+            for i in range(n_batches)]
+
+
+def bench_engine():
+    cfg = HeraldConfig(model="wdl_criteo", batch_size=BATCH,
+                       embedding_dim=EMB_DIM, comm_mode="local",
+                       learning_rate=0.01, table_dtype=jnp.bfloat16)
+    model = get_model(cfg.model)
+    eng = Engine(cfg, table_rows=ROWS)
+    state = eng.init_state(0)
+    dense, sparse, labels = synthetic_ctr_data(
+        model.spec, BATCH * 2 * ITERS, seed=0, num_rows=ROWS)
+
+    n = BATCH * ITERS
+    # warm-up call compiles the same K=ITERS scan shape as the timed call
+    state, _ = eng.train_epoch(state, dense[:n], sparse[:n], labels[:n],
+                               steps=ITERS)
+    jax.block_until_ready(state.table)
+    t0 = time.perf_counter()
+    state, stats = eng.train_epoch(state, dense[n:], sparse[n:],
+                                   labels[n:], steps=ITERS)
+    jax.block_until_ready(state.table)
+    dt = time.perf_counter() - t0
+    return BATCH * ITERS / dt
+
+
+def bench_naive():
+    """No dedup, full scatter-add — the straight-port baseline."""
+    model = get_model("wdl_criteo")
+    cfg = HeraldConfig(model="wdl_criteo", batch_size=BATCH,
+                       embedding_dim=EMB_DIM, learning_rate=0.01)
+    key = jax.random.PRNGKey(0)
+    table = 0.01 * jax.random.normal(key, (ROWS, EMB_DIM), jnp.bfloat16)
+    dense_params = model.init_dense(jax.random.PRNGKey(1), EMB_DIM)
+    lr = cfg.learning_rate
+
+    from herald_tpu.models.base import bce_with_logits
+
+    @jax.jit
+    def step(table, dense_params, d, s, y):
+        emb = table[s].astype(jnp.float32)          # [B, F, D] no dedup
+
+        def loss_fn(p, emb):
+            return bce_with_logits(model.apply(p, emb, d), y)
+
+        loss, (dg, eg) = jax.value_and_grad(loss_fn, (0, 1))(
+            dense_params, emb)
+        dense_params = jax.tree.map(lambda p, g: p - lr * g,
+                                    dense_params, dg)
+        flat_ids = s.reshape(-1)
+        flat_g = eg.reshape(-1, EMB_DIM).astype(table.dtype)
+        table = table.at[flat_ids].add(-lr * flat_g)
+        return table, dense_params, loss
+
+    batches = _host_batches(model, WARMUP + ITERS)
+    for d, s, y in batches[:WARMUP]:
+        table, dense_params, loss = step(
+            table, dense_params, jnp.asarray(d),
+            jnp.asarray(s.astype(np.int32)), jnp.asarray(y))
+    jax.block_until_ready(table)
+    t0 = time.perf_counter()
+    for d, s, y in batches[WARMUP:]:
+        table, dense_params, loss = step(
+            table, dense_params, jnp.asarray(d),
+            jnp.asarray(s.astype(np.int32)), jnp.asarray(y))
+    jax.block_until_ready(table)
+    dt = time.perf_counter() - t0
+    return BATCH * ITERS / dt
+
+
+def main():
+    ours = bench_engine()
+    naive = bench_naive()
+    print(json.dumps({
+        "metric": "wdl_criteo_b256_e128_examples_per_sec_per_chip",
+        "value": round(ours, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(ours / naive, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

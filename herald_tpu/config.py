@@ -1,0 +1,108 @@
+"""Run configuration.
+
+TPU-native replacement for the reference's four config mechanisms
+(`python/hetu/gpu_ops/executor.py:113-192` HetuConfig kwargs,
+`python/hetu/distribute.py:14-89` yaml cluster config, DMLC_* env vars, and
+entry-script argparse). On TPU there is no parameter-server role split, so a
+single dataclass covers executor + cluster + cache + scheduler settings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass
+class HeraldConfig:
+    """Training-engine configuration.
+
+    Attributes mirror the knobs of the reference entry scripts
+    (`examples/ctr/run_laia.py:327-356`): comm mode, cache policy/limit,
+    staleness bound, bsp, batch size, embedding size — re-expressed for a
+    single-program SPMD TPU runtime.
+    """
+
+    # --- model / data ---
+    model: str = "wdl_criteo"
+    batch_size: int = 256           # per-worker (per-device) batch size,
+                                    # matching the reference's per-worker batch
+    embedding_dim: int = 128
+    dtype: Any = np.float32         # dense compute dtype
+    table_dtype: Any = np.float32   # embedding table dtype
+
+    # --- optimizer ---
+    optimizer: str = "sgd"
+    learning_rate: float = 0.01
+    # embedding rows can use a different optimizer (reference server-side
+    # optimizers, ps-lite/include/ps/server/optimizer.h support this split)
+    embed_optimizer: Optional[str] = None
+    embed_learning_rate: Optional[float] = None
+
+    # --- parallelism ---
+    # 'local'  : single device, plain gather (reference comm_mode None)
+    # 'hybrid' : row-sharded tables + all-to-all exchange for embeddings,
+    #            data-parallel dense tower (reference comm_mode Hybrid)
+    comm_mode: str = "local"
+    mesh_shape: Optional[Sequence[int]] = None   # default: (num_devices,)
+    mesh_axes: Sequence[str] = ("dp",)
+    # static capacity factor for all-to-all buckets: capacity per
+    # (src, dst) pair = ceil(unique_ids / num_shards) * factor
+    a2a_capacity_factor: float = 2.0
+
+    # --- hot-row cache (replaces src/hetu_cache) ---
+    use_cache: bool = False
+    cache_policy: str = "lru"            # lru | lfu | lfuopt
+    cache_limit_ratio: float = 0.1       # fraction of table rows cached
+    cache_limit: Optional[int] = None    # absolute row count, overrides ratio
+    staleness_bound: int = 0             # reference --bound
+
+    # --- lookahead scheduler (replaces laia/) ---
+    use_scheduler: bool = False
+    sched_queue_size: int = 5            # reference laia_dataloader queue_size
+    sched_top_k_tables: Optional[int] = None
+    sched_threads: int = 8
+
+    # --- runtime ---
+    seed: int = 0
+    log_dir: Optional[str] = None
+    prefetch: bool = True                # host->device prefetch pipeline
+
+    def __post_init__(self):
+        if self.embed_optimizer is None:
+            self.embed_optimizer = self.optimizer
+        if self.embed_learning_rate is None:
+            self.embed_learning_rate = self.learning_rate
+
+    # ------------------------------------------------------------------
+    def make_mesh(self, devices=None) -> jax.sharding.Mesh:
+        """Build the device mesh this config trains over."""
+        if devices is None:
+            devices = jax.devices()
+        shape = tuple(self.mesh_shape) if self.mesh_shape else (len(devices),)
+        n = int(np.prod(shape))
+        dev_array = np.array(devices[:n]).reshape(shape)
+        return jax.sharding.Mesh(dev_array, tuple(self.mesh_axes))
+
+    def cache_rows(self, table_rows: int) -> int:
+        if self.cache_limit is not None:
+            return int(self.cache_limit)
+        return max(1, int(table_rows * self.cache_limit_ratio))
+
+    # ------------------------------------------------------------------
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["dtype"] = np.dtype(self.dtype).name
+        d["table_dtype"] = np.dtype(self.table_dtype).name
+        return json.dumps(d, indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "HeraldConfig":
+        d = json.loads(s)
+        d["dtype"] = np.dtype(d["dtype"]).type
+        d["table_dtype"] = np.dtype(d["table_dtype"]).type
+        return cls(**d)

@@ -1,0 +1,8 @@
+from herald_tpu.data.datasets import (
+    DATASETS,
+    DatasetSpec,
+    dataset_for_model,
+    load_dataset,
+    synthetic_ctr_data,
+)
+from herald_tpu.data.loaders import Dataloader, LookaheadDataloader

@@ -1,0 +1,158 @@
+"""Dataset specs, real-data loading, and synthetic CTR data.
+
+Replaces the reference data pipeline (`examples/ctr/models/load_data.py`):
+the same four CTR datasets (Criteo Kaggle, Avazu, CriteoSearch, MovieLens)
+with the same preprocessed `.npy` layout, plus a synthetic generator with a
+power-law (Zipf) ID distribution for environments without the raw data.
+
+Feature-count / table-size anchors come from the reference model builders
+(`examples/ctr/models/wdl_criteo.py:9`, `deepfm_criteosearch.py:9-14`,
+`ncf_movie.py:11-12`, `wdl_avazu.py:14-16`) and the per-dataset top-K table
+frequency orders from `laia/src/topk_scheduler.cc:151-165`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetSpec:
+    name: str
+    num_sparse: int              # number of sparse (categorical) fields
+    num_dense: int               # number of dense (numeric) fields
+    num_embed_rows: int          # embedding table height
+    # table indices ordered by descending ID-reuse frequency, pre-profiled
+    # offline in the reference (topk_scheduler.cc:151-165)
+    table_frequency_order: Tuple[int, ...]
+    default_top_k: int
+
+
+DATASETS: Dict[str, DatasetSpec] = {
+    "criteo": DatasetSpec(
+        "criteo", 26, 13, 33_762_577,
+        (9, 13, 22, 20, 12, 21, 17, 14, 24, 3, 5, 10, 16,
+         15, 19, 2, 4, 11, 7, 25, 23, 18, 8, 1, 0, 6), 20),
+    "avazu": DatasetSpec(
+        "avazu", 18, 4, 9_449_445,
+        (1, 2, 4, 5, 15, 7, 6, 16, 12, 0, 17, 8, 14, 10, 9, 11, 13, 3), 17),
+    "criteosearch": DatasetSpec(
+        "criteosearch", 17, 3, 14_859_910,
+        (0, 11, 3, 4, 5, 14, 1, 6, 2, 13, 16, 9, 8, 10, 12, 7, 15), 16),
+    "movie": DatasetSpec(
+        "movie", 2, 0, 221_588,
+        (0, 1), 2),
+}
+
+
+def dataset_for_model(model_name: str) -> DatasetSpec:
+    """Model names follow the reference convention `<arch>_<dataset>`."""
+    ds = model_name.rsplit("_", 1)[-1]
+    if ds not in DATASETS:
+        raise ValueError(f"unknown dataset suffix in model name {model_name!r}")
+    return DATASETS[ds]
+
+
+# ----------------------------------------------------------------------
+# Synthetic data (no-network environments; shape-identical to the real sets)
+# ----------------------------------------------------------------------
+
+def synthetic_ctr_data(
+    spec: DatasetSpec,
+    num_samples: int,
+    seed: int = 0,
+    zipf_a: float = 1.2,
+    num_rows: Optional[int] = None,
+    learnable: bool = True,
+):
+    """Generate CTR-shaped data with a skewed (Zipf) ID distribution.
+
+    Real CTR ID streams are heavily skewed — this is the property Herald's
+    scheduler exploits — so the synthetic generator draws per-field IDs from
+    a Zipf distribution over a per-field slice of the table, matching the
+    reference layout in which each field owns a disjoint ID range
+    (load_data.py accumulates per-field offsets into one global ID space).
+
+    Returns (dense, sparse, labels):
+        dense  float32 [N, num_dense]
+        sparse int64   [N, num_sparse] global row IDs
+        labels float32 [N, 1]
+    """
+    if num_rows is None:
+        num_rows = spec.num_embed_rows
+    rng = np.random.default_rng(seed)
+    n_fields = spec.num_sparse
+    # per-field ID ranges: split the table height across fields proportionally
+    # to a random dirichlet so fields have different cardinalities, like the
+    # real datasets.
+    props = rng.dirichlet(np.ones(n_fields) * 2.0)
+    sizes = np.maximum((props * num_rows).astype(np.int64), 2)
+    # fix rounding so offsets stay in-range
+    scale = (num_rows / sizes.sum())
+    sizes = np.maximum((sizes * scale).astype(np.int64), 2)
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+
+    sparse = np.empty((num_samples, n_fields), dtype=np.int64)
+    for f in range(n_fields):
+        # zipf over [0, sizes[f]): draw and clip; permute so hot IDs are not
+        # always the smallest indices
+        raw = rng.zipf(zipf_a, size=num_samples)
+        local = (raw - 1) % sizes[f]
+        sparse[:, f] = offsets[f] + local
+
+    dense = rng.standard_normal((num_samples, max(spec.num_dense, 0))).astype(
+        np.float32)
+
+    if learnable:
+        # labels from a hidden linear model over dense feats + hashed ID
+        # signs, so training has signal and AUC is meaningful.
+        w = rng.standard_normal(max(spec.num_dense, 1)).astype(np.float32)
+        id_sign = ((sparse * 2654435761 % 97) / 48.0 - 1.0).mean(axis=1)
+        logits = (dense @ w[: dense.shape[1]] if dense.shape[1] else 0.0)
+        logits = logits + 2.0 * id_sign + 0.1 * rng.standard_normal(num_samples)
+        labels = (logits > np.median(logits)).astype(np.float32)
+    else:
+        labels = rng.integers(0, 2, size=num_samples).astype(np.float32)
+    return dense, sparse.astype(np.int64), labels.reshape(-1, 1)
+
+
+# ----------------------------------------------------------------------
+# Real preprocessed data (same .npy layout as the reference pipeline)
+# ----------------------------------------------------------------------
+
+_NPY_LAYOUT = {
+    # dataset -> (dense file, sparse file, label file) basenames used by the
+    # reference's processed cache (load_data.py process_* functions)
+    "criteo": ("train_dense_feats.npy", "train_sparse_feats.npy",
+               "train_labels.npy"),
+    "avazu": ("train_dense_feats.npy", "train_sparse_feats.npy",
+              "train_labels.npy"),
+    "criteosearch": ("train_dense_feats.npy", "train_sparse_feats.npy",
+                     "train_labels.npy"),
+}
+
+
+def load_dataset(
+    spec: DatasetSpec,
+    path: Optional[str] = None,
+    num_samples: int = 100_000,
+    seed: int = 0,
+):
+    """Load the preprocessed dataset from `path`, falling back to synthetic.
+
+    `path` should contain the reference pipeline's processed `.npy` files.
+    """
+    if path and spec.name in _NPY_LAYOUT:
+        dn, sn, ln = _NPY_LAYOUT[spec.name]
+        files = [os.path.join(path, f) for f in (dn, sn, ln)]
+        if all(os.path.exists(f) for f in files):
+            dense = np.load(files[0], mmap_mode="r")
+            sparse = np.load(files[1], mmap_mode="r")
+            labels = np.load(files[2], mmap_mode="r").reshape(-1, 1)
+            return np.asarray(dense, np.float32), \
+                np.asarray(sparse, np.int64), np.asarray(labels, np.float32)
+    return synthetic_ctr_data(spec, num_samples, seed=seed)

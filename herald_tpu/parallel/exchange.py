@@ -1,0 +1,172 @@
+"""Row-sharded embedding exchange over a device mesh.
+
+This module is the TPU-native replacement for the reference's entire
+parameter-server data path:
+
+- table partitioning across servers (`ps-lite/include/ps/partitioner.h:31-123`
+  AveragePartitioner) -> contiguous row ranges over mesh shards;
+- worker-side request splitting / offset rebasing / response scatter
+  (`ps-lite/include/ps/worker/PSAgent.h:124-183,537-629`) -> static-shape
+  bucketing by owner + `jax.lax.all_to_all` inside `shard_map`;
+- sparse push of gradients (`kPushEmbedding`,
+  `ps-lite/src/PSFhandle_embedding.cc:5-28`) -> the transposed all-to-all
+  followed by a local segment-sum and row-wise optimizer update.
+
+Everything is static-shape: each (source, destination) pair gets a fixed
+`capacity` of ID slots per step. IDs beyond capacity are dropped and counted
+(`overflow`); size capacity via `HeraldConfig.a2a_capacity_factor`.
+
+All functions here run **inside shard_map** (one program per mesh shard).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@dataclasses.dataclass(frozen=True)
+class ExchangeSpec:
+    axis: str            # mesh axis name the table rows are sharded over
+    num_shards: int
+    rows_per_shard: int  # padded so num_shards * rows_per_shard >= num_rows
+    num_rows: int        # valid (un-padded) table height
+    capacity: int        # ID slots per (src, dst) shard pair per step
+
+    @property
+    def padded_rows(self) -> int:
+        return self.num_shards * self.rows_per_shard
+
+
+def make_exchange(num_rows: int, num_shards: int, ids_per_step: int,
+                  axis: str = "dp", capacity_factor: float = 2.0,
+                  capacity: Optional[int] = None) -> ExchangeSpec:
+    rows_per_shard = -(-num_rows // num_shards)
+    if capacity is None:
+        if num_shards == 1:
+            capacity = ids_per_step
+        else:
+            capacity = int(-(-ids_per_step // num_shards) * capacity_factor)
+            capacity = min(max(capacity, 8), ids_per_step)
+    return ExchangeSpec(axis=axis, num_shards=num_shards,
+                        rows_per_shard=rows_per_shard, num_rows=num_rows,
+                        capacity=capacity)
+
+
+class Route(NamedTuple):
+    """Host-independent routing of one step's unique IDs.
+
+    NOTE on sentinels: jnp `.at[].get/set` with mode='fill'/'drop' still
+    *wraps* negative indices, so dropped entries use the positive
+    out-of-bounds sentinel S*C (buffer size), never -1.
+    """
+    pos: jnp.ndarray        # [U] slot of each unique id in the send buffer,
+                            #     S*C (out of bounds) if dropped
+    recv_ids: jnp.ndarray   # [S, C] ids requested from *me* by each shard,
+                            #     -1 for empty slots (value, never an index)
+    overflow: jnp.ndarray   # [] number of dropped (real) ids this step
+
+
+def _all_to_all(spec: ExchangeSpec, x: jnp.ndarray) -> jnp.ndarray:
+    """Exchange leading-axis blocks between shards ([S, ...] per device)."""
+    if spec.num_shards == 1:
+        return x
+    return lax.all_to_all(x, spec.axis, split_axis=0, concat_axis=0,
+                          tiled=False)
+
+
+def route_ids(spec: ExchangeSpec, uniq_ids: jnp.ndarray,
+              valid: jnp.ndarray) -> Route:
+    """Bucket this shard's unique IDs by owner shard and exchange them.
+
+    uniq_ids: [U] int32/int64 global row ids (deduped), `valid` marks real
+    entries (dedup padding is invalid).
+    """
+    S, C = spec.num_shards, spec.capacity
+    U = uniq_ids.shape[0]
+    owner = jnp.where(valid, uniq_ids // spec.rows_per_shard, S)
+    order = jnp.argsort(owner, stable=True)
+    sorted_owner = owner[order]
+    # index of each element within its owner group
+    group_start = jnp.searchsorted(sorted_owner, sorted_owner, side="left")
+    idx_in_group = jnp.arange(U) - group_start
+    ok = (sorted_owner < S) & (idx_in_group < C)
+    slot = jnp.where(ok, sorted_owner * C + idx_in_group, S * C)
+
+    send_ids = jnp.full((S * C,), -1, dtype=uniq_ids.dtype)
+    send_ids = send_ids.at[slot].set(uniq_ids[order], mode="drop")
+
+    # pos[p] = send-buffer slot of unique p (original order); S*C if dropped
+    pos = jnp.full((U,), S * C, dtype=jnp.int32)
+    pos = pos.at[order].set(slot.astype(jnp.int32))
+
+    overflow = jnp.sum((sorted_owner < S) & ~ok)
+    recv_ids = _all_to_all(spec, send_ids.reshape(S, C))
+    return Route(pos=pos, recv_ids=recv_ids, overflow=overflow)
+
+
+def gather_rows(spec: ExchangeSpec, table_shard: jnp.ndarray,
+                route: Route) -> jnp.ndarray:
+    """Serve lookups: each shard gathers its owned rows for every requester
+    and all-to-alls the vectors back. Returns [U, D] vectors aligned with
+    the routed unique IDs (zeros for dropped slots)."""
+    S, C = spec.num_shards, spec.capacity
+    my_start = _axis_index(spec) * spec.rows_per_shard
+    local = route.recv_ids - my_start
+    local = jnp.where((route.recv_ids >= 0) & (local >= 0), local,
+                      spec.rows_per_shard)  # positive OOB sentinel
+    flat = local.reshape(-1)
+    vecs = table_shard.at[flat].get(mode="fill", fill_value=0)
+    back = _all_to_all(spec, vecs.reshape(S, C, -1))
+    flat_back = back.reshape(S * C, -1)
+    out = flat_back.at[route.pos].get(mode="fill", fill_value=0)
+    return out
+
+
+def scatter_grads(
+    spec: ExchangeSpec,
+    route: Route,
+    grad_uniq: jnp.ndarray,     # [U, D] summed grads per unique id
+    counts_uniq: Optional[jnp.ndarray] = None,  # [U] dup counts per id
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Reverse path: send grads to owner shards, dedup and sum locally.
+
+    Returns (local_rows [S*C], row_grads [S*C, D], row_counts [S*C],
+    row_mask [S*C]) on the owner shard: unique local row indices with their
+    summed gradients; masked entries are padding.
+    """
+    S, C = spec.num_shards, spec.capacity
+    D = grad_uniq.shape[-1]
+    send = jnp.zeros((S * C, D), grad_uniq.dtype)
+    send = send.at[route.pos].set(grad_uniq, mode="drop")
+    recv = _all_to_all(spec, send.reshape(S, C, D)).reshape(S * C, D)
+
+    if counts_uniq is None:
+        counts_uniq = jnp.ones(grad_uniq.shape[0], jnp.int32)
+    send_cnt = jnp.zeros((S * C,), jnp.int32)
+    send_cnt = send_cnt.at[route.pos].set(counts_uniq, mode="drop")
+    recv_cnt = _all_to_all(spec, send_cnt.reshape(S, C)).reshape(S * C)
+
+    my_start = _axis_index(spec) * spec.rows_per_shard
+    flat_ids = route.recv_ids.reshape(-1)
+    local = jnp.where(flat_ids >= 0, flat_ids - my_start,
+                      spec.rows_per_shard)
+    # same row may arrive from several shards: dedup locally and sum
+    uniq_local, inv = jnp.unique(local, size=S * C, return_inverse=True,
+                                 fill_value=spec.rows_per_shard)
+    row_grads = jax.ops.segment_sum(recv, inv.reshape(-1),
+                                    num_segments=S * C)
+    row_counts = jax.ops.segment_sum(recv_cnt, inv.reshape(-1),
+                                     num_segments=S * C)
+    row_mask = uniq_local < spec.rows_per_shard
+    return uniq_local, row_grads, row_counts, row_mask
+
+
+def _axis_index(spec: ExchangeSpec):
+    if spec.num_shards == 1:
+        return 0
+    return lax.axis_index(spec.axis)

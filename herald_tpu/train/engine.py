@@ -1,0 +1,383 @@
+"""Training engine: the TPU-native executor.
+
+Replaces the reference's graph executor stack
+(`python/hetu/gpu_ops/executor.py`: HetuConfig comm-mode resolution, stream
+scheduling, PS registration, topo execution) with a single jit-compiled SPMD
+train step over a `jax.sharding.Mesh`:
+
+- comm_mode 'local'  -> plain gather + row-wise sparse update (one device);
+- comm_mode 'hybrid' -> Herald's Hybrid: embedding table row-sharded over the
+  mesh with all-to-all ID/vector exchange (replacing PS push/pull), dense
+  tower data-parallel with `lax.pmean` (replacing NCCL allreduce,
+  `python/hetu/gpu_ops/AllReduceCommunicate.py:16-52`).
+
+The reference's five CUDA streams + event sync (`executor.py:313-325`)
+disappear: XLA schedules compute/collective overlap; host->device transfer
+overlaps via `jax.device_put` with donation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from herald_tpu.config import HeraldConfig
+from herald_tpu.models.base import ModelDef, bce_with_logits, get_model
+from herald_tpu.optim import get_optimizer
+from herald_tpu.parallel import exchange as ex
+from herald_tpu.utils import metrics as M
+
+
+class TrainState(NamedTuple):
+    """All trainable state; a pytree usable under jit with donation."""
+    table: jnp.ndarray                 # [padded_rows, width] (row-sharded)
+    table_slots: Dict[str, jnp.ndarray]
+    dense: Dict[str, jnp.ndarray]
+    dense_slots: Dict[str, Dict[str, jnp.ndarray]]
+    step: jnp.ndarray                  # scalar int32
+
+
+class Engine:
+    """Builds and runs the jitted train/eval steps for one model."""
+
+    def __init__(self, cfg: HeraldConfig, model: Optional[ModelDef] = None,
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 table_rows: Optional[int] = None):
+        self.cfg = cfg
+        self.model = model or get_model(cfg.model)
+        self.width = self.model.emb_width(cfg.embedding_dim)
+        self.num_rows = table_rows or self.model.table_rows
+        self.dense_opt = get_optimizer(cfg.optimizer, cfg.learning_rate)
+        self.embed_opt = get_optimizer(cfg.embed_optimizer,
+                                       cfg.embed_learning_rate)
+
+        if cfg.comm_mode == "hybrid":
+            self.mesh = mesh if mesh is not None else cfg.make_mesh()
+            self.num_shards = int(np.prod(self.mesh.devices.shape))
+        else:
+            self.mesh = mesh  # optional single-device mesh
+            self.num_shards = 1
+        self.axis = cfg.mesh_axes[0]
+
+        F = self.model.spec.num_sparse
+        self.ids_per_worker = cfg.batch_size * F
+        self.exchange = ex.make_exchange(
+            self.num_rows, self.num_shards, self.ids_per_worker,
+            axis=self.axis, capacity_factor=cfg.a2a_capacity_factor)
+
+        self._fast_local_sgd = (self.num_shards == 1
+                                and self.embed_opt.name == "sgd"
+                                and not cfg.use_cache)
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    # state init
+    # ------------------------------------------------------------------
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        seed = self.cfg.seed if seed is None else seed
+        rng = jax.random.PRNGKey(seed)
+        r_table, r_dense = jax.random.split(rng)
+        padded = self.exchange.padded_rows
+
+        def make_table(key):
+            # generate directly in the table dtype: at reference scale
+            # (33.7M x 128) an fp32 intermediate would double peak HBM
+            dt = jnp.dtype(self.cfg.table_dtype)
+            gen_dt = dt if dt in (jnp.float32, jnp.bfloat16) else jnp.float32
+            t = 0.01 * jax.random.normal(key, (padded, self.width), gen_dt)
+            return t.astype(dt)
+
+        if self.num_shards > 1:
+            tshard = NamedSharding(self.mesh, P(self.axis, None))
+            table = jax.jit(make_table, out_shardings=tshard)(r_table)
+            slots = {
+                k: jax.jit(lambda t=table: jnp.zeros_like(t),
+                           out_shardings=tshard)()
+                for k in self.embed_opt.slot_names
+            }
+        else:
+            table = jax.jit(make_table)(r_table)
+            slots = {k: jnp.zeros_like(table)
+                     for k in self.embed_opt.slot_names}
+
+        dense = self.model.init_dense(r_dense, self.cfg.embedding_dim)
+        dense_slots = jax.tree.map(
+            self.dense_opt.init_slots, dense,
+            is_leaf=lambda x: isinstance(x, jnp.ndarray))
+        if self.num_shards > 1:
+            rep = NamedSharding(self.mesh, P())
+            dense = jax.device_put(dense, rep)
+            dense_slots = jax.device_put(dense_slots, rep)
+        return TrainState(table=table, table_slots=slots, dense=dense,
+                          dense_slots=dense_slots,
+                          step=jnp.zeros((), jnp.int32))
+
+    # ------------------------------------------------------------------
+    # per-device step bodies (run inside shard_map for hybrid mode)
+    # ------------------------------------------------------------------
+    def _forward_embeddings(self, table, ids):
+        """ids [B, F] -> (emb [B, F, W], uniq, inv, route|None, overflow)."""
+        B, F = ids.shape
+        U = B * F
+        uniq, inv = jnp.unique(ids.reshape(-1), size=U, return_inverse=True,
+                               fill_value=-1)
+        valid = uniq >= 0
+        if self.num_shards > 1:
+            route = ex.route_ids(self.exchange, uniq, valid)
+            emb_uniq = ex.gather_rows(self.exchange, table, route)
+            overflow = route.overflow
+        else:
+            route = None
+            # positive OOB sentinel: negative indices wrap even under
+            # mode='fill'
+            safe = jnp.where(valid, uniq, table.shape[0] + 1)
+            emb_uniq = table.at[safe].get(mode="fill", fill_value=0)
+            overflow = jnp.zeros((), jnp.int32)
+        emb = emb_uniq[inv.reshape(-1)].reshape(B, F, self.width)
+        return emb, uniq, inv, route, overflow
+
+    def _apply_sparse_grads(self, table, slots, step, uniq, inv, route,
+                            emb_grad):
+        """Route per-unique-ID grads to their owner shard and update rows.
+
+        Reference analog: IndexedSlices dedup + `kPushEmbedding` +
+        server-side ApplySparse (`PSFhandle_embedding.cc:5-28`,
+        `server/optimizer.h`).
+        """
+        U = uniq.shape[0]
+        D = emb_grad.shape[-1]
+        g_uniq = jax.ops.segment_sum(emb_grad.reshape(-1, D),
+                                     inv.reshape(-1), num_segments=U)
+        cnt_uniq = jax.ops.segment_sum(
+            jnp.ones_like(inv.reshape(-1), dtype=jnp.int32),
+            inv.reshape(-1), num_segments=U)
+        if self.num_shards > 1:
+            rows_idx, row_grads, row_counts, row_mask = ex.scatter_grads(
+                self.exchange, route, g_uniq, cnt_uniq)
+        else:
+            rows_idx = jnp.where(uniq >= 0, uniq, self.exchange.padded_rows)
+            row_grads, row_counts = g_uniq, cnt_uniq
+            row_mask = uniq >= 0
+
+        safe_idx = jnp.where(row_mask, rows_idx, 0)
+        rows = table[safe_idx]
+        row_slots = {k: v[safe_idx] for k, v in slots.items()}
+        new_rows, new_slots = self.embed_opt.apply_rows(
+            rows, row_grads.astype(rows.dtype), row_slots, step,
+            mask=row_mask)
+        drop_idx = jnp.where(row_mask, rows_idx, table.shape[0] + 1)
+        table = table.at[drop_idx].set(new_rows, mode="drop")
+        for k in slots:
+            slots = dict(slots)
+            slots[k] = slots[k].at[drop_idx].set(new_slots[k], mode="drop")
+        return table, slots
+
+    def _train_step_body(self, state: TrainState, dense_x, ids, labels):
+        if self._fast_local_sgd:
+            return self._train_step_body_fast(state, dense_x, ids, labels)
+        step = state.step + 1
+        emb, uniq, inv, route, overflow = self._forward_embeddings(
+            state.table, ids)
+
+        # Each device's loss contribution is scaled by 1/num_shards so the
+        # psum over the mesh gives the *global-batch mean* — keeping sparse
+        # and dense gradients numerically identical to single-device
+        # training (asserted by tests/test_parity.py).
+        inv_shards = 1.0 / self.num_shards
+
+        def loss_fn(dense_params, emb):
+            logits = self.model.apply(dense_params, emb.astype(jnp.float32),
+                                      dense_x)
+            return bce_with_logits(logits, labels) * inv_shards
+
+        (loss, (dgrads, emb_grad)) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1))(state.dense, emb)
+
+        if self.num_shards > 1:
+            loss = jax.lax.psum(loss, self.axis)
+            dgrads = jax.lax.psum(dgrads, self.axis)
+            overflow = jax.lax.psum(overflow, self.axis)
+
+        dense, dense_slots = self.dense_opt.apply_dense(
+            state.dense, dgrads, state.dense_slots, step)
+        table, table_slots = self._apply_sparse_grads(
+            state.table, state.table_slots, step, uniq, inv, route, emb_grad)
+
+        new_state = TrainState(table=table, table_slots=table_slots,
+                               dense=dense, dense_slots=dense_slots,
+                               step=step)
+        stats = {"loss": loss, "overflow": overflow}
+        return new_state, stats
+
+    def _train_step_body_fast(self, state: TrainState, dense_x, ids, labels):
+        """Single-device SGD fast path: no dedup needed — scatter-add of
+        duplicate rows is exact for SGD (the reference's AllReduce-only
+        sparse path makes the same observation, `OptimizersSparse.cu`
+        sgd_update)."""
+        step = state.step + 1
+        emb = jnp.take(state.table, ids, axis=0).astype(jnp.float32)
+
+        def loss_fn(dense_params, emb):
+            logits = self.model.apply(dense_params, emb, dense_x)
+            return bce_with_logits(logits, labels)
+
+        loss, (dgrads, emb_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1))(state.dense, emb)
+        dense, dense_slots = self.dense_opt.apply_dense(
+            state.dense, dgrads, state.dense_slots, step)
+        lr = self.embed_opt.lr
+        flat_g = emb_grad.reshape(-1, emb_grad.shape[-1])
+        table = state.table.at[ids.reshape(-1)].add(
+            (-lr * flat_g).astype(state.table.dtype))
+        new_state = TrainState(table=table, table_slots=state.table_slots,
+                               dense=dense, dense_slots=dense_slots,
+                               step=step)
+        return new_state, {"loss": loss,
+                           "overflow": jnp.zeros((), jnp.int32)}
+
+    def _epoch_body(self, state: TrainState, dense_k, ids_k, labels_k):
+        """K train steps fused in one jit call via lax.scan.
+
+        Replaces the reference's per-iteration `executor.run("train")`
+        dispatch (`gpu_ops/executor.py:905`): on TPU the per-call host
+        latency dominates small CTR steps, so the executor scans whole
+        batch-chunks on device.
+        """
+        def body(state, xs):
+            d, s, y = xs
+            state, stats = self._train_step_body(state, d, s, y)
+            return state, (stats["loss"], stats["overflow"])
+
+        state, (losses, overflows) = jax.lax.scan(
+            body, state, (dense_k, ids_k, labels_k))
+        return state, {"loss": losses, "overflow": overflows}
+
+    def _eval_step_body(self, state: TrainState, dense_x, ids):
+        emb, _, _, _, _ = self._forward_embeddings(state.table, ids)
+        logits = self.model.apply(state.dense, emb.astype(jnp.float32),
+                                  dense_x)
+        return jax.nn.sigmoid(logits)
+
+    # ------------------------------------------------------------------
+    # jit / shard_map wiring
+    # ------------------------------------------------------------------
+    def _build_steps(self):
+        if self.num_shards > 1:
+            ax = self.axis
+            dense_tree = jax.eval_shape(
+                lambda k: self.model.init_dense(k, self.cfg.embedding_dim),
+                jax.random.PRNGKey(0))
+            state_specs = TrainState(
+                table=P(ax, None),
+                table_slots={k: P(ax, None)
+                             for k in self.embed_opt.slot_names},
+                dense=jax.tree.map(lambda _: P(), dense_tree),
+                dense_slots=jax.tree.map(
+                    lambda _: {k: P() for k in self.dense_opt.slot_names},
+                    dense_tree),
+                step=P(),
+            )
+            data_spec = P(ax)
+            stats_spec = {"loss": P(), "overflow": P()}
+
+            train_sm = jax.shard_map(
+                self._train_step_body, mesh=self.mesh,
+                in_specs=(state_specs, data_spec, data_spec, data_spec),
+                out_specs=(state_specs, stats_spec),
+                check_vma=False)
+            eval_sm = jax.shard_map(
+                self._eval_step_body, mesh=self.mesh,
+                in_specs=(state_specs, data_spec, data_spec),
+                out_specs=data_spec,
+                check_vma=False)
+            kdata_spec = P(None, ax)   # [K, steps] stacked batches
+            epoch_sm = jax.shard_map(
+                self._epoch_body, mesh=self.mesh,
+                in_specs=(state_specs, kdata_spec, kdata_spec, kdata_spec),
+                out_specs=(state_specs, stats_spec),
+                check_vma=False)
+            self._train_step = jax.jit(train_sm, donate_argnums=(0,))
+            self._train_epoch = jax.jit(epoch_sm, donate_argnums=(0,))
+            self._eval_step = jax.jit(eval_sm)
+            self._data_sharding = NamedSharding(self.mesh, P(self.axis))
+            self._kdata_sharding = NamedSharding(self.mesh, P(None, self.axis))
+        else:
+            self._train_step = jax.jit(self._train_step_body,
+                                       donate_argnums=(0,))
+            self._train_epoch = jax.jit(self._epoch_body,
+                                        donate_argnums=(0,))
+            self._eval_step = jax.jit(self._eval_step_body)
+            self._data_sharding = None
+            self._kdata_sharding = None
+
+    # ------------------------------------------------------------------
+    # host-facing API
+    # ------------------------------------------------------------------
+    def _put_batch(self, arr, dtype):
+        a = np.asarray(arr)
+        if a.ndim >= 3:  # [W, B, ...] -> [W*B, ...]
+            a = a.reshape(a.shape[0] * a.shape[1], *a.shape[2:])
+        a = a.astype(dtype)
+        if self._data_sharding is not None:
+            return jax.device_put(a, self._data_sharding)
+        return jnp.asarray(a)
+
+    def train_step(self, state: TrainState, dense_x, sparse_ids, labels):
+        """One global step. Host arrays may be [W, B, ...] or [W*B, ...]."""
+        d = self._put_batch(dense_x, np.float32)
+        s = self._put_batch(sparse_ids, np.int32)
+        y = self._put_batch(labels, np.float32)
+        return self._train_step(state, d, s, y)
+
+    def train_epoch(self, state: TrainState, dense_x, sparse_ids, labels,
+                    steps: Optional[int] = None):
+        """Run many steps fused in one device call (scanned executor).
+
+        Inputs are flat host arrays covering `steps` global batches
+        ([steps*GB, ...]); returns (state, stats) with per-step loss arrays.
+        """
+        gb = self.cfg.batch_size * max(self.num_shards, 1)
+        steps = steps or len(sparse_ids) // gb
+        assert steps >= 1, "not enough samples for one step"
+
+        def stack(a, dtype):
+            a = np.asarray(a)[: steps * gb].astype(dtype)
+            a = a.reshape(steps, gb, *a.shape[1:])
+            if self._kdata_sharding is not None:
+                return jax.device_put(a, self._kdata_sharding)
+            return jnp.asarray(a)
+
+        d = stack(dense_x, np.float32)
+        s = stack(sparse_ids, np.int32)
+        y = stack(labels, np.float32)
+        return self._train_epoch(state, d, s, y)
+
+    def predict(self, state: TrainState, dense_x, sparse_ids):
+        d = self._put_batch(dense_x, np.float32)
+        s = self._put_batch(sparse_ids, np.int32)
+        return self._eval_step(state, d, s)
+
+    def evaluate(self, state: TrainState, dense_x, sparse_ids, labels,
+                 batch: Optional[int] = None) -> Dict[str, float]:
+        """Full-dataset eval; mirrors the reference's per-epoch validation
+        (`examples/ctr/run_laia.py:266-289`: loss/acc/AUC)."""
+        n = len(sparse_ids)
+        gb = self.cfg.batch_size * max(self.num_shards, 1)
+        batch = batch or gb
+        preds = []
+        for i in range(0, n - batch + 1, batch):
+            p = self.predict(state, dense_x[i:i + batch],
+                             sparse_ids[i:i + batch])
+            preds.append(np.asarray(p))
+        y_score = np.concatenate(preds) if preds else np.zeros(0)
+        y_true = np.asarray(labels).reshape(-1)[: len(y_score)]
+        return {
+            "auc": M.auc_score(y_true, y_score),
+            "acc": M.accuracy(y_true, y_score),
+        }
