@@ -1,0 +1,626 @@
+// herald_cache_planner — integrated lookahead scheduler + cache manager.
+//
+// TPU-native merge of the reference's two host-side components:
+//  * the Laia scheduler's per-worker cache *simulation*
+//    (laia/src/laia_scheduler.cc, laia/include/mini_lru_cache.h), and
+//  * the worker-side embedding cache's *bookkeeping*
+//    (src/hetu_cache/src/cache.cc: lookup dedup, version staleness,
+//    planned push via embeddingUpdateWithPushKeys, eviction flush).
+//
+// On TPU the cached row *values* live in a device array; the host only
+// tracks membership/slots/dirtiness. Since the planner already simulates
+// exactly that state machine one batch ahead, it can emit a complete
+// static-shape "micro-program" per worker per step that the device
+// executes verbatim:
+//
+//   assign [mbs]          which samples this worker trains
+//   slots  [U_cap]        cache slot of each sorted-unique batch key
+//   pull   [U_cap] mask   keys that must be fetched from the owner shard
+//                         (miss or stale) before the forward pass
+//   flush_ids/slots [F_cap] dirty rows to push to their owner *this* step:
+//                         rows other workers read next batch (the comm
+//                         plan), evicted dirty rows, and stale-dirty rows
+//                         being refreshed
+//
+// Device-step contract (engine): phase 1 all flushes are applied to the
+// owner table, phase 2 all pulls gather from the updated table. Staleness
+// from step-t flushes therefore becomes visible to reads at steps > t,
+// except a worker's own flush+refresh in the same step (self-consistent).
+//
+// The planner enforces the static capacities itself: flushes beyond F_cap
+// or beyond the per-owner-shard routing capacity are deferred (stay dirty)
+// rather than dropped, so the device never overflows on the push path.
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC herald_cache_planner.cc -o libherald_planner.so -lpthread
+
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <numeric>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+#include <chrono>
+
+namespace herald {
+
+using key_t_ = int64_t;
+
+// ---------------------------------------------------------------------
+// Slot-tracking LRU cache state machine (host mirror of the device-side
+// cache array). Replaces both MiniLRUCache (simulation) and the reference
+// LRUCache/Embedding-Line bookkeeping (slots + dirty + stale).
+// ---------------------------------------------------------------------
+class SlotCache {
+public:
+    struct Entry {
+        int slot;
+        bool dirty;   // has unflushed local gradient delta
+        bool stale;   // another worker flushed this row since our last pull
+        int lru_prev, lru_next;   // intrusive LRU list over slot ids
+        key_t_ key;
+        bool used;
+    };
+
+    void init(int capacity, key_t_ key_space) {
+        cap_ = capacity;
+        entries_.assign(capacity, Entry{0, false, false, -1, -1, -1, false});
+        for (int s = 0; s < capacity; s++) {
+            entries_[s].slot = s;
+            free_.push_back(capacity - 1 - s);   // allocate slot 0 first
+        }
+        map_.reserve(capacity * 2);
+        bitmap_.assign(static_cast<size_t>(key_space), 0);
+        head_ = tail_ = -1;
+    }
+
+    bool check(key_t_ key) const { return bitmap_[key] != 0; }
+
+    Entry *find(key_t_ key) {
+        auto it = map_.find(key);
+        return it == map_.end() ? nullptr : &entries_[it->second];
+    }
+
+    // Insert `key`; returns the slot. If eviction was needed, *evicted is
+    // filled with the victim entry (pre-overwrite copy) and returns true
+    // through evicted_valid.
+    int insert(key_t_ key, bool *had_evict, Entry *evicted) {
+        int slot;
+        if (!free_.empty()) {
+            slot = free_.back();
+            free_.pop_back();
+            *had_evict = false;
+        } else {
+            slot = tail_;                     // LRU victim
+            *evicted = entries_[slot];
+            *had_evict = true;
+            detach(slot);
+            map_.erase(entries_[slot].key);
+            bitmap_[entries_[slot].key] = 0;
+        }
+        Entry &e = entries_[slot];
+        e.key = key;
+        e.dirty = false;
+        e.stale = false;
+        e.used = true;
+        attach_front(slot);
+        map_[key] = slot;
+        bitmap_[key] = 1;
+        return slot;
+    }
+
+    void touch(int slot) {
+        detach(slot);
+        attach_front(slot);
+    }
+
+    size_t size() const { return map_.size(); }
+
+    // iterate all resident entries
+    template <class F>
+    void for_each(F &&f) {
+        for (auto &kv : map_) f(entries_[kv.second]);
+    }
+
+private:
+    void detach(int s) {
+        Entry &e = entries_[s];
+        if (e.lru_prev >= 0) entries_[e.lru_prev].lru_next = e.lru_next;
+        else head_ = e.lru_next;
+        if (e.lru_next >= 0) entries_[e.lru_next].lru_prev = e.lru_prev;
+        else tail_ = e.lru_prev;
+        e.lru_prev = e.lru_next = -1;
+    }
+    void attach_front(int s) {
+        Entry &e = entries_[s];
+        e.lru_prev = -1;
+        e.lru_next = head_;
+        if (head_ >= 0) entries_[head_].lru_prev = s;
+        head_ = s;
+        if (tail_ < 0) tail_ = s;
+    }
+
+    int cap_ = 0;
+    std::vector<Entry> entries_;
+    std::vector<int> free_;
+    std::unordered_map<key_t_, int> map_;
+    std::vector<uint8_t> bitmap_;
+    int head_ = -1, tail_ = -1;
+};
+
+// ---------------------------------------------------------------------
+struct MicroProgram {
+    // per batch, all workers concatenated
+    std::vector<key_t_> assign;                 // [nrank * mbs]
+    // per worker:
+    std::vector<std::vector<int32_t>> slots;    // [u] slot of sorted uniq key
+    std::vector<std::vector<uint8_t>> pulls;    // [u] 1 = pull from owner
+    std::vector<std::vector<key_t_>> flush_ids; // [f]
+    std::vector<std::vector<int32_t>> flush_slots;
+};
+
+class CachePlanner {
+public:
+    CachePlanner(const key_t_ *ids, int64_t num_samples, int num_tables,
+                 int nrank, int mbs, int64_t batch_num, int epochs,
+                 int64_t cache_rows, int flush_cap, int owner_cap,
+                 int num_shards, int64_t rows_per_shard, int top_k,
+                 const int *table_order, int n_threads, int queue_cap)
+        : num_samples_(num_samples), num_tables_(num_tables), nrank_(nrank),
+          mbs_(mbs), batch_num_(batch_num), epochs_(epochs),
+          flush_cap_(flush_cap), owner_cap_(owner_cap),
+          num_shards_(num_shards), rows_per_shard_(rows_per_shard),
+          top_k_(top_k > 0 ? std::min<int>(top_k, num_tables) : num_tables),
+          n_threads_(std::max(1, n_threads)), queue_cap_(queue_cap) {
+        ids_.assign(ids, ids + num_samples * num_tables);
+        key_t_ max_key = 0;
+        for (auto k : ids_) max_key = std::max(max_key, k);
+        key_space_ = max_key + 1;
+        caches_.resize(nrank_);
+        for (auto &c : caches_) c.init(int(cache_rows), key_space_);
+        cached_by_.assign(size_t(key_space_), 0);   // worker bitmask per key
+        miss_pull_.assign(nrank_, 0);
+        miss_push_.assign(nrank_, 0);
+        update_pull_.assign(nrank_, 0);
+        update_push_.assign(nrank_, 0);
+        deferred_flush_.assign(nrank_, 0);
+
+        if (table_order) {
+            order_.assign(table_order, table_order + num_tables_);
+        } else {
+            profile_tables();
+        }
+        order_.resize(top_k_);
+    }
+
+    ~CachePlanner() { stop(); }
+
+    void start() { worker_ = std::thread([this] { run(); }); }
+
+    void stop() {
+        close_.store(true);
+        cv_pop_.notify_all();
+        cv_push_.notify_all();
+        if (worker_.joinable()) worker_.join();
+    }
+
+    bool pop(MicroProgram &out) {
+        std::unique_lock<std::mutex> lk(mut_);
+        cv_pop_.wait(lk, [this] {
+            return !queue_.empty() || done_ || close_.load();
+        });
+        if (queue_.empty()) return false;
+        out = std::move(queue_.front());
+        queue_.pop_front();
+        cv_push_.notify_one();
+        return true;
+    }
+
+    size_t queue_length() {
+        std::lock_guard<std::mutex> lk(mut_);
+        return queue_.size();
+    }
+
+    void perf(long out[5]) const {
+        auto avg = [&](const std::vector<long> &v) {
+            return std::accumulate(v.begin(), v.end(), 0L) / nrank_;
+        };
+        out[0] = avg(miss_pull_);
+        out[1] = avg(miss_push_);
+        out[2] = avg(update_pull_);
+        out[3] = avg(update_push_);
+        out[4] = avg(deferred_flush_);
+    }
+
+    long iter_time_us() const {
+        if (iter_times_.empty()) return 0;
+        return std::accumulate(iter_times_.begin(), iter_times_.end(), 0L)
+               / long(iter_times_.size());
+    }
+
+    // Final sync: list every dirty row (id, slot) per worker so the engine
+    // can flush residual deltas before eval/checkpoint. Only call after the
+    // planning thread finished (end of epochs).
+    void dirty_dump(int worker, std::vector<key_t_> &ids,
+                    std::vector<int32_t> &slots) {
+        caches_[worker].for_each([&](SlotCache::Entry &e) {
+            if (e.dirty) {
+                ids.push_back(e.key);
+                slots.push_back(e.slot);
+            }
+        });
+    }
+
+private:
+    void profile_tables() {
+        order_.resize(num_tables_);
+        std::iota(order_.begin(), order_.end(), 0);
+        int64_t sample_n = std::min<int64_t>(num_samples_, 200000);
+        std::vector<double> reuse(num_tables_, 0.0);
+        for (int t = 0; t < num_tables_; t++) {
+            std::vector<key_t_> col;
+            col.reserve(sample_n);
+            for (int64_t i = 0; i < sample_n; i++)
+                col.push_back(ids_[i * num_tables_ + t]);
+            std::sort(col.begin(), col.end());
+            int64_t uniq = std::unique(col.begin(), col.end()) - col.begin();
+            reuse[t] = 1.0 - double(uniq) / double(sample_n);
+        }
+        std::stable_sort(order_.begin(), order_.end(),
+                         [&](int a, int b) { return reuse[a] > reuse[b]; });
+    }
+
+    const key_t_ *sample(int64_t idx) const {
+        return &ids_[(idx % num_samples_) * num_tables_];
+    }
+    int owner_of(key_t_ key) const {
+        return int(key / rows_per_shard_);
+    }
+
+    void run() {
+        int64_t gbs = int64_t(nrank_) * mbs_;
+        int64_t total_batches = batch_num_ * epochs_;
+        std::vector<int> scores(gbs * nrank_);
+        for (int64_t b = 0; b < total_batches && !close_.load(); b++) {
+            auto t0 = std::chrono::steady_clock::now();
+            MicroProgram mp = plan_batch(b * gbs, scores);
+            auto t1 = std::chrono::steady_clock::now();
+            if (b >= 12)
+                iter_times_.push_back(
+                    std::chrono::duration_cast<std::chrono::microseconds>(
+                        t1 - t0).count());
+            {
+                std::unique_lock<std::mutex> lk(mut_);
+                cv_push_.wait(lk, [this] {
+                    return int(queue_.size()) < queue_cap_ || close_.load();
+                });
+                if (close_.load()) break;
+                queue_.push_back(std::move(mp));
+            }
+            cv_pop_.notify_all();
+        }
+        {
+            std::lock_guard<std::mutex> lk(mut_);
+            done_ = true;
+        }
+        cv_pop_.notify_all();
+    }
+
+    MicroProgram plan_batch(int64_t start, std::vector<int> &scores) {
+        int64_t gbs = int64_t(nrank_) * mbs_;
+
+        // ---- 1. affinity scoring (parallel over samples) ----------------
+        std::fill(scores.begin(), scores.end(), 0);
+        auto score_span = [&](int64_t lo, int64_t hi) {
+            for (int64_t i = lo; i < hi; i++) {
+                const key_t_ *s = sample(start + i);
+                int *row = &scores[i * nrank_];
+                for (int k = 0; k < top_k_; k++) {
+                    uint64_t mask = cached_by_[s[order_[k]]];
+                    while (mask) {
+                        int z = __builtin_ctzll(mask);
+                        mask &= mask - 1;
+                        row[z] += 1;
+                    }
+                }
+            }
+        };
+        if (n_threads_ > 1) {
+            std::vector<std::thread> ts;
+            int64_t chunk = (gbs + n_threads_ - 1) / n_threads_;
+            for (int t = 0; t < n_threads_; t++) {
+                int64_t lo = t * chunk, hi = std::min(gbs, lo + chunk);
+                if (lo >= hi) break;
+                ts.emplace_back(score_span, lo, hi);
+            }
+            for (auto &t : ts) t.join();
+        } else {
+            score_span(0, gbs);
+        }
+
+        // ---- 2. greedy load-balanced assignment --------------------------
+        MicroProgram mp;
+        mp.assign.assign(gbs, 0);
+        mp.slots.resize(nrank_);
+        mp.pulls.resize(nrank_);
+        mp.flush_ids.resize(nrank_);
+        mp.flush_slots.resize(nrank_);
+        std::vector<int> load(nrank_, 0);
+        std::vector<int64_t> order_idx(gbs);
+        std::iota(order_idx.begin(), order_idx.end(), 0);
+        std::vector<int> best(gbs);
+        for (int64_t i = 0; i < gbs; i++)
+            best[i] = *std::max_element(&scores[i * nrank_],
+                                        &scores[i * nrank_] + nrank_);
+        std::stable_sort(order_idx.begin(), order_idx.end(),
+                         [&](int64_t a, int64_t b) {
+                             return best[a] > best[b];
+                         });
+        for (int64_t oi = 0; oi < gbs; oi++) {
+            int64_t i = order_idx[oi];
+            const int *row = &scores[i * nrank_];
+            int pick = -1, pick_score = -1;
+            for (int z = 0; z < nrank_; z++) {
+                if (load[z] < mbs_ && row[z] > pick_score) {
+                    pick_score = row[z];
+                    pick = z;
+                }
+            }
+            mp.assign[int64_t(pick) * mbs_ + load[pick]] =
+                (start + i) % num_samples_;
+            load[pick]++;
+        }
+
+        // ---- 3. per-worker cache transactions (parallel per worker) -----
+        // Comm plan for worker z: keys in OTHER workers' batches that are
+        // valid (fresh or stale-but-resident matters only if dirty) in z's
+        // cache -> flush so the owner serves fresh rows.
+        std::vector<std::vector<key_t_>> flush_sets(nrank_);
+        auto plan_worker = [&](int z) {
+            SlotCache &c = caches_[z];
+            // capacity accounting: flush_cap_ total, owner_cap_ per shard
+            std::vector<int> owner_used(num_shards_, 0);
+            auto try_flush = [&](SlotCache::Entry &e) -> bool {
+                if (int(flush_sets[z].size()) >= flush_cap_) {
+                    deferred_flush_[z]++;
+                    return false;
+                }
+                int ow = owner_of(e.key);
+                if (owner_used[ow] >= owner_cap_) {
+                    deferred_flush_[z]++;
+                    return false;
+                }
+                owner_used[ow]++;
+                flush_sets[z].push_back(e.key);
+                mp.flush_ids[z].push_back(e.key);
+                mp.flush_slots[z].push_back(e.slot);
+                e.dirty = false;
+                return true;
+            };
+
+            // 3a. planned flushes: rows others read this batch, dirty here
+            long planned = 0;
+            for (int w = 0; w < nrank_; w++) {
+                if (w == z) continue;
+                for (int j = 0; j < mbs_; j++) {
+                    const key_t_ *s =
+                        &ids_[mp.assign[int64_t(w) * mbs_ + j] * num_tables_];
+                    for (int t = 0; t < num_tables_; t++) {
+                        auto *e = c.find(s[t]);
+                        if (e && e->dirty) {
+                            if (try_flush(*e)) planned++;
+                        }
+                    }
+                }
+            }
+            update_push_[z] += planned;
+
+            // 3b. batch reads: sorted unique keys (device jnp.unique order)
+            std::vector<key_t_> keys;
+            keys.reserve(size_t(mbs_) * num_tables_);
+            const key_t_ *base = &mp.assign[int64_t(z) * mbs_];
+            for (int j = 0; j < mbs_; j++) {
+                const key_t_ *s = &ids_[base[j] * num_tables_];
+                keys.insert(keys.end(), s, s + num_tables_);
+            }
+            std::sort(keys.begin(), keys.end());
+            keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
+
+            auto &slots = mp.slots[z];
+            auto &pulls = mp.pulls[z];
+            slots.resize(keys.size());
+            pulls.resize(keys.size());
+            for (size_t q = 0; q < keys.size(); q++) {
+                key_t_ key = keys[q];
+                auto *e = c.find(key);
+                if (e && !e->stale) {
+                    c.touch(e->slot);
+                    slots[q] = e->slot;
+                    pulls[q] = 0;
+                } else if (e) {                    // stale: refresh
+                    if (e->dirty) try_flush(*e);   // flush-before-refresh
+                    e->stale = false;
+                    c.touch(e->slot);
+                    slots[q] = e->slot;
+                    pulls[q] = 1;
+                    update_pull_[z]++;
+                } else {                           // miss: insert
+                    bool evicted = false;
+                    SlotCache::Entry victim;
+                    int slot = c.insert(key, &evicted, &victim);
+                    if (evicted) {
+                        cached_by_[victim.key] &= ~(1ull << z);
+                        if (victim.dirty) {
+                            // eviction flush happens BEFORE the slot is
+                            // overwritten by the pulled row (device phase 1
+                            // precedes phase 3)
+                            SlotCache::Entry tmp = victim;
+                            if (try_flush(tmp)) miss_push_[z]++;
+                            // deferred eviction flush would lose the delta:
+                            // force it past per-owner caps into the total cap
+                            else if (int(flush_sets[z].size()) < flush_cap_) {
+                                flush_sets[z].push_back(tmp.key);
+                                mp.flush_ids[z].push_back(tmp.key);
+                                mp.flush_slots[z].push_back(tmp.slot);
+                                miss_push_[z]++;
+                                deferred_flush_[z]--;
+                            }
+                            // else: delta dropped (counted in deferred)
+                        }
+                    }
+                    cached_by_[key] |= (1ull << z);   // note: racy across
+                    // workers only for *distinct* bits -> atomic below
+                    slots[q] = slot;
+                    pulls[q] = 1;
+                    miss_pull_[z]++;
+                }
+                // the row will receive gradients this step
+                c.find(key)->dirty = true;
+            }
+        };
+        // cached_by_ bit updates race across worker threads; use one thread
+        // per worker only if the bitmask updates are made atomic. Keep it
+        // sequential for v1 correctness (scoring above is the hot part).
+        for (int z = 0; z < nrank_; z++) plan_worker(z);
+
+        // ---- 4. cross-worker staleness from this step's flushes ---------
+        for (int z = 0; z < nrank_; z++) {
+            for (key_t_ key : flush_sets[z]) {
+                uint64_t mask = cached_by_[key] & ~(1ull << z);
+                while (mask) {
+                    int j = __builtin_ctzll(mask);
+                    mask &= mask - 1;
+                    auto *e = caches_[j].find(key);
+                    if (e) e->stale = true;
+                }
+            }
+        }
+        return mp;
+    }
+
+    // config
+    int64_t num_samples_;
+    int num_tables_, nrank_, mbs_;
+    int64_t batch_num_;
+    int epochs_, flush_cap_, owner_cap_, num_shards_;
+    int64_t rows_per_shard_;
+    int top_k_, n_threads_, queue_cap_;
+    key_t_ key_space_;
+    std::vector<key_t_> ids_;
+    std::vector<int> order_;
+
+    // planner state
+    std::vector<SlotCache> caches_;
+    std::vector<uint64_t> cached_by_;
+    std::vector<long> miss_pull_, miss_push_, update_pull_, update_push_;
+    std::vector<long> deferred_flush_;
+    std::vector<long> iter_times_;
+
+    // queue
+    std::deque<MicroProgram> queue_;
+    std::mutex mut_;
+    std::condition_variable cv_pop_, cv_push_;
+    bool done_ = false;
+    std::atomic<bool> close_{false};
+    std::thread worker_;
+};
+
+} // namespace herald
+
+// ---------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------
+struct HPlanner {
+    herald::CachePlanner planner;
+    herald::MicroProgram current;
+
+    template <class... A>
+    explicit HPlanner(A &&...a) : planner(std::forward<A>(a)...) {}
+};
+
+extern "C" {
+
+void *hplan_create(const int64_t *ids, int64_t num_samples, int num_tables,
+                   int nrank, int mbs, int64_t batch_num, int epochs,
+                   int64_t cache_rows, int flush_cap, int owner_cap,
+                   int num_shards, int64_t rows_per_shard, int top_k,
+                   const int *table_order, int n_threads, int queue_cap) {
+    return new HPlanner(ids, num_samples, num_tables, nrank, mbs, batch_num,
+                        epochs, cache_rows, flush_cap, owner_cap, num_shards,
+                        rows_per_shard, top_k, table_order, n_threads,
+                        queue_cap);
+}
+
+void hplan_start(void *h) { static_cast<HPlanner *>(h)->planner.start(); }
+
+// Phase 1: fill assign [nrank*mbs]; sizes_out [nrank*2] = (u, f) per worker.
+// Returns 0 ok, -1 end of stream.
+int hplan_pop_begin(void *h, int64_t *assign_out, int64_t *sizes_out) {
+    auto *p = static_cast<HPlanner *>(h);
+    if (!p->planner.pop(p->current)) return -1;
+    std::memcpy(assign_out, p->current.assign.data(),
+                p->current.assign.size() * sizeof(int64_t));
+    size_t nr = p->current.slots.size();
+    for (size_t z = 0; z < nr; z++) {
+        sizes_out[2 * z] = int64_t(p->current.slots[z].size());
+        sizes_out[2 * z + 1] = int64_t(p->current.flush_ids[z].size());
+    }
+    return 0;
+}
+
+// Phase 2: copy concatenated per-worker arrays.
+void hplan_pop_finish(void *h, int32_t *slots_out, uint8_t *pulls_out,
+                      int64_t *flush_ids_out, int32_t *flush_slots_out) {
+    auto *p = static_cast<HPlanner *>(h);
+    int64_t uo = 0, fo = 0;
+    size_t nr = p->current.slots.size();
+    for (size_t z = 0; z < nr; z++) {
+        auto &sl = p->current.slots[z];
+        auto &pu = p->current.pulls[z];
+        std::memcpy(slots_out + uo, sl.data(), sl.size() * sizeof(int32_t));
+        std::memcpy(pulls_out + uo, pu.data(), pu.size());
+        uo += int64_t(sl.size());
+        auto &fi = p->current.flush_ids[z];
+        auto &fs = p->current.flush_slots[z];
+        std::memcpy(flush_ids_out + fo, fi.data(),
+                    fi.size() * sizeof(int64_t));
+        std::memcpy(flush_slots_out + fo, fs.data(),
+                    fs.size() * sizeof(int32_t));
+        fo += int64_t(fi.size());
+    }
+}
+
+int64_t hplan_queue_length(void *h) {
+    return int64_t(static_cast<HPlanner *>(h)->planner.queue_length());
+}
+
+void hplan_perf(void *h, long *out5) {
+    static_cast<HPlanner *>(h)->planner.perf(out5);
+}
+
+long hplan_iter_time_us(void *h) {
+    return static_cast<HPlanner *>(h)->planner.iter_time_us();
+}
+
+// Fill ids/slots with worker's dirty rows; returns count. Call with
+// nullptr buffers to query the count first.
+int64_t hplan_dirty_dump(void *h, int worker, int64_t *ids_out,
+                         int32_t *slots_out) {
+    auto *p = static_cast<HPlanner *>(h);
+    std::vector<int64_t> ids;
+    std::vector<int32_t> slots;
+    p->planner.dirty_dump(worker, ids, slots);
+    if (ids_out) {
+        std::memcpy(ids_out, ids.data(), ids.size() * sizeof(int64_t));
+        std::memcpy(slots_out, slots.data(), slots.size() * sizeof(int32_t));
+    }
+    return int64_t(ids.size());
+}
+
+void hplan_destroy(void *h) { delete static_cast<HPlanner *>(h); }
+
+} // extern "C"

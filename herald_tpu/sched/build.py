@@ -11,20 +11,30 @@ import os
 import subprocess
 import threading
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "csrc", "herald_sched.cc")
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "csrc")
 _LIB_DIR = os.path.dirname(os.path.abspath(__file__))
-_LIB = os.path.join(_LIB_DIR, "libherald_sched.so")
 _lock = threading.Lock()
 
 
-def lib_path(rebuild: bool = False) -> str:
-    """Compile (if needed) and return the shared-library path."""
+def _build(src_name: str, lib_name: str, rebuild: bool) -> str:
+    src = os.path.join(_CSRC, src_name)
+    lib = os.path.join(_LIB_DIR, lib_name)
     with _lock:
-        if rebuild or not os.path.exists(_LIB) or (
-                os.path.exists(_SRC)
-                and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
+        if rebuild or not os.path.exists(lib) or (
+                os.path.exists(src)
+                and os.path.getmtime(src) > os.path.getmtime(lib)):
             cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                   "-o", _LIB, _SRC, "-lpthread"]
+                   "-o", lib, src, "-lpthread"]
             subprocess.run(cmd, check=True, capture_output=True, text=True)
-        return _LIB
+        return lib
+
+
+def lib_path(rebuild: bool = False) -> str:
+    """Compile (if needed) and return the scheduler shared library."""
+    return _build("herald_sched.cc", "libherald_sched.so", rebuild)
+
+
+def planner_lib_path(rebuild: bool = False) -> str:
+    """Compile (if needed) and return the cache-planner shared library."""
+    return _build("herald_cache_planner.cc", "libherald_planner.so", rebuild)

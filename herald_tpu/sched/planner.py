@@ -1,0 +1,189 @@
+"""Cache planner binding: per-step cache micro-programs, padded to static
+shapes for the device step.
+
+The planner (csrc/herald_cache_planner.cc) is the merged TPU replacement
+for the reference's Laia scheduler + hetu_cache bookkeeping; see the C++
+header comment for the design contract. This wrapper pads the ragged
+per-worker arrays to (U_cap, F_cap) with the engine's positive-OOB sentinel
+convention and stacks them [nrank, cap] so the engine can shard axis 0 over
+the mesh.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class StepProgram:
+    """One global batch's cache micro-program (already padded)."""
+    assign: np.ndarray        # [nrank, mbs] sample indices
+    slots: np.ndarray         # [nrank, U_cap] int32, cache slot per sorted
+                              #   unique batch key; C (OOB) for padding
+    pulls: np.ndarray         # [nrank, U_cap] bool, pull from owner
+    flush_ids: np.ndarray     # [nrank, F_cap] int64, -1 padding
+    flush_slots: np.ndarray   # [nrank, F_cap] int32, C (OOB) padding
+
+
+class _PlannerLib:
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            from herald_tpu.sched.build import planner_lib_path
+            lib = ctypes.CDLL(planner_lib_path())
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.hplan_create.restype = ctypes.c_void_p
+            lib.hplan_create.argtypes = [
+                i64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+                ctypes.c_int]
+            lib.hplan_start.argtypes = [ctypes.c_void_p]
+            lib.hplan_pop_begin.restype = ctypes.c_int
+            lib.hplan_pop_begin.argtypes = [ctypes.c_void_p, i64p, i64p]
+            lib.hplan_pop_finish.argtypes = [ctypes.c_void_p, i32p, u8p,
+                                             i64p, i32p]
+            lib.hplan_queue_length.restype = ctypes.c_int64
+            lib.hplan_queue_length.argtypes = [ctypes.c_void_p]
+            lib.hplan_perf.argtypes = [ctypes.c_void_p,
+                                       ctypes.POINTER(ctypes.c_long)]
+            lib.hplan_iter_time_us.restype = ctypes.c_long
+            lib.hplan_iter_time_us.argtypes = [ctypes.c_void_p]
+            lib.hplan_dirty_dump.restype = ctypes.c_int64
+            lib.hplan_dirty_dump.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                             i64p, i32p]
+            lib.hplan_destroy.argtypes = [ctypes.c_void_p]
+            obj = super().__new__(cls)
+            obj.lib = lib
+            cls._inst = obj
+        return cls._inst
+
+
+class CachePlanner:
+    def __init__(self, sparse_ids: np.ndarray, nrank: int, batch_size: int,
+                 cache_rows: int, num_shards: int, rows_per_shard: int,
+                 epochs: int = 1, flush_cap: Optional[int] = None,
+                 owner_cap: Optional[int] = None, top_k: int = 0,
+                 table_order: Optional[Sequence[int]] = None,
+                 n_threads: int = 8, queue_cap: int = 16,
+                 drop_last: bool = True):
+        ids = np.ascontiguousarray(sparse_ids, np.int64)
+        assert ids.ndim == 2
+        n, num_tables = ids.shape
+        self.nrank = nrank
+        self.mbs = batch_size
+        self.num_tables = num_tables
+        self.U_cap = batch_size * num_tables
+        # one batch's unique keys must fit: otherwise two same-batch keys
+        # would share a slot and the forward pass reads wrong residents
+        # (the reference has the same implicit requirement — its cache
+        # limit of 10% of 33M rows vastly exceeds per-batch uniques)
+        if cache_rows < self.U_cap:
+            raise ValueError(
+                f"cache_rows ({cache_rows}) must be >= per-worker batch "
+                f"unique capacity ({self.U_cap} = batch {batch_size} x "
+                f"{num_tables} tables)")
+        self.F_cap = flush_cap or self.U_cap
+        # per-owner routing capacity for flushes must match the engine's
+        # all-to-all bucket capacity
+        self.owner_cap = owner_cap or self.F_cap
+        self.cache_rows = cache_rows
+        spw = n // nrank
+        self.batch_num = (spw // batch_size if drop_last
+                          else int(np.ceil(spw / batch_size)))
+        self._lib = _PlannerLib().lib
+        order_ptr = None
+        if table_order is not None:
+            self._order = np.ascontiguousarray(table_order, np.int32)
+            order_ptr = self._order.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int))
+        self._h = self._lib.hplan_create(
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n, num_tables, nrank, batch_size, self.batch_num, epochs,
+            cache_rows, self.F_cap, self.owner_cap, num_shards,
+            rows_per_shard, top_k, order_ptr, n_threads, queue_cap)
+        self._ids_keepalive = ids
+        self._lib.hplan_start(self._h)
+
+    def pop(self) -> Optional[StepProgram]:
+        assign = np.empty(self.nrank * self.mbs, np.int64)
+        sizes = np.empty(self.nrank * 2, np.int64)
+        rc = self._lib.hplan_pop_begin(
+            self._h, assign.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if rc < 0:
+            return None
+        us = sizes[0::2]
+        fs = sizes[1::2]
+        slots_flat = np.empty(max(int(us.sum()), 1), np.int32)
+        pulls_flat = np.empty(max(int(us.sum()), 1), np.uint8)
+        fids_flat = np.empty(max(int(fs.sum()), 1), np.int64)
+        fslots_flat = np.empty(max(int(fs.sum()), 1), np.int32)
+        self._lib.hplan_pop_finish(
+            self._h,
+            slots_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            pulls_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            fids_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            fslots_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+
+        C = self.cache_rows
+        slots = np.full((self.nrank, self.U_cap), C, np.int32)
+        pulls = np.zeros((self.nrank, self.U_cap), bool)
+        flush_ids = np.full((self.nrank, self.F_cap), -1, np.int64)
+        flush_slots = np.full((self.nrank, self.F_cap), C, np.int32)
+        uo = fo = 0
+        for z in range(self.nrank):
+            u, f = int(us[z]), int(fs[z])
+            slots[z, :u] = slots_flat[uo:uo + u]
+            pulls[z, :u] = pulls_flat[uo:uo + u].astype(bool)
+            uo += u
+            flush_ids[z, :f] = fids_flat[fo:fo + f]
+            flush_slots[z, :f] = fslots_flat[fo:fo + f]
+            fo += f
+        return StepProgram(assign=assign.reshape(self.nrank, self.mbs),
+                           slots=slots, pulls=pulls, flush_ids=flush_ids,
+                           flush_slots=flush_slots)
+
+    def queue_length(self) -> int:
+        return int(self._lib.hplan_queue_length(self._h))
+
+    def perf(self) -> dict:
+        out = (ctypes.c_long * 5)()
+        self._lib.hplan_perf(self._h, out)
+        return {"miss_pull": out[0], "miss_push": out[1],
+                "update_pull": out[2], "update_push": out[3],
+                "deferred_flush": out[4]}
+
+    def iter_time_us(self) -> int:
+        return int(self._lib.hplan_iter_time_us(self._h))
+
+    def dirty_rows(self, worker: int):
+        """Residual dirty (id, slot) pairs for the final sync/flush."""
+        n = self._lib.hplan_dirty_dump(self._h, worker, None, None)
+        ids = np.empty(max(int(n), 1), np.int64)
+        slots = np.empty(max(int(n), 1), np.int32)
+        if n > 0:
+            self._lib.hplan_dirty_dump(
+                self._h, worker,
+                ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return ids[:n], slots[:n]
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.hplan_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -1,1 +1,2 @@
+from herald_tpu.train.cached import CachedEngine, CachedTrainState
 from herald_tpu.train.engine import Engine, TrainState

@@ -1,0 +1,370 @@
+"""Cached training engine: hot-row cache + planned flush/refresh.
+
+The device half of the Herald design. State adds two per-worker arrays to
+the base engine (sharded so each mesh shard holds its own block):
+
+    cache_data  [nrank*C, W]  cached row values (locally updated)
+    cache_delta [nrank*C, W]  accumulated unflushed gradients
+
+and each step executes the planner's micro-program
+(herald_tpu/sched/planner.py) in a fixed phase order:
+
+    1. FLUSH   route dirty deltas to their owner shard, apply the embed
+               optimizer there, zero the flushed deltas
+               (reference: embeddingUpdateWithPushKeys,
+               src/hetu_cache/src/cache.cc:248-335 + server ApplySparse)
+    2. PULL    all-to-all gather of missed/stale rows from the *updated*
+               table (reference: syncEmbedding version-filtered pull,
+               ps-lite/src/PSFhandle_embedding.cc:30-64)
+    3. INSERT  write pulled rows into their cache slots
+    4. FORWARD dense tower on rows read entirely from cache
+    5. UPDATE  local optimistic SGD into cache_data + delta accumulation
+               (reference: Line::accumulate,
+               src/hetu_cache/include/embedding.h:18-149)
+
+Everything is static-shape; the planner enforces flush capacities so the
+push path never overflows.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from herald_tpu.config import HeraldConfig
+from herald_tpu.models.base import ModelDef, bce_with_logits
+from herald_tpu.parallel import exchange as ex
+from herald_tpu.sched.planner import CachePlanner, StepProgram
+from herald_tpu.train.engine import Engine, TrainState
+
+
+class CachedTrainState(NamedTuple):
+    table: jnp.ndarray
+    table_slots: Dict[str, jnp.ndarray]
+    dense: Dict[str, jnp.ndarray]
+    dense_slots: Dict[str, Dict[str, jnp.ndarray]]
+    step: jnp.ndarray
+    cache_data: jnp.ndarray    # [nrank*C, W]
+    cache_delta: jnp.ndarray   # [nrank*C, W] fp32
+
+
+class CachedEngine(Engine):
+    """Engine variant executing planner micro-programs."""
+
+    def __init__(self, cfg: HeraldConfig, model: Optional[ModelDef] = None,
+                 mesh=None, table_rows: Optional[int] = None):
+        cfg.use_cache = True
+        super().__init__(cfg, model=model, mesh=mesh, table_rows=table_rows)
+        self.cache_rows = cfg.cache_rows(self.num_rows)
+        self.U_cap = self.ids_per_worker
+        self.F_cap = self.U_cap
+        # flush routing uses the same static capacity scheme as lookups;
+        # the planner defers flushes beyond these caps
+        self.flush_exchange = ex.make_exchange(
+            self.num_rows, self.num_shards, self.F_cap, axis=self.axis,
+            capacity_factor=self.cfg.a2a_capacity_factor)
+        self._build_cached_steps()
+
+    # ------------------------------------------------------------------
+    def make_planner(self, sparse_ids: np.ndarray, epochs: int = 1,
+                     n_threads: int = 8) -> CachePlanner:
+        return CachePlanner(
+            sparse_ids, nrank=max(self.num_shards, 1),
+            batch_size=self.cfg.batch_size, cache_rows=self.cache_rows,
+            num_shards=max(self.num_shards, 1),
+            rows_per_shard=self.exchange.rows_per_shard, epochs=epochs,
+            flush_cap=self.F_cap,
+            owner_cap=self.flush_exchange.capacity,
+            top_k=self.cfg.sched_top_k_tables or 0, n_threads=n_threads)
+
+    def init_cached_state(self, seed: Optional[int] = None
+                          ) -> CachedTrainState:
+        base = super().init_state(seed)
+        nr = max(self.num_shards, 1)
+        shape = (nr * self.cache_rows, self.width)
+        if self.num_shards > 1:
+            sh = NamedSharding(self.mesh, P(self.axis, None))
+            cache_data = jax.jit(
+                lambda: jnp.zeros(shape, self.cfg.table_dtype),
+                out_shardings=sh)()
+            cache_delta = jax.jit(lambda: jnp.zeros(shape, jnp.float32),
+                                  out_shardings=sh)()
+        else:
+            cache_data = jnp.zeros(shape, self.cfg.table_dtype)
+            cache_delta = jnp.zeros(shape, jnp.float32)
+        return CachedTrainState(*base, cache_data=cache_data,
+                                cache_delta=cache_delta)
+
+    # ------------------------------------------------------------------
+    # per-device bodies
+    # ------------------------------------------------------------------
+    def _flush_phase(self, table, table_slots, step, cache_delta,
+                     flush_ids, flush_slots):
+        C = self.cache_rows
+        deltas = cache_delta.at[flush_slots].get(mode="fill", fill_value=0)
+        if self.num_shards > 1:
+            route = ex.route_ids(self.flush_exchange, flush_ids,
+                                 flush_ids >= 0)
+            rows_idx, row_grads, row_counts, row_mask = ex.scatter_grads(
+                self.flush_exchange, route, deltas)
+        else:
+            rows_idx = jnp.where(flush_ids >= 0, flush_ids,
+                                 self.exchange.padded_rows)
+            row_grads = deltas
+            row_counts = jnp.ones(flush_ids.shape[0], jnp.int32)
+            row_mask = flush_ids >= 0
+
+        safe_idx = jnp.where(row_mask, rows_idx, 0)
+        rows = table[safe_idx]
+        row_slots = {k: v[safe_idx] for k, v in table_slots.items()}
+        new_rows, new_slots = self.embed_opt.apply_rows(
+            rows, row_grads.astype(rows.dtype), row_slots, step,
+            mask=row_mask)
+        drop_idx = jnp.where(row_mask, rows_idx, table.shape[0] + 1)
+        table = table.at[drop_idx].set(new_rows, mode="drop")
+        new_table_slots = dict(table_slots)
+        for k in table_slots:
+            new_table_slots[k] = table_slots[k].at[drop_idx].set(
+                new_slots[k], mode="drop")
+        # zero flushed deltas (positive-OOB sentinel C is dropped)
+        zero = jnp.zeros((flush_slots.shape[0], cache_delta.shape[-1]),
+                         cache_delta.dtype)
+        cache_delta = cache_delta.at[flush_slots].set(zero, mode="drop")
+        return table, new_table_slots, cache_delta
+
+    def _cached_step_body(self, state: CachedTrainState, dense_x, ids,
+                          labels, slots, pulls, flush_ids, flush_slots):
+        C = self.cache_rows
+        B, F = ids.shape
+        step = state.step + 1
+
+        # phase 1: flush
+        table, table_slots, cache_delta = self._flush_phase(
+            state.table, state.table_slots, step, state.cache_delta,
+            flush_ids, flush_slots)
+
+        # phase 2: pull missed/stale rows from the updated table
+        uniq, inv = jnp.unique(ids.reshape(-1), size=self.U_cap,
+                               return_inverse=True, fill_value=-1)
+        pull_ids = jnp.where(pulls & (uniq >= 0), uniq, -1)
+        if self.num_shards > 1:
+            route = ex.route_ids(self.exchange, pull_ids, pull_ids >= 0)
+            pulled = ex.gather_rows(self.exchange, table, route)
+            overflow = route.overflow
+        else:
+            safe = jnp.where(pull_ids >= 0, pull_ids, table.shape[0] + 1)
+            pulled = table.at[safe].get(mode="fill", fill_value=0)
+            overflow = jnp.zeros((), jnp.int32)
+
+        # phase 3: insert pulled rows (slots of non-pulled entries -> OOB)
+        cache_data = state.cache_data
+        write_slots = jnp.where(pulls & (uniq >= 0), slots, C + 1)
+        cache_data = cache_data.at[write_slots].set(
+            pulled.astype(cache_data.dtype), mode="drop")
+
+        # phase 4: forward entirely from cache
+        emb_uniq = cache_data.at[slots].get(mode="fill", fill_value=0)
+        emb = emb_uniq[inv.reshape(-1)].reshape(B, F, self.width)
+
+        inv_shards = 1.0 / max(self.num_shards, 1)
+
+        def loss_fn(dense_params, emb):
+            logits = self.model.apply(dense_params,
+                                      emb.astype(jnp.float32), dense_x)
+            return bce_with_logits(logits, labels) * inv_shards
+
+        loss, (dgrads, emb_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1))(state.dense, emb)
+        if self.num_shards > 1:
+            loss = jax.lax.psum(loss, self.axis)
+            dgrads = jax.lax.psum(dgrads, self.axis)
+            overflow = jax.lax.psum(overflow, self.axis)
+        dense, dense_slots = self.dense_opt.apply_dense(
+            state.dense, dgrads, state.dense_slots, step)
+
+        # phase 5: local optimistic update + delta accumulation
+        g_uniq = jax.ops.segment_sum(
+            emb_grad.reshape(-1, self.width), inv.reshape(-1),
+            num_segments=self.U_cap)
+        upd_slots = jnp.where(uniq >= 0, slots, C + 1)
+        lr = self.embed_opt.lr
+        cache_data = cache_data.at[upd_slots].add(
+            (-lr * g_uniq).astype(cache_data.dtype), mode="drop")
+        cache_delta = cache_delta.at[upd_slots].add(
+            g_uniq.astype(cache_delta.dtype), mode="drop")
+
+        new_state = CachedTrainState(
+            table=table, table_slots=table_slots, dense=dense,
+            dense_slots=dense_slots, step=step, cache_data=cache_data,
+            cache_delta=cache_delta)
+        return new_state, {"loss": loss, "overflow": overflow}
+
+    def _flush_only_body(self, state: CachedTrainState, flush_ids,
+                         flush_slots):
+        table, table_slots, cache_delta = self._flush_phase(
+            state.table, state.table_slots, state.step + 1,
+            state.cache_delta, flush_ids, flush_slots)
+        return state._replace(table=table, table_slots=table_slots,
+                              cache_delta=cache_delta)
+
+    def _cached_epoch_body(self, state, dense_k, ids_k, labels_k, slots_k,
+                           pulls_k, fids_k, fslots_k):
+        def body(state, xs):
+            state, stats = self._cached_step_body(state, *xs)
+            return state, (stats["loss"], stats["overflow"])
+
+        state, (losses, overflows) = jax.lax.scan(
+            body, state,
+            (dense_k, ids_k, labels_k, slots_k, pulls_k, fids_k, fslots_k))
+        return state, {"loss": losses, "overflow": overflows}
+
+    # ------------------------------------------------------------------
+    def _build_cached_steps(self):
+        if self.num_shards > 1:
+            ax = self.axis
+            dense_tree = jax.eval_shape(
+                lambda k: self.model.init_dense(k, self.cfg.embedding_dim),
+                jax.random.PRNGKey(0))
+            specs = CachedTrainState(
+                table=P(ax, None),
+                table_slots={k: P(ax, None)
+                             for k in self.embed_opt.slot_names},
+                dense=jax.tree.map(lambda _: P(), dense_tree),
+                dense_slots=jax.tree.map(
+                    lambda _: {k: P() for k in self.dense_opt.slot_names},
+                    dense_tree),
+                step=P(),
+                cache_data=P(ax, None),
+                cache_delta=P(ax, None),
+            )
+            dsp = P(ax)               # per-step data, axis 0 = worker
+            ksp = P(None, ax)         # stacked K steps
+            stats = {"loss": P(), "overflow": P()}
+            kstats = {"loss": P(), "overflow": P()}
+            self._cached_step = jax.jit(jax.shard_map(
+                self._cached_step_body, mesh=self.mesh,
+                in_specs=(specs,) + (dsp,) * 7,
+                out_specs=(specs, stats), check_vma=False),
+                donate_argnums=(0,))
+            self._cached_epoch = jax.jit(jax.shard_map(
+                self._cached_epoch_body, mesh=self.mesh,
+                in_specs=(specs,) + (ksp,) * 7,
+                out_specs=(specs, kstats), check_vma=False),
+                donate_argnums=(0,))
+            self._flush_step = jax.jit(jax.shard_map(
+                self._flush_only_body, mesh=self.mesh,
+                in_specs=(specs, dsp, dsp), out_specs=specs,
+                check_vma=False), donate_argnums=(0,))
+        else:
+            self._cached_step = jax.jit(self._cached_step_body,
+                                        donate_argnums=(0,))
+            self._cached_epoch = jax.jit(self._cached_epoch_body,
+                                         donate_argnums=(0,))
+            self._flush_step = jax.jit(self._flush_only_body,
+                                       donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    # host-facing API
+    # ------------------------------------------------------------------
+    def _put(self, a, dtype, stacked=False):
+        a = np.asarray(a).astype(dtype)
+        sh = self._kdata_sharding if stacked else self._data_sharding
+        if self.num_shards > 1:
+            return jax.device_put(a, sh)
+        return jnp.asarray(a)
+
+    def _program_to_device(self, prog: StepProgram, raw_dense, raw_sparse,
+                           raw_labels):
+        """Index raw data by the planner's assignment; flatten worker axis."""
+        idx = prog.assign.reshape(-1)
+        d = self._put(raw_dense[idx], np.float32)
+        s = self._put(raw_sparse[idx], np.int32)
+        y = self._put(raw_labels[idx], np.float32)
+        slots = self._put(prog.slots.reshape(-1), np.int32)
+        pulls = self._put(prog.pulls.reshape(-1), bool)
+        fids = self._put(prog.flush_ids.reshape(-1), np.int32)
+        fslots = self._put(prog.flush_slots.reshape(-1), np.int32)
+        return d, s, y, slots, pulls, fids, fslots
+
+    def train_step_cached(self, state, planner: CachePlanner, raw_dense,
+                          raw_sparse, raw_labels):
+        prog = planner.pop()
+        if prog is None:
+            return state, None
+        args = self._program_to_device(prog, raw_dense, raw_sparse,
+                                       raw_labels)
+        return self._cached_step(state, *args)
+
+    def train_epoch_cached(self, state, planner: CachePlanner, raw_dense,
+                           raw_sparse, raw_labels, steps: int):
+        """Pop `steps` micro-programs, stack, and scan them on device."""
+        progs = []
+        for _ in range(steps):
+            p = planner.pop()
+            if p is None:
+                break
+            progs.append(p)
+        if not progs:
+            return state, None
+        K = len(progs)
+        gb = self.cfg.batch_size * max(self.num_shards, 1)
+        idx = np.stack([p.assign.reshape(-1) for p in progs])  # [K, gb]
+
+        def stk(get, dtype):
+            a = np.stack([get(p) for p in progs]).astype(dtype)
+            return self._put(a, dtype, stacked=True)
+
+        d = self._put(raw_dense[idx], np.float32, stacked=True)
+        s = self._put(raw_sparse[idx], np.int32, stacked=True)
+        y = self._put(raw_labels[idx], np.float32, stacked=True)
+        slots = stk(lambda p: p.slots.reshape(-1), np.int32)
+        pulls = stk(lambda p: p.pulls.reshape(-1), bool)
+        fids = stk(lambda p: p.flush_ids.reshape(-1), np.int32)
+        fslots = stk(lambda p: p.flush_slots.reshape(-1), np.int32)
+        return self._cached_epoch(state, d, s, y, slots, pulls, fids,
+                                  fslots)
+
+    @staticmethod
+    def to_base_state(state: CachedTrainState) -> TrainState:
+        """View without cache arrays, for the base-engine eval path.
+        Call sync_cache first so the owner table is up to date."""
+        return TrainState(table=state.table, table_slots=state.table_slots,
+                          dense=state.dense, dense_slots=state.dense_slots,
+                          step=state.step)
+
+    def evaluate(self, state, dense_x, sparse_ids, labels, batch=None):
+        if isinstance(state, CachedTrainState):
+            state = self.to_base_state(state)
+        return super().evaluate(state, dense_x, sparse_ids, labels, batch)
+
+    def predict(self, state, dense_x, sparse_ids):
+        if isinstance(state, CachedTrainState):
+            state = self.to_base_state(state)
+        return super().predict(state, dense_x, sparse_ids)
+
+    def sync_cache(self, state, planner: CachePlanner):
+        """Flush all residual dirty deltas to the owner table (end-of-run
+        sync before eval/checkpoint; reference analog: the PS holds ground
+        truth after the last push)."""
+        nr = max(self.num_shards, 1)
+        C = self.cache_rows
+        dumps = [planner.dirty_rows(z) for z in range(nr)]
+        max_n = max((len(d[0]) for d in dumps), default=0)
+        if max_n == 0:
+            return state
+        for off in range(0, max_n, self.F_cap):
+            fids = np.full((nr, self.F_cap), -1, np.int64)
+            fslots = np.full((nr, self.F_cap), C, np.int32)
+            for z, (ids_z, slots_z) in enumerate(dumps):
+                chunk_ids = ids_z[off:off + self.F_cap]
+                chunk_slots = slots_z[off:off + self.F_cap]
+                fids[z, :len(chunk_ids)] = chunk_ids
+                fslots[z, :len(chunk_slots)] = chunk_slots
+            state = self._flush_step(
+                state, self._put(fids.reshape(-1), np.int32),
+                self._put(fslots.reshape(-1), np.int32))
+        return state

@@ -1,0 +1,202 @@
+"""Hot-row cache + planner integration tests.
+
+- Single-worker cached training must be numerically identical to plain
+  training (no cross-worker staleness exists, so the cache is exact).
+- Micro-program replay: a host-side simulator executes every popped
+  program and checks the structural invariants the device relies on
+  (slot/key consistency, flush-before-overwrite) plus **gradient
+  conservation**: with one virtual unit-gradient per read, the final owner
+  values must equal each key's total read count — no update lost or
+  double-applied, even under staleness.
+- Multi-worker cached hybrid training must learn (AUC) with zero overflow
+  and zero deferred flushes.
+"""
+
+import numpy as np
+import pytest
+
+from herald_tpu import HeraldConfig
+from herald_tpu.data import synthetic_ctr_data
+from herald_tpu.models import get_model
+from herald_tpu.train.cached import CachedEngine
+from herald_tpu.train.engine import Engine
+
+ROWS = 2000
+B = 32
+
+
+def _data(n, seed=5):
+    model = get_model("wdl_criteo")
+    return synthetic_ctr_data(model.spec, n, seed=seed, num_rows=ROWS)
+
+
+def test_cached_single_worker_exact():
+    cfg = HeraldConfig(model="wdl_criteo", batch_size=B, embedding_dim=8,
+                       comm_mode="local", learning_rate=0.1,
+                       cache_limit_ratio=1.0)
+    dense, sparse, labels = _data(B * 8)
+
+    ec = CachedEngine(cfg, table_rows=ROWS)
+    pl = ec.make_planner(sparse, epochs=1, n_threads=1)
+    sc = ec.init_cached_state(0)
+    closs = []
+    for _ in range(pl.batch_num):
+        sc, stats = ec.train_step_cached(sc, pl, dense, sparse, labels)
+        closs.append(float(stats["loss"]))
+        assert int(stats["overflow"]) == 0
+    sc = ec.sync_cache(sc, pl)
+
+    eu = Engine(HeraldConfig(model="wdl_criteo", batch_size=B,
+                             embedding_dim=8, comm_mode="local",
+                             learning_rate=0.1), table_rows=ROWS)
+    su = eu.init_state(0)
+    uloss = []
+    for t in range(8):
+        sl = slice(t * B, (t + 1) * B)
+        su, stats = eu.train_step(su, dense[sl], sparse[sl], labels[sl])
+        uloss.append(float(stats["loss"]))
+    np.testing.assert_allclose(closs, uloss, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sc.table), np.asarray(su.table),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_cached_small_cache_still_exact_single_worker():
+    """Thrashing cache (evictions every step) must still be exact for a
+    single worker: eviction flushes + final sync lose nothing."""
+    cfg = HeraldConfig(model="wdl_criteo", batch_size=B, embedding_dim=8,
+                       comm_mode="local", learning_rate=0.1,
+                       cache_limit=900)   # just above one batch's uniques -> heavy eviction
+    dense, sparse, labels = _data(B * 6, seed=6)
+    ec = CachedEngine(cfg, table_rows=ROWS)
+    pl = ec.make_planner(sparse, epochs=1, n_threads=1)
+    sc = ec.init_cached_state(0)
+    for _ in range(pl.batch_num):
+        sc, stats = ec.train_step_cached(sc, pl, dense, sparse, labels)
+    sc = ec.sync_cache(sc, pl)
+    perf = pl.perf()
+    assert perf["miss_push"] > 0            # evictions actually happened
+    assert perf["deferred_flush"] == 0
+
+    eu = Engine(HeraldConfig(model="wdl_criteo", batch_size=B,
+                             embedding_dim=8, comm_mode="local",
+                             learning_rate=0.1), table_rows=ROWS)
+    su = eu.init_state(0)
+    for t in range(6):
+        sl = slice(t * B, (t + 1) * B)
+        su, _ = eu.train_step(su, dense[sl], sparse[sl], labels[sl])
+    np.testing.assert_allclose(np.asarray(sc.table), np.asarray(su.table),
+                               rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("cache_rows", [250, 2000])
+def test_program_replay_invariants_and_conservation(cache_rows):
+    """Replay planner micro-programs on a host simulator (4 workers)."""
+    nrank, mbs = 4, 8
+    model = get_model("wdl_criteo")
+    _, sparse, _ = synthetic_ctr_data(model.spec, nrank * mbs * 10, seed=7,
+                                      num_rows=ROWS)
+    cfg = HeraldConfig(model="wdl_criteo", batch_size=mbs, embedding_dim=8,
+                       comm_mode="local", cache_limit=cache_rows)
+    eng = CachedEngine(cfg, table_rows=ROWS)
+    # planner as the 4-worker scheduler regardless of local engine
+    from herald_tpu.sched.planner import CachePlanner
+    pl = CachePlanner(sparse, nrank=nrank, batch_size=mbs,
+                      cache_rows=cache_rows, num_shards=1,
+                      rows_per_shard=ROWS, epochs=1, n_threads=1)
+
+    C = cache_rows
+    slot_key = [dict() for _ in range(nrank)]       # slot -> resident key
+    delta = [dict() for _ in range(nrank)]          # slot -> pending grads
+    owner = {}                                      # key -> applied grads
+    reads = {}                                      # key -> total reads
+    n_steps = 0
+    while True:
+        prog = pl.pop()
+        if prog is None:
+            break
+        n_steps += 1
+        for z in range(nrank):
+            # phase 1: flushes read deltas BEFORE this step's inserts
+            for fid, fslot in zip(prog.flush_ids[z], prog.flush_slots[z]):
+                if fid < 0:
+                    continue
+                assert slot_key[z].get(int(fslot)) == int(fid), \
+                    f"flush slot/key mismatch step {n_steps} w{z}"
+                owner[int(fid)] = owner.get(int(fid), 0) + \
+                    delta[z].pop(int(fslot), 0)
+            # phases 2-5: reads
+            keys = np.unique(sparse[prog.assign[z]])
+            u = len(keys)
+            assert (prog.slots[z][u:] == C).all()   # padding sentinel
+            used = set()
+            for q, key in enumerate(keys):
+                s = int(prog.slots[z][q])
+                assert 0 <= s < C
+                assert s not in used                 # distinct slots
+                used.add(s)
+                if prog.pulls[z][q]:
+                    slot_key[z][s] = int(key)        # insert/refresh
+                else:
+                    assert slot_key[z].get(s) == int(key), \
+                        f"hit points at wrong resident step {n_steps}"
+                delta[z][s] = delta[z].get(s, 0) + 1
+                reads[int(key)] = reads.get(int(key), 0) + 1
+    assert n_steps == pl.batch_num
+    assert pl.perf()["deferred_flush"] == 0
+    # final sync
+    for z in range(nrank):
+        ids_z, slots_z = pl.dirty_rows(z)
+        for fid, fslot in zip(ids_z, slots_z):
+            assert slot_key[z].get(int(fslot)) == int(fid)
+            owner[int(fid)] = owner.get(int(fid), 0) + \
+                delta[z].pop(int(fslot), 0)
+    assert owner == reads, "gradient conservation violated"
+
+
+def test_cached_hybrid_learns():
+    cfg = HeraldConfig(model="wdl_criteo", batch_size=16, embedding_dim=16,
+                       comm_mode="hybrid", learning_rate=2.0,
+                       cache_limit_ratio=0.3)
+    dense, sparse, labels = _data(8 * 16 * 16, seed=8)
+    eng = CachedEngine(cfg, table_rows=ROWS)
+    assert eng.num_shards == 8
+    state = eng.init_cached_state(0)
+    pl = eng.make_planner(sparse, epochs=3, n_threads=2)
+    losses = []
+    for _ in range(pl.batch_num * 3):
+        state, stats = eng.train_step_cached(state, pl, dense, sparse,
+                                             labels)
+        if stats is None:
+            break
+        losses.append(float(stats["loss"]))
+        assert int(stats["overflow"]) == 0
+    assert np.isfinite(losses).all()
+    assert pl.perf()["deferred_flush"] == 0
+    state = eng.sync_cache(state, pl)
+    res = eng.evaluate(state, dense, sparse, labels)
+    assert res["auc"] > 0.6, res
+
+
+def test_cached_epoch_matches_steps():
+    cfg = HeraldConfig(model="wdl_criteo", batch_size=B, embedding_dim=8,
+                       comm_mode="local", learning_rate=0.1,
+                       cache_limit=900)
+    dense, sparse, labels = _data(B * 6, seed=9)
+
+    e1 = CachedEngine(cfg, table_rows=ROWS)
+    p1 = e1.make_planner(sparse, epochs=1, n_threads=1)
+    s1 = e1.init_cached_state(0)
+    losses1 = []
+    for _ in range(p1.batch_num):
+        s1, st = e1.train_step_cached(s1, p1, dense, sparse, labels)
+        losses1.append(float(st["loss"]))
+
+    e2 = CachedEngine(cfg, table_rows=ROWS)
+    p2 = e2.make_planner(sparse, epochs=1, n_threads=1)
+    s2 = e2.init_cached_state(0)
+    s2, stats = e2.train_epoch_cached(s2, p2, dense, sparse, labels,
+                                      steps=p2.batch_num)
+    np.testing.assert_allclose(np.asarray(stats["loss"]), losses1,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1.table), np.asarray(s2.table),
+                               rtol=1e-5, atol=1e-7)
