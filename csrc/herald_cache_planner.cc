@@ -37,7 +37,9 @@
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
+#include <stdexcept>
 #include <deque>
 #include <mutex>
 #include <numeric>
@@ -180,6 +182,13 @@ public:
         key_t_ max_key = 0;
         for (auto k : ids_) max_key = std::max(max_key, k);
         key_space_ = max_key + 1;
+        // every key must have a valid owner shard: keys outside the padded
+        // table would index owner bookkeeping out of bounds
+        if (max_key >= int64_t(num_shards_) * rows_per_shard_)
+            throw std::invalid_argument(
+                "CachePlanner: id " + std::to_string(max_key)
+                + " exceeds table rows "
+                + std::to_string(int64_t(num_shards_) * rows_per_shard_));
         caches_.resize(nrank_);
         for (auto &c : caches_) c.init(int(cache_rows), key_space_);
         cached_by_.assign(size_t(key_space_), 0);   // worker bitmask per key
@@ -379,47 +388,22 @@ private:
         // Comm plan for worker z: keys in OTHER workers' batches that are
         // valid (fresh or stale-but-resident matters only if dirty) in z's
         // cache -> flush so the owner serves fresh rows.
+        // Processing order inside a step: batch transactions FIRST so that
+        // mandatory flushes (stale-refresh + eviction) always fit — their
+        // count is bounded by the batch's unique keys (each key is either a
+        // refresh or at most one eviction) <= flush_cap_. Planned flushes
+        // (rows other workers read) then fill the remaining budget and are
+        // deferred past it (rows simply stay dirty one step longer).
         std::vector<std::vector<key_t_>> flush_sets(nrank_);
         auto plan_worker = [&](int z) {
             SlotCache &c = caches_[z];
-            // capacity accounting: flush_cap_ total, owner_cap_ per shard
-            std::vector<int> owner_used(num_shards_, 0);
-            auto try_flush = [&](SlotCache::Entry &e) -> bool {
-                if (int(flush_sets[z].size()) >= flush_cap_) {
-                    deferred_flush_[z]++;
-                    return false;
-                }
-                int ow = owner_of(e.key);
-                if (owner_used[ow] >= owner_cap_) {
-                    deferred_flush_[z]++;
-                    return false;
-                }
-                owner_used[ow]++;
-                flush_sets[z].push_back(e.key);
-                mp.flush_ids[z].push_back(e.key);
-                mp.flush_slots[z].push_back(e.slot);
-                e.dirty = false;
-                return true;
+            auto emit_flush = [&](key_t_ key, int slot) {
+                flush_sets[z].push_back(key);
+                mp.flush_ids[z].push_back(key);
+                mp.flush_slots[z].push_back(slot);
             };
 
-            // 3a. planned flushes: rows others read this batch, dirty here
-            long planned = 0;
-            for (int w = 0; w < nrank_; w++) {
-                if (w == z) continue;
-                for (int j = 0; j < mbs_; j++) {
-                    const key_t_ *s =
-                        &ids_[mp.assign[int64_t(w) * mbs_ + j] * num_tables_];
-                    for (int t = 0; t < num_tables_; t++) {
-                        auto *e = c.find(s[t]);
-                        if (e && e->dirty) {
-                            if (try_flush(*e)) planned++;
-                        }
-                    }
-                }
-            }
-            update_push_[z] += planned;
-
-            // 3b. batch reads: sorted unique keys (device jnp.unique order)
+            // --- batch reads: sorted unique keys (device jnp.unique order)
             std::vector<key_t_> keys;
             keys.reserve(size_t(mbs_) * num_tables_);
             const key_t_ *base = &mp.assign[int64_t(z) * mbs_];
@@ -442,7 +426,10 @@ private:
                     slots[q] = e->slot;
                     pulls[q] = 0;
                 } else if (e) {                    // stale: refresh
-                    if (e->dirty) try_flush(*e);   // flush-before-refresh
+                    if (e->dirty) {                // flush-before-refresh
+                        emit_flush(e->key, e->slot);
+                        e->dirty = false;
+                    }
                     e->stale = false;
                     c.touch(e->slot);
                     slots[q] = e->slot;
@@ -455,36 +442,62 @@ private:
                     if (evicted) {
                         cached_by_[victim.key] &= ~(1ull << z);
                         if (victim.dirty) {
-                            // eviction flush happens BEFORE the slot is
-                            // overwritten by the pulled row (device phase 1
-                            // precedes phase 3)
-                            SlotCache::Entry tmp = victim;
-                            if (try_flush(tmp)) miss_push_[z]++;
-                            // deferred eviction flush would lose the delta:
-                            // force it past per-owner caps into the total cap
-                            else if (int(flush_sets[z].size()) < flush_cap_) {
-                                flush_sets[z].push_back(tmp.key);
-                                mp.flush_ids[z].push_back(tmp.key);
-                                mp.flush_slots[z].push_back(tmp.slot);
-                                miss_push_[z]++;
-                                deferred_flush_[z]--;
-                            }
-                            // else: delta dropped (counted in deferred)
+                            // eviction flush: device phase 1 reads the
+                            // delta BEFORE phase 3 overwrites the slot
+                            emit_flush(victim.key, victim.slot);
+                            miss_push_[z]++;
                         }
                     }
-                    cached_by_[key] |= (1ull << z);   // note: racy across
-                    // workers only for *distinct* bits -> atomic below
+                    cached_by_[key] |= (1ull << z);
                     slots[q] = slot;
                     pulls[q] = 1;
                     miss_pull_[z]++;
                 }
-                // the row will receive gradients this step
+                // the row receives gradients this step (device phase 5
+                // runs after the flush phase, so flushing above and
+                // re-dirtying here matches the device exactly)
                 c.find(key)->dirty = true;
             }
+
+            // --- planned flushes: rows OTHER workers read this batch that
+            // are dirty here, within the remaining flush budget
+            long planned = 0;
+            std::vector<int> owner_used(num_shards_, 0);
+            for (int w = 0; w < nrank_ ; w++) {
+                if (w == z) continue;
+                for (int j = 0; j < mbs_; j++) {
+                    const key_t_ *s =
+                        &ids_[mp.assign[int64_t(w) * mbs_ + j] * num_tables_];
+                    for (int t = 0; t < num_tables_; t++) {
+                        auto *e = c.find(s[t]);
+                        if (!e || !e->dirty) continue;
+                        // my own batch keys were already flushed (refresh)
+                        // or re-dirtied by phase 5; flushing them again
+                        // would double-apply their delta on the device
+                        if (std::binary_search(keys.begin(), keys.end(),
+                                               s[t]))
+                            continue;
+                        if (int(flush_sets[z].size()) >= flush_cap_) {
+                            deferred_flush_[z]++;
+                            continue;
+                        }
+                        int ow = owner_of(e->key);
+                        if (owner_used[ow] >= owner_cap_) {
+                            deferred_flush_[z]++;
+                            continue;
+                        }
+                        owner_used[ow]++;
+                        emit_flush(e->key, e->slot);
+                        e->dirty = false;
+                        planned++;
+                    }
+                }
+            }
+            update_push_[z] += planned;
         };
-        // cached_by_ bit updates race across worker threads; use one thread
-        // per worker only if the bitmask updates are made atomic. Keep it
-        // sequential for v1 correctness (scoring above is the hot part).
+        // cached_by_ bit updates touch only worker z's bit but share the
+        // word across workers; keep sequential for correctness (scoring is
+        // the hot loop and is already parallel).
         for (int z = 0; z < nrank_; z++) plan_worker(z);
 
         // ---- 4. cross-worker staleness from this step's flushes ---------
@@ -549,10 +562,15 @@ void *hplan_create(const int64_t *ids, int64_t num_samples, int num_tables,
                    int64_t cache_rows, int flush_cap, int owner_cap,
                    int num_shards, int64_t rows_per_shard, int top_k,
                    const int *table_order, int n_threads, int queue_cap) {
-    return new HPlanner(ids, num_samples, num_tables, nrank, mbs, batch_num,
-                        epochs, cache_rows, flush_cap, owner_cap, num_shards,
-                        rows_per_shard, top_k, table_order, n_threads,
-                        queue_cap);
+    try {
+        return new HPlanner(ids, num_samples, num_tables, nrank, mbs,
+                            batch_num, epochs, cache_rows, flush_cap,
+                            owner_cap, num_shards, rows_per_shard, top_k,
+                            table_order, n_threads, queue_cap);
+    } catch (const std::exception &e) {
+        fprintf(stderr, "hplan_create failed: %s\n", e.what());
+        return nullptr;
+    }
 }
 
 void hplan_start(void *h) { static_cast<HPlanner *>(h)->planner.start(); }

@@ -38,6 +38,8 @@ class HeraldConfig:
     # --- optimizer ---
     optimizer: str = "sgd"
     learning_rate: float = 0.01
+    lr_schedule: str = "constant"      # constant|step|multistep|exp|cosine
+    lr_schedule_kwargs: Optional[dict] = None
     # embedding rows can use a different optimizer (reference server-side
     # optimizers, ps-lite/include/ps/server/optimizer.h support this split)
     embed_optimizer: Optional[str] = None

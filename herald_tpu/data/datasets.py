@@ -91,10 +91,18 @@ def synthetic_ctr_data(
     # real datasets.
     props = rng.dirichlet(np.ones(n_fields) * 2.0)
     sizes = np.maximum((props * num_rows).astype(np.int64), 2)
-    # fix rounding so offsets stay in-range
-    scale = (num_rows / sizes.sum())
-    sizes = np.maximum((sizes * scale).astype(np.int64), 2)
+    # the min-clamp can push the total past num_rows, which would emit IDs
+    # outside the table; shave the excess off the largest fields
+    excess = int(sizes.sum()) - num_rows
+    while excess > 0:
+        i = int(np.argmax(sizes))
+        take = min(excess, int(sizes[i]) - 2)
+        if take <= 0:
+            break
+        sizes[i] -= take
+        excess -= take
     offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    assert sizes.sum() <= num_rows, (sizes.sum(), num_rows)
 
     sparse = np.empty((num_samples, n_fields), dtype=np.int64)
     for f in range(n_fields):
@@ -141,6 +149,7 @@ def load_dataset(
     path: Optional[str] = None,
     num_samples: int = 100_000,
     seed: int = 0,
+    num_rows: Optional[int] = None,
 ):
     """Load the preprocessed dataset from `path`, falling back to synthetic.
 
@@ -155,4 +164,5 @@ def load_dataset(
             labels = np.load(files[2], mmap_mode="r").reshape(-1, 1)
             return np.asarray(dense, np.float32), \
                 np.asarray(sparse, np.int64), np.asarray(labels, np.float32)
-    return synthetic_ctr_data(spec, num_samples, seed=seed)
+    return synthetic_ctr_data(spec, num_samples, seed=seed,
+                              num_rows=num_rows)

@@ -1,0 +1,176 @@
+"""Training launcher / CLI.
+
+Replaces the reference launch stack (`bin/heturun`, `python/runner.py`,
+`python/hetu/launcher.py`): there a yaml cluster config spawned PS
+scheduler/server processes plus mpirun workers over ssh. On TPU a single
+SPMD program per host covers all local chips, so the launcher reduces to:
+
+    python -m herald_tpu.launch --model wdl_criteo --comm hybrid \
+        --scheduled --nepoch 1 --batch-size 256 --embedding-size 128
+
+Multi-host pods: run the same command on every host with --multihost
+(wraps `jax.distributed.initialize`; coordinator/process env comes from
+the TPU runtime, replacing the reference's DMLC_* env).
+
+Flags mirror the reference entry scripts (`examples/ctr/run_laia.py:327-356`
+argparse): model, comm mode, cache policy/limit, bsp/bound are subsumed by
+the planner (synchronous SPMD has no ASP/SSP — deviation documented in
+docs/deviations.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="herald_tpu.launch",
+        description="TPU-native embedding-model trainer (Herald rebuild)")
+    p.add_argument("--model", default="wdl_criteo")
+    p.add_argument("--comm", default="local", choices=["local", "hybrid"],
+                   help="local: single chip; hybrid: row-sharded table + "
+                        "DP dense tower over all devices")
+    p.add_argument("--scheduled", action="store_true",
+                   help="enable the lookahead scheduler + hot-row cache "
+                        "(the Herald mode; reference run_laia.py)")
+    p.add_argument("--batch-size", type=int, default=256,
+                   help="per-worker batch size")
+    p.add_argument("--embedding-size", type=int, default=128)
+    p.add_argument("--opt", default="sgd")
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--nepoch", type=int, default=1)
+    p.add_argument("--cache-limit-ratio", type=float, default=0.1)
+    p.add_argument("--rows", type=int, default=None,
+                   help="override embedding-table rows (scaled runs)")
+    p.add_argument("--data-path", default=None,
+                   help="dir with preprocessed .npy files (reference "
+                        "load_data.py layout); default: synthetic")
+    p.add_argument("--samples", type=int, default=200_000,
+                   help="synthetic sample count when no --data-path")
+    p.add_argument("--val-ratio", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--scan-steps", type=int, default=20,
+                   help="steps fused per device call (scanned executor)")
+    p.add_argument("--ckpt", default=None, help="checkpoint dir")
+    p.add_argument("--resume", default=None, help="checkpoint to load")
+    p.add_argument("--log-dir", default=None, help="jax profiler trace dir")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() first")
+    p.add_argument("--bf16-table", action="store_true")
+    return p
+
+
+def run_training(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+    if args.multihost:
+        jax.distributed.initialize()
+
+    from herald_tpu import HeraldConfig
+    from herald_tpu.data import dataset_for_model, load_dataset
+    from herald_tpu.models import get_model
+    from herald_tpu.train.cached import CachedEngine
+    from herald_tpu.train.engine import Engine
+    from herald_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from herald_tpu.utils.profiler import StepTimer, cache_report
+
+    cfg = HeraldConfig(
+        model=args.model, batch_size=args.batch_size,
+        embedding_dim=args.embedding_size, comm_mode=args.comm,
+        optimizer=args.opt, learning_rate=args.lr,
+        cache_limit_ratio=args.cache_limit_ratio, seed=args.seed,
+        use_cache=args.scheduled, use_scheduler=args.scheduled,
+        table_dtype=jnp.bfloat16 if args.bf16_table else np.float32)
+    model = get_model(cfg.model)
+    spec = dataset_for_model(cfg.model)
+    dense, sparse, labels = load_dataset(spec, args.data_path,
+                                         num_samples=args.samples,
+                                         seed=cfg.seed, num_rows=args.rows)
+    rows = args.rows or int(sparse.max()) + 1
+    n_val = int(len(sparse) * args.val_ratio)
+    val = (dense[-n_val:], sparse[-n_val:], labels[-n_val:])
+    trn = (dense[:-n_val], sparse[:-n_val], labels[:-n_val])
+
+    timer = StepTimer()
+    t_start = time.perf_counter()
+
+    if args.scheduled:
+        eng = CachedEngine(cfg, table_rows=rows)
+        planner = eng.make_planner(trn[1], epochs=args.nepoch,
+                                   n_threads=cfg.sched_threads)
+        state = eng.init_cached_state(cfg.seed)
+        if args.resume:
+            state = load_checkpoint(args.resume, state)
+        steps_total = planner.batch_num * args.nepoch
+        done = 0
+        losses = []
+        while done < steps_total:
+            k = min(args.scan_steps, steps_total - done)
+            with timer:
+                state, stats = eng.train_epoch_cached(
+                    state, planner, *trn, steps=k)
+            if stats is None:
+                break
+            losses.extend(np.asarray(stats["loss"]).tolist())
+            done += k
+        state = eng.sync_cache(state, planner)
+        extra = {"cache": cache_report(planner, done,
+                                       eng.ids_per_worker)}
+    else:
+        eng = Engine(cfg, table_rows=rows)
+        state = eng.init_state(cfg.seed)
+        if args.resume:
+            state = load_checkpoint(args.resume, state)
+        gb = cfg.batch_size * max(eng.num_shards, 1)
+        steps_per_epoch = len(trn[1]) // gb
+        losses = []
+        for ep in range(args.nepoch):
+            done = 0
+            while done < steps_per_epoch:
+                k = min(args.scan_steps, steps_per_epoch - done)
+                lo = done * gb
+                with timer:
+                    state, stats = eng.train_epoch(
+                        state, trn[0][lo:], trn[1][lo:], trn[2][lo:],
+                        steps=k)
+                losses.extend(np.asarray(stats["loss"]).tolist())
+                done += k
+        extra = {}
+
+    train_time = time.perf_counter() - t_start
+    res = eng.evaluate(state, *val)
+    if args.ckpt:
+        save_checkpoint(state, args.ckpt)
+
+    gb = cfg.batch_size * max(eng.num_shards, 1)
+    report = {
+        "model": cfg.model,
+        "mode": "scheduled" if args.scheduled else "baseline",
+        "comm": cfg.comm_mode,
+        "devices": max(eng.num_shards, 1),
+        "steps": len(losses),
+        "train_loss_last": float(np.mean(losses[-20:])) if losses else None,
+        "val_auc": res["auc"],
+        "val_acc": res["acc"],
+        "examples_per_sec": len(losses) * gb / max(train_time, 1e-9),
+        "timing": timer.report(),
+        **extra,
+    }
+    return report
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    report = run_training(args)
+    print(json.dumps(report, indent=2, default=float))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

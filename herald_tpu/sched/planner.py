@@ -110,6 +110,10 @@ class CachePlanner:
             n, num_tables, nrank, batch_size, self.batch_num, epochs,
             cache_rows, self.F_cap, self.owner_cap, num_shards,
             rows_per_shard, top_k, order_ptr, n_threads, queue_cap)
+        if not self._h:
+            raise ValueError(
+                "native cache planner rejected the configuration "
+                "(see stderr; commonly: an id exceeds the table rows)")
         self._ids_keepalive = ids
         self._lib.hplan_start(self._h)
 

@@ -62,11 +62,14 @@ class CachedEngine(Engine):
         self.cache_rows = cfg.cache_rows(self.num_rows)
         self.U_cap = self.ids_per_worker
         self.F_cap = self.U_cap
-        # flush routing uses the same static capacity scheme as lookups;
-        # the planner defers flushes beyond these caps
+        # flush routing capacity = F_cap per (src, dst) pair: in the worst
+        # case every flushed row belongs to one owner shard, and mandatory
+        # flushes (eviction, stale-refresh) must never be dropped. The
+        # buffer stays small (S * F_cap * W) and the planner guarantees
+        # total flushes <= F_cap.
         self.flush_exchange = ex.make_exchange(
             self.num_rows, self.num_shards, self.F_cap, axis=self.axis,
-            capacity_factor=self.cfg.a2a_capacity_factor)
+            capacity=self.F_cap)
         self._build_cached_steps()
 
     # ------------------------------------------------------------------
@@ -123,7 +126,7 @@ class CachedEngine(Engine):
         row_slots = {k: v[safe_idx] for k, v in table_slots.items()}
         new_rows, new_slots = self.embed_opt.apply_rows(
             rows, row_grads.astype(rows.dtype), row_slots, step,
-            mask=row_mask)
+            lr=self._elr_fn(step), mask=row_mask)
         drop_idx = jnp.where(row_mask, rows_idx, table.shape[0] + 1)
         table = table.at[drop_idx].set(new_rows, mode="drop")
         new_table_slots = dict(table_slots)
@@ -184,14 +187,15 @@ class CachedEngine(Engine):
             dgrads = jax.lax.psum(dgrads, self.axis)
             overflow = jax.lax.psum(overflow, self.axis)
         dense, dense_slots = self.dense_opt.apply_dense(
-            state.dense, dgrads, state.dense_slots, step)
+            state.dense, dgrads, state.dense_slots, step,
+            lr=self._lr_fn(step))
 
         # phase 5: local optimistic update + delta accumulation
         g_uniq = jax.ops.segment_sum(
             emb_grad.reshape(-1, self.width), inv.reshape(-1),
             num_segments=self.U_cap)
         upd_slots = jnp.where(uniq >= 0, slots, C + 1)
-        lr = self.embed_opt.lr
+        lr = self._elr_fn(step)
         cache_data = cache_data.at[upd_slots].add(
             (-lr * g_uniq).astype(cache_data.dtype), mode="drop")
         cache_delta = cache_delta.at[upd_slots].add(

@@ -56,6 +56,12 @@ class Engine:
         self.dense_opt = get_optimizer(cfg.optimizer, cfg.learning_rate)
         self.embed_opt = get_optimizer(cfg.embed_optimizer,
                                        cfg.embed_learning_rate)
+        from herald_tpu.optim.schedules import get_schedule
+        sched_kw = cfg.lr_schedule_kwargs or {}
+        self._lr_fn = get_schedule(cfg.lr_schedule, cfg.learning_rate,
+                                   **sched_kw)
+        self._elr_fn = get_schedule(cfg.lr_schedule,
+                                    cfg.embed_learning_rate, **sched_kw)
 
         if cfg.comm_mode == "hybrid":
             self.mesh = mesh if mesh is not None else cfg.make_mesh()
@@ -170,7 +176,7 @@ class Engine:
         row_slots = {k: v[safe_idx] for k, v in slots.items()}
         new_rows, new_slots = self.embed_opt.apply_rows(
             rows, row_grads.astype(rows.dtype), row_slots, step,
-            mask=row_mask)
+            lr=self._elr_fn(step), mask=row_mask)
         drop_idx = jnp.where(row_mask, rows_idx, table.shape[0] + 1)
         table = table.at[drop_idx].set(new_rows, mode="drop")
         for k in slots:
@@ -205,7 +211,8 @@ class Engine:
             overflow = jax.lax.psum(overflow, self.axis)
 
         dense, dense_slots = self.dense_opt.apply_dense(
-            state.dense, dgrads, state.dense_slots, step)
+            state.dense, dgrads, state.dense_slots, step,
+            lr=self._lr_fn(step))
         table, table_slots = self._apply_sparse_grads(
             state.table, state.table_slots, step, uniq, inv, route, emb_grad)
 
@@ -230,8 +237,9 @@ class Engine:
         loss, (dgrads, emb_grad) = jax.value_and_grad(
             loss_fn, argnums=(0, 1))(state.dense, emb)
         dense, dense_slots = self.dense_opt.apply_dense(
-            state.dense, dgrads, state.dense_slots, step)
-        lr = self.embed_opt.lr
+            state.dense, dgrads, state.dense_slots, step,
+            lr=self._lr_fn(step))
+        lr = self._elr_fn(step)
         flat_g = emb_grad.reshape(-1, emb_grad.shape[-1])
         table = state.table.at[ids.reshape(-1)].add(
             (-lr * flat_g).astype(state.table.dtype))
