@@ -55,6 +55,10 @@ class HeraldConfig:
     # static capacity factor for all-to-all buckets: capacity per
     # (src, dst) pair = ceil(unique_ids / num_shards) * factor
     a2a_capacity_factor: float = 2.0
+    # Pallas DMA gather kernel for embedding lookups (ops/pallas/kernels):
+    # ~4x faster than XLA's gather for spread-out (cache-unfriendly) ID
+    # distributions; XLA wins on heavily skewed streams
+    use_pallas_gather: bool = False
 
     # --- hot-row cache (replaces src/hetu_cache) ---
     use_cache: bool = False

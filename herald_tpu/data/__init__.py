@@ -6,3 +6,4 @@ from herald_tpu.data.datasets import (
     synthetic_ctr_data,
 )
 from herald_tpu.data.loaders import Dataloader, LookaheadDataloader
+from herald_tpu.data.prefetch import DevicePrefetcher

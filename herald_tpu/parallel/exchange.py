@@ -46,6 +46,8 @@ def make_exchange(num_rows: int, num_shards: int, ids_per_step: int,
                   axis: str = "dp", capacity_factor: float = 2.0,
                   capacity: Optional[int] = None) -> ExchangeSpec:
     rows_per_shard = -(-num_rows // num_shards)
+    rows_per_shard = -(-rows_per_shard // 8) * 8   # sublane-tile aligned
+                                                   # (Pallas row-group DMA)
     if capacity is None:
         if num_shards == 1:
             capacity = ids_per_step

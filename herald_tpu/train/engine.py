@@ -127,6 +127,20 @@ class Engine:
     # ------------------------------------------------------------------
     # per-device step bodies (run inside shard_map for hybrid mode)
     # ------------------------------------------------------------------
+    def _gather_local(self, table, ids_flat, valid=None):
+        """Local-table gather, XLA or Pallas per config. Invalid entries
+        (valid=False) return arbitrary rows when the Pallas kernel is on —
+        callers must not consume them (the dedup inverse never does)."""
+        if self.cfg.use_pallas_gather:
+            from herald_tpu.ops.pallas import embedding_gather
+            safe = ids_flat if valid is None else \
+                jnp.where(valid, ids_flat, 0)
+            return embedding_gather(table, safe)
+        if valid is None:
+            return jnp.take(table, ids_flat, axis=0)
+        safe = jnp.where(valid, ids_flat, table.shape[0] + 1)
+        return table.at[safe].get(mode="fill", fill_value=0)
+
     def _forward_embeddings(self, table, ids):
         """ids [B, F] -> (emb [B, F, W], uniq, inv, route|None, overflow)."""
         B, F = ids.shape
@@ -140,10 +154,7 @@ class Engine:
             overflow = route.overflow
         else:
             route = None
-            # positive OOB sentinel: negative indices wrap even under
-            # mode='fill'
-            safe = jnp.where(valid, uniq, table.shape[0] + 1)
-            emb_uniq = table.at[safe].get(mode="fill", fill_value=0)
+            emb_uniq = self._gather_local(table, uniq, valid)
             overflow = jnp.zeros((), jnp.int32)
         emb = emb_uniq[inv.reshape(-1)].reshape(B, F, self.width)
         return emb, uniq, inv, route, overflow
@@ -228,7 +239,8 @@ class Engine:
         sparse path makes the same observation, `OptimizersSparse.cu`
         sgd_update)."""
         step = state.step + 1
-        emb = jnp.take(state.table, ids, axis=0).astype(jnp.float32)
+        emb = self._gather_local(state.table, ids.reshape(-1)).reshape(
+            *ids.shape, -1).astype(jnp.float32)
 
         def loss_fn(dense_params, emb):
             logits = self.model.apply(dense_params, emb, dense_x)
@@ -355,6 +367,9 @@ class Engine:
         assert steps >= 1, "not enough samples for one step"
 
         def stack(a, dtype):
+            if isinstance(a, jax.Array) and a.ndim >= 2 \
+                    and a.shape[0] == steps:
+                return a    # already staged on device ([K, GB, ...])
             a = np.asarray(a)[: steps * gb].astype(dtype)
             a = a.reshape(steps, gb, *a.shape[1:])
             if self._kdata_sharding is not None:

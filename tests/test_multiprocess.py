@@ -1,0 +1,89 @@
+"""Multi-process (fake multi-host) training test.
+
+TPU equivalent of the reference's localhost multi-process launcher fixture
+(`python/hetu/launcher.py` + `tests/pstests/local_s2_w2.yml`): two OS
+processes, each with 4 virtual CPU devices, joined via
+`jax.distributed.initialize` into one 8-device mesh running the hybrid
+train step. Validates that the exchange/train path works across process
+boundaries (host boundaries in production), not just within one process.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+_WORKER = textwrap.dedent("""
+    import os, sys
+    sys.path.insert(0, {repo!r})
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address={coord!r},
+                               num_processes=2,
+                               process_id=int(sys.argv[1]),
+                               local_device_ids=[0, 1, 2, 3])
+    import numpy as np
+    from herald_tpu import HeraldConfig
+    from herald_tpu.data import synthetic_ctr_data
+    from herald_tpu.models import get_model
+    from herald_tpu.train.engine import Engine
+
+    assert len(jax.devices()) == 8, jax.devices()
+    cfg = HeraldConfig(model="wdl_criteo", batch_size=8, embedding_dim=8,
+                       comm_mode="hybrid", learning_rate=0.5)
+    model = get_model(cfg.model)
+    eng = Engine(cfg, table_rows=1000)
+    dense, sparse, labels = synthetic_ctr_data(model.spec, 8 * 8 * 4,
+                                               seed=1, num_rows=1000)
+    state = eng.init_state(0)
+    # each process feeds the full global batch; device_put shards it
+    for t in range(4):
+        sl = slice(t * 64, (t + 1) * 64)
+        state, stats = eng.train_step(state, dense[sl], sparse[sl],
+                                      labels[sl])
+        loss = float(stats["loss"])
+        assert np.isfinite(loss)
+    print("FINAL_LOSS", loss)
+""")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_hybrid_training(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    coord = f"127.0.0.1:{_free_port()}"
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER.format(repo=repo, coord=coord))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen([sys.executable, str(script), str(pid)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True, env=env)
+             for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=200)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process run timed out")
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+    losses = [line.split()[1] for out in outs for line in out.splitlines()
+              if line.startswith("FINAL_LOSS")]
+    assert len(losses) == 2
+    # both processes computed the same replicated loss
+    assert abs(float(losses[0]) - float(losses[1])) < 1e-6
