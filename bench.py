@@ -67,14 +67,16 @@ def bench_engine():
     n = BATCH * ITERS
     chunk0 = stage(0, n)
     chunk1 = stage(n, 2 * n)
-    # warm-up call compiles the same K=ITERS scan shape as the timed call
+    # warm-up call compiles the same K=ITERS scan shape as the timed calls
     state, _ = eng.train_epoch(state, *chunk0, steps=ITERS)
     jax.block_until_ready(state.table)
-    t0 = time.perf_counter()
-    state, stats = eng.train_epoch(state, *chunk1, steps=ITERS)
-    jax.block_until_ready(state.table)
-    dt = time.perf_counter() - t0
-    return BATCH * ITERS / dt
+    times = []
+    for chunk in (chunk1, chunk0, chunk1):   # median of 3 timed calls
+        t0 = time.perf_counter()
+        state, stats = eng.train_epoch(state, *chunk, steps=ITERS)
+        jax.block_until_ready(state.table)
+        times.append(time.perf_counter() - t0)
+    return BATCH * ITERS / float(np.median(times))
 
 
 def bench_naive():

@@ -46,6 +46,12 @@ DATASETS: Dict[str, DatasetSpec] = {
     "movie": DatasetSpec(
         "movie", 2, 0, 221_588,
         (0, 1), 2),
+    # census-income (reference wdl_adult.py: 8 categorical fields with
+    # 50-row tables -> one 400-row global id space; dense = 4 deep
+    # continuous + 809 wide one-hot columns)
+    "adult": DatasetSpec(
+        "adult", 8, 813, 400,
+        (0, 1, 2, 3, 4, 5, 6, 7), 8),
 }
 
 

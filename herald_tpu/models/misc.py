@@ -115,3 +115,47 @@ def _make_emb_sum_wdl(name, spec):
 
 emb_sum_wdl_criteo = _make_emb_sum_wdl("emb_sum_wdl_criteo",
                                        DATASETS["criteo"])
+
+# reference emb_sum_ncf_movie.py is structurally identical to ncf_movie
+# (the name notwithstanding, it slices rather than sum-pools); register the
+# alias for parity
+emb_sum_ncf_movie = register(ModelDef(
+    name="emb_sum_ncf_movie", spec=DATASETS["movie"],
+    emb_width=lambda d: d + _NCF_LAYERS[0] // 2,
+    init_dense=_ncf_init, apply=_ncf_apply, default_lr=0.01))
+
+
+# ----------------------------------------------------------------------
+# Wide & Deep on census-income (wdl_adult): 8 fields x 8-dim embeddings,
+# deep tower 68->50->20, wide part = one-hot columns concat deep output
+# into a 2-class head (`wdl_adult.py`). Binary softmax is expressed as the
+# logit difference z1 - z0 (identical probabilities).
+# Dense layout convention: dense[:, :4] = deep continuous features,
+# dense[:, 4:] = the 809 wide columns.
+# ----------------------------------------------------------------------
+
+def _adult_init(rng, emb_dim):
+    ks = jax.random.split(rng, 3)
+    return {
+        "W": normal(ks[0], (809 + 20, 2), 0.1),
+        "W1": normal(ks[1], (8 * 8 + 4, 50), 0.1),
+        "b1": normal(ks[1], (50,), 0.1),
+        "W2": normal(ks[2], (50, 20), 0.1),
+        "b2": normal(ks[2], (20,), 0.1),
+    }
+
+
+def _adult_apply(params, emb, dense):
+    B = emb.shape[0]
+    deep_cont = dense[:, :4]
+    wide = dense[:, 4:]
+    x = jnp.concatenate([emb[:, :, :8].reshape(B, -1), deep_cont], axis=1)
+    h = jax.nn.relu(x @ params["W1"] + params["b1"])
+    h = jax.nn.relu(h @ params["W2"] + params["b2"])
+    z = jnp.concatenate([wide, h], axis=1) @ params["W"]   # [B, 2]
+    return z[:, 1] - z[:, 0]
+
+
+wdl_adult = register(ModelDef(
+    name="wdl_adult", spec=DATASETS["adult"], emb_width=lambda d: 8,
+    init_dense=_adult_init, apply=_adult_apply, default_lr=5 / 128))
