@@ -74,7 +74,10 @@ def bench_engine():
     for chunk in (chunk1, chunk0, chunk1):   # median of 3 timed calls
         t0 = time.perf_counter()
         state, stats = eng.train_epoch(state, *chunk, steps=ITERS)
-        jax.block_until_ready(state.table)
+        # end the timed region with a host readback of a value that
+        # depends on every step (the remote runtime may ack
+        # block_until_ready before execution fully drains)
+        float(np.asarray(stats["loss"])[-1])
         times.append(time.perf_counter() - t0)
     return BATCH * ITERS / float(np.median(times))
 
@@ -91,7 +94,9 @@ def bench_naive():
 
     from herald_tpu.models.base import bce_with_logits
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0,))
     def step(table, dense_params, d, s, y):
         emb = table[s].astype(jnp.float32)          # [B, F, D] no dedup
 
@@ -115,18 +120,30 @@ def bench_naive():
               for d, s, y in batches]
     for d, s, y in staged[:WARMUP]:
         table, dense_params, loss = step(table, dense_params, d, s, y)
-    jax.block_until_ready(table)
+    float(np.asarray(loss))
     t0 = time.perf_counter()
     for d, s, y in staged[WARMUP:]:
         table, dense_params, loss = step(table, dense_params, d, s, y)
-    jax.block_until_ready(table)
+    float(np.asarray(loss))   # value readback (see bench_engine note)
     dt = time.perf_counter() - t0
     return BATCH * ITERS / dt
 
 
 def main():
-    ours = bench_engine()
-    naive = bench_naive()
+    # each path runs in its own process: both need an 8.6GB table and the
+    # remote runtime releases HBM lazily, so sharing one process OOMs
+    import os
+    import subprocess
+    import sys
+
+    def run(mode):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), mode],
+            capture_output=True, text=True, check=True)
+        return float(out.stdout.strip().splitlines()[-1])
+
+    ours = run("engine")
+    naive = run("naive")
     print(json.dumps({
         "metric": "wdl_criteo_b256_e128_examples_per_sec_per_chip",
         "value": round(ours, 1),
@@ -136,4 +153,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] in ("engine", "naive"):
+        fn = bench_engine if sys.argv[1] == "engine" else bench_naive
+        print(fn())
+    else:
+        main()

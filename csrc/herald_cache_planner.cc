@@ -57,27 +57,42 @@ using key_t_ = int64_t;
 // cache array). Replaces both MiniLRUCache (simulation) and the reference
 // LRUCache/Embedding-Line bookkeeping (slots + dirty + stale).
 // ---------------------------------------------------------------------
+// Cache replacement policies, matching the reference cache family:
+//   LRU    <- src/hetu_cache/include/lru_cache.h
+//   LFU    <- src/hetu_cache/src/lfu_cache.cc (frequency lists, O(1))
+//   LFUOPT <- src/hetu_cache/include/lfuopt_cache.h (capped counter
+//             kUseCntMax=10; rows at the cap graduate to a permanent
+//             store exempt from eviction)
+enum class Policy : int { LRU = 0, LFU = 1, LFUOPT = 2 };
+
 class SlotCache {
 public:
     struct Entry {
         int slot;
         bool dirty;   // has unflushed local gradient delta
         bool stale;   // another worker flushed this row since our last pull
-        int lru_prev, lru_next;   // intrusive LRU list over slot ids
+        int freq;     // frequency bucket (always 0 under LRU)
+        int lru_prev, lru_next;   // intrusive list within the freq bucket
         key_t_ key;
         bool used;
     };
 
-    void init(int capacity, key_t_ key_space) {
+    void init(int capacity, key_t_ key_space, Policy policy = Policy::LRU) {
         cap_ = capacity;
-        entries_.assign(capacity, Entry{0, false, false, -1, -1, -1, false});
+        policy_ = policy;
+        // LFUOPT: reference kUseCntMax = 10 (lfuopt_cache.h:19)
+        freq_cap_ = policy == Policy::LRU ? 0
+                    : policy == Policy::LFUOPT ? 10 : 255;
+        entries_.assign(capacity,
+                        Entry{0, false, false, 0, -1, -1, -1, false});
         for (int s = 0; s < capacity; s++) {
             entries_[s].slot = s;
             free_.push_back(capacity - 1 - s);   // allocate slot 0 first
         }
         map_.reserve(capacity * 2);
         bitmap_.assign(static_cast<size_t>(key_space), 0);
-        head_ = tail_ = -1;
+        heads_.assign(freq_cap_ + 1, -1);
+        tails_.assign(freq_cap_ + 1, -1);
     }
 
     bool check(key_t_ key) const { return bitmap_[key] != 0; }
@@ -88,8 +103,7 @@ public:
     }
 
     // Insert `key`; returns the slot. If eviction was needed, *evicted is
-    // filled with the victim entry (pre-overwrite copy) and returns true
-    // through evicted_valid.
+    // filled with the victim entry (pre-overwrite copy).
     int insert(key_t_ key, bool *had_evict, Entry *evicted) {
         int slot;
         if (!free_.empty()) {
@@ -97,7 +111,7 @@ public:
             free_.pop_back();
             *had_evict = false;
         } else {
-            slot = tail_;                     // LRU victim
+            slot = victim();
             *evicted = entries_[slot];
             *had_evict = true;
             detach(slot);
@@ -108,6 +122,7 @@ public:
         e.key = key;
         e.dirty = false;
         e.stale = false;
+        e.freq = 0;
         e.used = true;
         attach_front(slot);
         map_[key] = slot;
@@ -117,6 +132,8 @@ public:
 
     void touch(int slot) {
         detach(slot);
+        Entry &e = entries_[slot];
+        if (policy_ != Policy::LRU && e.freq < freq_cap_) e.freq++;
         attach_front(slot);
     }
 
@@ -129,29 +146,42 @@ public:
     }
 
 private:
+    int victim() const {
+        // lowest non-empty frequency bucket, LRU within it. Under LFUOPT
+        // the top (permanent) bucket is exempt unless it is all there is.
+        int top = policy_ == Policy::LFUOPT ? freq_cap_ - 1 : freq_cap_;
+        for (int f = 0; f <= top; f++)
+            if (tails_[f] >= 0) return tails_[f];
+        return tails_[freq_cap_];    // last resort: LRU among permanents
+    }
+
     void detach(int s) {
         Entry &e = entries_[s];
+        int f = e.freq;
         if (e.lru_prev >= 0) entries_[e.lru_prev].lru_next = e.lru_next;
-        else head_ = e.lru_next;
+        else heads_[f] = e.lru_next;
         if (e.lru_next >= 0) entries_[e.lru_next].lru_prev = e.lru_prev;
-        else tail_ = e.lru_prev;
+        else tails_[f] = e.lru_prev;
         e.lru_prev = e.lru_next = -1;
     }
     void attach_front(int s) {
         Entry &e = entries_[s];
+        int f = e.freq;
         e.lru_prev = -1;
-        e.lru_next = head_;
-        if (head_ >= 0) entries_[head_].lru_prev = s;
-        head_ = s;
-        if (tail_ < 0) tail_ = s;
+        e.lru_next = heads_[f];
+        if (heads_[f] >= 0) entries_[heads_[f]].lru_prev = s;
+        heads_[f] = s;
+        if (tails_[f] < 0) tails_[f] = s;
     }
 
     int cap_ = 0;
+    Policy policy_ = Policy::LRU;
+    int freq_cap_ = 0;
     std::vector<Entry> entries_;
     std::vector<int> free_;
     std::unordered_map<key_t_, int> map_;
     std::vector<uint8_t> bitmap_;
-    int head_ = -1, tail_ = -1;
+    std::vector<int> heads_, tails_;
 };
 
 // ---------------------------------------------------------------------
@@ -171,7 +201,8 @@ public:
                  int nrank, int mbs, int64_t batch_num, int epochs,
                  int64_t cache_rows, int flush_cap, int owner_cap,
                  int num_shards, int64_t rows_per_shard, int top_k,
-                 const int *table_order, int n_threads, int queue_cap)
+                 const int *table_order, int n_threads, int queue_cap,
+                 int policy = 0)
         : num_samples_(num_samples), num_tables_(num_tables), nrank_(nrank),
           mbs_(mbs), batch_num_(batch_num), epochs_(epochs),
           flush_cap_(flush_cap), owner_cap_(owner_cap),
@@ -190,7 +221,9 @@ public:
                 + " exceeds table rows "
                 + std::to_string(int64_t(num_shards_) * rows_per_shard_));
         caches_.resize(nrank_);
-        for (auto &c : caches_) c.init(int(cache_rows), key_space_);
+        for (auto &c : caches_)
+            c.init(int(cache_rows), key_space_,
+                   static_cast<Policy>(policy));
         cached_by_.assign(size_t(key_space_), 0);   // worker bitmask per key
         miss_pull_.assign(nrank_, 0);
         miss_push_.assign(nrank_, 0);
@@ -561,12 +594,13 @@ void *hplan_create(const int64_t *ids, int64_t num_samples, int num_tables,
                    int nrank, int mbs, int64_t batch_num, int epochs,
                    int64_t cache_rows, int flush_cap, int owner_cap,
                    int num_shards, int64_t rows_per_shard, int top_k,
-                   const int *table_order, int n_threads, int queue_cap) {
+                   const int *table_order, int n_threads, int queue_cap,
+                   int policy) {
     try {
         return new HPlanner(ids, num_samples, num_tables, nrank, mbs,
                             batch_num, epochs, cache_rows, flush_cap,
                             owner_cap, num_shards, rows_per_shard, top_k,
-                            table_order, n_threads, queue_cap);
+                            table_order, n_threads, queue_cap, policy);
     } catch (const std::exception &e) {
         fprintf(stderr, "hplan_create failed: %s\n", e.what());
         return nullptr;

@@ -45,7 +45,7 @@ class _PlannerLib:
                 ctypes.c_int, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
                 ctypes.c_int, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
-                ctypes.c_int]
+                ctypes.c_int, ctypes.c_int]
             lib.hplan_start.argtypes = [ctypes.c_void_p]
             lib.hplan_pop_begin.restype = ctypes.c_int
             lib.hplan_pop_begin.argtypes = [ctypes.c_void_p, i64p, i64p]
@@ -74,7 +74,7 @@ class CachePlanner:
                  owner_cap: Optional[int] = None, top_k: int = 0,
                  table_order: Optional[Sequence[int]] = None,
                  n_threads: int = 8, queue_cap: int = 16,
-                 drop_last: bool = True):
+                 drop_last: bool = True, policy: str = "lru"):
         ids = np.ascontiguousarray(sparse_ids, np.int64)
         assert ids.ndim == 2
         n, num_tables = ids.shape
@@ -105,11 +105,13 @@ class CachePlanner:
             self._order = np.ascontiguousarray(table_order, np.int32)
             order_ptr = self._order.ctypes.data_as(
                 ctypes.POINTER(ctypes.c_int))
+        policy_id = {"lru": 0, "lfu": 1, "lfuopt": 2}[policy.lower()]
         self._h = self._lib.hplan_create(
             ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             n, num_tables, nrank, batch_size, self.batch_num, epochs,
             cache_rows, self.F_cap, self.owner_cap, num_shards,
-            rows_per_shard, top_k, order_ptr, n_threads, queue_cap)
+            rows_per_shard, top_k, order_ptr, n_threads, queue_cap,
+            policy_id)
         if not self._h:
             raise ValueError(
                 "native cache planner rejected the configuration "

@@ -82,7 +82,8 @@ class CachedEngine(Engine):
             rows_per_shard=self.exchange.rows_per_shard, epochs=epochs,
             flush_cap=self.F_cap,
             owner_cap=self.flush_exchange.capacity,
-            top_k=self.cfg.sched_top_k_tables or 0, n_threads=n_threads)
+            top_k=self.cfg.sched_top_k_tables or 0, n_threads=n_threads,
+            policy=self.cfg.cache_policy)
 
     def init_cached_state(self, seed: Optional[int] = None
                           ) -> CachedTrainState:

@@ -1,0 +1,88 @@
+"""Cache replacement policy tests (LRU / LFU / LFUOpt).
+
+Oracle: brute-force victim selection — LFU evicts min (freq, recency);
+LFUOpt additionally exempts entries at the frequency cap (the reference's
+permanent store, `src/hetu_cache/include/lfuopt_cache.h:19-40`). Victims
+are observed through the planner's micro-programs: an evicted key's next
+read is a miss (pull with a fresh insert), a resident key's read is a hit.
+"""
+
+import numpy as np
+import pytest
+
+from herald_tpu.sched.planner import CachePlanner
+
+ROWS = 64
+T = 2     # tables per sample
+
+
+def _run_policy(policy, batches):
+    """Drive a 1-worker planner through scripted batches; returns the
+    per-batch pull masks aligned with each batch's sorted unique keys."""
+    ids = np.array(batches, np.int64).reshape(-1, T)
+    mbs = 1
+    pl = CachePlanner(ids, nrank=1, batch_size=mbs, cache_rows=4,
+                      num_shards=1, rows_per_shard=ROWS, epochs=1,
+                      n_threads=1, policy=policy)
+    out = []
+    for _ in range(pl.batch_num):
+        prog = pl.pop()
+        keys = np.unique(ids[prog.assign[0]])
+        out.append((keys, prog.pulls[0][: len(keys)].copy()))
+    return out
+
+
+def test_lru_vs_lfu_eviction_choice():
+    # cache of 4 rows; key 1 is touched often (high freq), key 9 once.
+    # batches (1 sample x 2 tables each):
+    batches = [
+        [1, 2], [1, 3], [1, 9],    # cache now {1,2,3,9}; freq(1)=3
+        [4, 1],                    # insert 4 -> evict one of {2,3,9}
+        [2, 1],                    # read 2: hit iff 2 survived
+    ]
+    # LRU: victim is least-recent = 2 -> reading 2 misses
+    res_lru = _run_policy("lru", batches)
+    keys, pulls = res_lru[4]
+    assert set(keys) == {1, 2}
+    assert pulls[list(keys).index(2)] == 1      # 2 was evicted under LRU
+    # LFU: 2, 3, 9 all have freq 1; tie falls to least-recent = 2 as well,
+    # but 1 (freq 4) is never the victim. Use a sharper scenario: touch 2
+    # again so 9 becomes the unique min-freq victim.
+    batches = [
+        [1, 2], [1, 3], [2, 3],    # freq: 1->2, 2->2, 3->2
+        [9, 1],                    # insert 9 (freq 1); cache {1,2,3,9}
+        [4, 1],                    # insert 4 -> LFU evicts 9 (min freq)
+        [2, 3],                    # both must still be hits under LFU
+    ]
+    res_lfu = _run_policy("lfu", batches)
+    keys, pulls = res_lfu[5]
+    assert set(keys) == {2, 3}
+    assert (pulls == 0).all(), "LFU must keep frequent keys 2,3 resident"
+    # same scenario under LRU evicts 2 (least recent), so reading 2 misses
+    res_lru2 = _run_policy("lru", batches)
+    keys2, pulls2 = res_lru2[5]
+    assert pulls2[list(keys2).index(2)] == 1
+
+
+def test_lfuopt_permanent_rows_survive():
+    # key 7 is read 12 times (> kUseCntMax=10) -> graduates to permanent;
+    # then a churn of fresh keys floods the cache. 7 must stay resident.
+    batches = [[7, i + 20] for i in range(12)]          # 7 hot, churn
+    batches += [[30 + i, 40 + i] for i in range(6)]     # pure churn
+    batches += [[7, 60]]                                # 7 must be a hit
+    res = _run_policy("lfuopt", batches)
+    keys, pulls = res[-1]
+    assert 7 in keys
+    assert pulls[list(keys).index(7)] == 0, \
+        "LFUOpt permanent row was evicted"
+    # under plain LRU the churn evicts 7
+    res_lru = _run_policy("lru", batches)
+    keys, pulls = res_lru[-1]
+    assert pulls[list(keys).index(7)] == 1
+
+
+def test_unknown_policy_rejected():
+    ids = np.zeros((8, T), np.int64)
+    with pytest.raises(KeyError):
+        CachePlanner(ids, nrank=1, batch_size=1, cache_rows=4,
+                     num_shards=1, rows_per_shard=ROWS, policy="mru")
