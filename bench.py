@@ -88,7 +88,10 @@ def bench_naive():
     cfg = HeraldConfig(model="wdl_criteo", batch_size=BATCH,
                        embedding_dim=EMB_DIM, learning_rate=0.01)
     key = jax.random.PRNGKey(0)
-    table = 0.01 * jax.random.normal(key, (ROWS, EMB_DIM), jnp.bfloat16)
+    # fused under jit: un-jitted `0.01 * normal(...)` holds two full-table
+    # buffers at once (17 GB) and OOMs the 16 GB chip
+    table = jax.jit(lambda k: 0.01 * jax.random.normal(
+        k, (ROWS, EMB_DIM), jnp.bfloat16))(key)
     dense_params = model.init_dense(jax.random.PRNGKey(1), EMB_DIM)
     lr = cfg.learning_rate
 

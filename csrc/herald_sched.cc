@@ -17,6 +17,18 @@
 //    optional caller-provided order for exact reference parity;
 //  * exposed as a plain C ABI for ctypes (no pybind11 in this image).
 //
+// Performance design (this is the part the reference solved with top-K
+// filtering + shm fan-out; a TPU step is ~ms, so the planner must be too):
+//  * residency is ONE interleaved bitmask array: masks_[key] has bit z set
+//    iff worker z's cache holds `key` valid. Scoring and comm-plan
+//    construction then cost one random memory probe per (sample, key)
+//    instead of nrank probes into nrank separate bitmaps — the probes are
+//    the dominant cost (DRAM latency bound), so this is ~nrank x faster
+//    and uses key_space bytes instead of nrank * key_space.
+//  * a persistent thread pool replaces per-phase thread spawns.
+//  * the epoch ID matrix is borrowed from the caller (numpy buffer), not
+//    copied — at Criteo scale the copy alone is multi-GB.
+//
 // Build: g++ -O3 -std=c++17 -shared -fPIC herald_sched.cc -o libherald_sched.so -lpthread
 
 #include <algorithm>
@@ -25,6 +37,7 @@
 #include <cstdint>
 #include <cstring>
 #include <deque>
+#include <functional>
 #include <list>
 #include <mutex>
 #include <numeric>
@@ -38,72 +51,220 @@ namespace herald {
 using key_t_ = int64_t;
 
 // ---------------------------------------------------------------------
+// Persistent thread pool: parallel_for(n, fn) runs fn(0..n-1), blocking.
+// Workers claim task indices via an atomic counter (work stealing by
+// index), so uneven tasks still balance.
+// ---------------------------------------------------------------------
+class Pool {
+public:
+    explicit Pool(int n_threads) {
+        for (int i = 0; i < std::max(0, n_threads); i++)
+            threads_.emplace_back([this] { loop(); });
+    }
+
+    ~Pool() {
+        {
+            std::lock_guard<std::mutex> lk(m_);
+            stop_ = true;
+        }
+        cv_.notify_all();
+        for (auto &t : threads_) t.join();
+    }
+
+    void parallel_for(int n_tasks, const std::function<void(int)> &fn) {
+        if (n_tasks <= 0) return;
+        if (threads_.empty() || n_tasks == 1) {
+            for (int i = 0; i < n_tasks; i++) fn(i);
+            return;
+        }
+        std::unique_lock<std::mutex> lk(m_);
+        fn_ = fn;
+        n_tasks_ = n_tasks;
+        next_.store(0, std::memory_order_relaxed);
+        remaining_ = n_tasks;
+        epoch_++;
+        cv_.notify_all();
+        done_cv_.wait(lk, [this] { return remaining_ == 0; });
+    }
+
+private:
+    void loop() {
+        uint64_t seen = 0;
+        std::unique_lock<std::mutex> lk(m_);
+        for (;;) {
+            cv_.wait(lk, [&] { return stop_ || epoch_ != seen; });
+            if (stop_) return;
+            seen = epoch_;
+            int n = n_tasks_;
+            lk.unlock();
+            int done = 0;
+            for (;;) {
+                int i = next_.fetch_add(1, std::memory_order_relaxed);
+                if (i >= n) break;
+                fn_(i);
+                done++;
+            }
+            lk.lock();
+            remaining_ -= done;
+            if (remaining_ == 0) done_cv_.notify_all();
+        }
+    }
+
+    std::vector<std::thread> threads_;
+    std::mutex m_;
+    std::condition_variable cv_, done_cv_;
+    std::function<void(int)> fn_;
+    std::atomic<int> next_{0};
+    int n_tasks_ = 0, remaining_ = 0;
+    uint64_t epoch_ = 0;
+    bool stop_ = false;
+};
+
+// ---------------------------------------------------------------------
 // LRU cache simulator. Semantics match the reference MiniLRUCache
 // (laia/include/mini_lru_cache.h): entries carry a validity bit; `get`
 // return codes distinguish hit(-1) / outdated-hit(-2) / insert(0) /
 // insert-evicting-fresh(1) so the scheduler can book pull/push traffic.
-// A dense bitmap gives O(1) `check` for the scoring hot loop.
+// Validity lives in the scheduler's shared interleaved mask array (bit
+// `bit_` of masks[key]); updates use atomic RMW because replay runs one
+// thread per worker and sibling workers own other bits of the same word.
+//
+// Unlike the reference's list+unordered_map, storage is a pre-allocated
+// node pool (intrusive doubly-linked list by index) plus an open-addressing
+// hash with backward-shift deletion: zero allocation in steady state, so
+// replay threads never contend on malloc.
 // ---------------------------------------------------------------------
+template <class MaskT>
 class LruSim {
 public:
-    void init(size_t capacity, key_t_ key_space) {
+    void init(size_t capacity, MaskT *masks, int bit) {
         cap_ = capacity;
-        bitmap_.assign(static_cast<size_t>(key_space), 0);
-        map_.reserve(capacity * 2);
+        masks_ = masks;
+        bit_ = MaskT(1) << bit;
+        nodes_.resize(cap_ + 1);
+        free_.resize(cap_ + 1);
+        for (size_t i = 0; i <= cap_; i++)
+            free_[i] = int32_t(cap_ - i);      // pop order 0,1,2,...
+        size_t want = 16;
+        while (want < 2 * (cap_ + 2)) want <<= 1;
+        slots_.assign(want, -1);
+        hmask_ = want - 1;
+        head_ = tail_ = -1;
+        size_ = 0;
     }
 
-    bool check(key_t_ key) const { return bitmap_[key] != 0; }
+    bool check(key_t_ key) const { return (masks_[key] & bit_) != 0; }
 
     int get(key_t_ key) {
-        auto it = map_.find(key);
-        if (it == map_.end()) return insert(key);
-        int res = it->second.valid ? -1 : -2;
-        lru_.erase(it->second.pos);
-        lru_.push_front(key);
-        it->second.pos = lru_.begin();
-        it->second.valid = true;
-        bitmap_[key] = 1;
+        size_t s = probe(key);
+        if (slots_[s] == -1) return insert_at(key, s);
+        int32_t n = slots_[s];
+        int res = nodes_[n].valid ? -1 : -2;
+        detach(n);
+        push_front(n);
+        nodes_[n].valid = true;
+        set_bit(key);
         return res;
     }
 
-    int insert(key_t_ key) {
-        lru_.push_front(key);
-        map_[key] = {lru_.begin(), true};
-        bitmap_[key] = 1;
-        if (map_.size() > cap_) {
-            key_t_ victim = lru_.back();
-            bool was_valid = map_[victim].valid;
-            map_.erase(victim);
-            lru_.pop_back();
-            bitmap_[victim] = 0;
-            return was_valid ? 1 : 0;
-        }
-        return 0;
-    }
+    int insert(key_t_ key) { return insert_at(key, probe(key)); }
 
     void outdate(key_t_ key) {
-        auto it = map_.find(key);
-        if (it != map_.end()) {
-            it->second.valid = false;
-            bitmap_[key] = 0;
+        size_t s = probe(key);
+        if (slots_[s] != -1) {
+            nodes_[slots_[s]].valid = false;
+            clear_bit(key);
         }
     }
 
     std::vector<key_t_> valid_keys() const {
         std::vector<key_t_> out;
-        out.reserve(map_.size());
-        for (auto &kv : map_)
-            if (kv.second.valid) out.push_back(kv.first);
+        out.reserve(size_);
+        for (int32_t n = head_; n != -1; n = nodes_[n].next)
+            if (nodes_[n].valid) out.push_back(nodes_[n].key);
         std::sort(out.begin(), out.end());
         return out;
     }
 
 private:
-    struct Entry { std::list<key_t_>::iterator pos; bool valid; };
-    std::list<key_t_> lru_;
-    std::unordered_map<key_t_, Entry> map_;
-    std::vector<uint8_t> bitmap_;
-    size_t cap_ = 0;
+    struct Node { key_t_ key; int32_t prev, next; bool valid; };
+
+    static inline uint64_t hash64(uint64_t x) {
+        x ^= x >> 33; x *= 0xff51afd7ed558ccdULL;
+        x ^= x >> 33; x *= 0xc4ceb9fe1a85ec53ULL;
+        x ^= x >> 33; return x;
+    }
+
+    // slot holding `key`, or the empty slot where it would be inserted
+    size_t probe(key_t_ key) const {
+        size_t h = hash64(uint64_t(key)) & hmask_;
+        while (slots_[h] != -1 && nodes_[slots_[h]].key != key)
+            h = (h + 1) & hmask_;
+        return h;
+    }
+
+    int insert_at(key_t_ key, size_t s) {
+        int32_t n = free_.back();
+        free_.pop_back();
+        nodes_[n] = {key, -1, -1, true};
+        slots_[s] = n;
+        push_front(n);
+        set_bit(key);
+        if (++size_ > cap_) {
+            int32_t v = tail_;
+            key_t_ vkey = nodes_[v].key;
+            bool was_valid = nodes_[v].valid;
+            detach(v);
+            erase_slot(probe(vkey));
+            free_.push_back(v);
+            size_--;
+            clear_bit(vkey);
+            return was_valid ? 1 : 0;
+        }
+        return 0;
+    }
+
+    // backward-shift deletion keeps linear probing tombstone-free
+    void erase_slot(size_t i) {
+        size_t j = i;
+        for (;;) {
+            j = (j + 1) & hmask_;
+            if (slots_[j] == -1) break;
+            size_t k = hash64(uint64_t(nodes_[slots_[j]].key)) & hmask_;
+            if (((j - k) & hmask_) >= ((j - i) & hmask_)) {
+                slots_[i] = slots_[j];
+                i = j;
+            }
+        }
+        slots_[i] = -1;
+    }
+
+    void detach(int32_t n) {
+        auto &nd = nodes_[n];
+        if (nd.prev != -1) nodes_[nd.prev].next = nd.next; else head_ = nd.next;
+        if (nd.next != -1) nodes_[nd.next].prev = nd.prev; else tail_ = nd.prev;
+    }
+
+    void push_front(int32_t n) {
+        nodes_[n].prev = -1;
+        nodes_[n].next = head_;
+        if (head_ != -1) nodes_[head_].prev = n; else tail_ = n;
+        head_ = n;
+    }
+
+    void set_bit(key_t_ k) {
+        __atomic_fetch_or(&masks_[k], bit_, __ATOMIC_RELAXED);
+    }
+    void clear_bit(key_t_ k) {
+        __atomic_fetch_and(&masks_[k], MaskT(~bit_), __ATOMIC_RELAXED);
+    }
+
+    std::vector<Node> nodes_;
+    std::vector<int32_t> free_, slots_;
+    size_t hmask_ = 0, size_ = 0, cap_ = 0;
+    int32_t head_ = -1, tail_ = -1;
+    MaskT *masks_ = nullptr;
+    MaskT bit_ = 0;
 };
 
 // ---------------------------------------------------------------------
@@ -114,22 +275,32 @@ struct BatchPlan {
     std::vector<std::vector<key_t_>> plans;   // per worker, sorted unique keys
 };
 
-class Scheduler {
+struct ISched {
+    virtual ~ISched() = default;
+    virtual void start() = 0;
+    virtual bool pop(BatchPlan &out) = 0;
+    virtual size_t queue_length() = 0;
+    virtual void perf(long out[4]) const = 0;
+    virtual long iter_time_us() const = 0;
+    virtual void phase_times(long out[4]) const = 0;
+};
+
+// Non-template shared state: config, output queue, traffic counters.
+class SchedBase : public ISched {
 public:
-    Scheduler(const key_t_ *ids, int64_t num_samples, int num_tables,
+    SchedBase(const key_t_ *ids, int64_t num_samples, int num_tables,
               int nrank, int mbs, int64_t batch_num, int epochs,
-              int64_t cache_size, int top_k, const int *table_order,
-              int n_threads, int queue_cap)
-        : num_samples_(num_samples), num_tables_(num_tables), nrank_(nrank),
-          mbs_(mbs), batch_num_(batch_num), epochs_(epochs),
+              int top_k, const int *table_order, int n_threads,
+              int queue_cap)
+        : ids_(ids), num_samples_(num_samples), num_tables_(num_tables),
+          nrank_(nrank), mbs_(mbs), batch_num_(batch_num), epochs_(epochs),
           top_k_(top_k > 0 ? std::min<int>(top_k, num_tables) : num_tables),
-          n_threads_(std::max(1, n_threads)), queue_cap_(queue_cap) {
-        ids_.assign(ids, ids + num_samples * num_tables);
+          n_threads_(std::max(1, n_threads)), queue_cap_(queue_cap),
+          pool_(std::max(1, n_threads)) {
         key_t_ max_key = 0;
-        for (auto k : ids_) max_key = std::max(max_key, k);
+        for (int64_t i = 0; i < num_samples_ * num_tables_; i++)
+            max_key = std::max(max_key, ids_[i]);
         key_space_ = max_key + 1;
-        caches_.resize(nrank_);
-        for (auto &c : caches_) c.init(cache_size, key_space_);
         miss_pull_.assign(nrank_, 0);
         miss_push_.assign(nrank_, 0);
         update_pull_.assign(nrank_, 0);
@@ -144,21 +315,8 @@ public:
         order_.resize(top_k_);
     }
 
-    ~Scheduler() { stop(); }
-
-    void start() {
-        worker_ = std::thread([this] { run(); });
-    }
-
-    void stop() {
-        close_.store(true);
-        cv_pop_.notify_all();
-        cv_push_.notify_all();
-        if (worker_.joinable()) worker_.join();
-    }
-
     // Blocks for the next batch. Returns false on end-of-stream.
-    bool pop(BatchPlan &out) {
+    bool pop(BatchPlan &out) override {
         std::unique_lock<std::mutex> lk(mut_);
         cv_pop_.wait(lk, [this] {
             return !queue_.empty() || done_ || close_.load();
@@ -170,12 +328,12 @@ public:
         return true;
     }
 
-    size_t queue_length() {
+    size_t queue_length() override {
         std::lock_guard<std::mutex> lk(mut_);
         return queue_.size();
     }
 
-    void perf(long out[4]) const {
+    void perf(long out[4]) const override {
         auto avg = [&](const std::vector<long> &v) {
             return std::accumulate(v.begin(), v.end(), 0L) / nrank_;
         };
@@ -185,13 +343,18 @@ public:
         out[3] = avg(update_push_);
     }
 
-    long iter_time_us() const {
+    long iter_time_us() const override {
         if (iter_times_.empty()) return 0;
         return std::accumulate(iter_times_.begin(), iter_times_.end(), 0L)
                / static_cast<long>(iter_times_.size());
     }
 
-private:
+    // cumulative per-phase µs: score / assign / plan / replay
+    void phase_times(long out[4]) const override {
+        for (int i = 0; i < 4; i++) out[i] = phase_us_[i];
+    }
+
+protected:
     void profile_tables() {
         // reuse score per table = 1 - unique/count over (a sample of) the
         // epoch; descending reuse = the tables where cache hits pay off
@@ -200,16 +363,15 @@ private:
         std::iota(order_.begin(), order_.end(), 0);
         int64_t sample_n = std::min<int64_t>(num_samples_, 200000);
         std::vector<double> reuse(num_tables_, 0.0);
-        std::vector<std::vector<key_t_>> cols(num_tables_);
-        for (int t = 0; t < num_tables_; t++) {
-            auto &col = cols[t];
+        pool_.parallel_for(num_tables_, [&](int t) {
+            std::vector<key_t_> col;
             col.reserve(sample_n);
             for (int64_t i = 0; i < sample_n; i++)
                 col.push_back(ids_[i * num_tables_ + t]);
             std::sort(col.begin(), col.end());
             int64_t uniq = std::unique(col.begin(), col.end()) - col.begin();
             reuse[t] = 1.0 - double(uniq) / double(sample_n);
-        }
+        });
         // stable: ties keep table index order (matches the numpy mirror)
         std::stable_sort(order_.begin(), order_.end(),
                          [&](int a, int b) { return reuse[a] > reuse[b]; });
@@ -219,6 +381,91 @@ private:
         return &ids_[(idx % num_samples_) * num_tables_];
     }
 
+    // Push a finished plan, honoring the queue bound. Returns false when
+    // the scheduler is closing.
+    bool push_plan(BatchPlan &&bp) {
+        {
+            std::unique_lock<std::mutex> lk(mut_);
+            cv_push_.wait(lk, [this] {
+                return int(queue_.size()) < queue_cap_ || close_.load();
+            });
+            if (close_.load()) return false;
+            queue_.push_back(std::move(bp));
+        }
+        cv_pop_.notify_all();
+        return true;
+    }
+
+    void mark_done() {
+        {
+            std::lock_guard<std::mutex> lk(mut_);
+            done_ = true;
+        }
+        cv_pop_.notify_all();
+    }
+
+    // immutable config (ids_ is borrowed — caller keeps it alive)
+    const key_t_ *ids_;
+    int64_t num_samples_;
+    int num_tables_, nrank_, mbs_;
+    int64_t batch_num_;
+    int epochs_, top_k_, n_threads_, queue_cap_;
+    key_t_ key_space_;
+    std::vector<int> order_;
+
+    // planner counters (background thread only)
+    std::vector<long> miss_pull_, miss_push_, update_pull_, update_push_;
+    std::vector<long> iter_times_;
+    long phase_us_[4] = {0, 0, 0, 0};
+
+    struct PhaseTimer {
+        long &acc;
+        std::chrono::steady_clock::time_point t0;
+        explicit PhaseTimer(long &a)
+            : acc(a), t0(std::chrono::steady_clock::now()) {}
+        ~PhaseTimer() {
+            acc += std::chrono::duration_cast<std::chrono::microseconds>(
+                std::chrono::steady_clock::now() - t0).count();
+        }
+    };
+
+    Pool pool_;
+
+    // queue
+    std::deque<BatchPlan> queue_;
+    std::mutex mut_;
+    std::condition_variable cv_pop_, cv_push_;
+    bool done_ = false;
+    std::atomic<bool> close_{false};
+};
+
+// MaskT: one word per key; bit z = worker z caches the key (valid).
+// uint8_t covers the common nrank<=8; wider nrank widens the word.
+template <class MaskT>
+class SchedulerT final : public SchedBase {
+public:
+    using SchedBase::SchedBase;
+
+    ~SchedulerT() override { stop(); }
+
+    void start() override {
+        masks_.assign(size_t(key_space_), 0);
+        caches_.resize(nrank_);
+        for (int z = 0; z < nrank_; z++)
+            caches_[z].init(cache_size_, masks_.data(), z);
+        worker_ = std::thread([this] { run(); });
+    }
+
+    void set_cache_size(int64_t c) { cache_size_ = c; }
+
+    void stop() {
+        close_.store(true);
+        cv_pop_.notify_all();
+        cv_push_.notify_all();
+        if (worker_.joinable()) worker_.join();
+    }
+
+private:
     void run() {
         int64_t gbs = int64_t(nrank_) * mbs_;
         // one extra batch after the final epoch so the one-batch-lookahead
@@ -235,55 +482,55 @@ private:
                 iter_times_.push_back(
                     std::chrono::duration_cast<std::chrono::microseconds>(
                         t1 - t0).count());
-            {
-                std::unique_lock<std::mutex> lk(mut_);
-                cv_push_.wait(lk, [this] {
-                    return int(queue_.size()) < queue_cap_ || close_.load();
-                });
-                if (close_.load()) break;
-                queue_.push_back(std::move(bp));
-            }
-            cv_pop_.notify_all();
+            if (!push_plan(std::move(bp))) break;
         }
-        {
-            std::lock_guard<std::mutex> lk(mut_);
-            done_ = true;
-        }
-        cv_pop_.notify_all();
+        mark_done();
     }
 
     BatchPlan plan_batch(int64_t start, std::vector<int> &scores) {
         int64_t gbs = int64_t(nrank_) * mbs_;
+        const MaskT *mask = masks_.data();
         // --- score samples against every worker's cache snapshot ---------
-        // (thread-parallel over samples; reference topk_scheduler.cc:393-427)
+        // one probe per (sample, top-K key); the residency word fans out to
+        // all workers' scores (reference topk_scheduler.cc:393-427 probes
+        // per worker)
         std::fill(scores.begin(), scores.end(), 0);
-        auto score_span = [&](int64_t lo, int64_t hi) {
+        auto tick = std::chrono::steady_clock::now();
+        auto lap = [&](int phase) {
+            auto now = std::chrono::steady_clock::now();
+            phase_us_[phase] +=
+                std::chrono::duration_cast<std::chrono::microseconds>(
+                    now - tick).count();
+            tick = now;
+        };
+        // one random probe per (sample, table): the residency words are
+        // stashed in mwords_ (gbs x T, L2-resident) so the comm-plan pass
+        // below never touches the big mask array again
+        mwords_.resize(gbs * num_tables_);
+        int n_chunks = n_threads_;
+        int64_t chunk = (gbs + n_chunks - 1) / n_chunks;
+        pool_.parallel_for(n_chunks, [&](int c) {
+            int64_t lo = c * chunk, hi = std::min<int64_t>(gbs, lo + chunk);
             for (int64_t i = lo; i < hi; i++) {
                 const key_t_ *s = sample(start + i);
+                MaskT *mw = &mwords_[i * num_tables_];
+                for (int t = 0; t < num_tables_; t++) mw[t] = mask[s[t]];
                 int *row = &scores[i * nrank_];
                 for (int k = 0; k < top_k_; k++) {
-                    key_t_ key = s[order_[k]];
-                    for (int z = 0; z < nrank_; z++)
-                        row[z] += caches_[z].check(key);
+                    MaskT m = mw[order_[k]];
+                    while (m) {
+                        row[__builtin_ctzll(
+                            (unsigned long long)m)]++;
+                        m &= MaskT(m - 1);
+                    }
                 }
             }
-        };
-        if (n_threads_ > 1) {
-            std::vector<std::thread> ts;
-            int64_t chunk = (gbs + n_threads_ - 1) / n_threads_;
-            for (int t = 0; t < n_threads_; t++) {
-                int64_t lo = t * chunk, hi = std::min(gbs, lo + chunk);
-                if (lo >= hi) break;
-                ts.emplace_back(score_span, lo, hi);
-            }
-            for (auto &t : ts) t.join();
-        } else {
-            score_span(0, gbs);
-        }
+        });
 
         // --- greedy load-balanced assignment ------------------------------
         // process samples in descending best-score order so high-affinity
         // samples win their preferred worker before quotas fill
+        lap(0);
         BatchPlan bp;
         bp.assign.assign(gbs, 0);
         bp.plans.resize(nrank_);
@@ -298,6 +545,7 @@ private:
                          [&](int64_t a, int64_t b) {
                              return best[a] > best[b];
                          });
+        local_of_slot_.resize(gbs);
         for (int64_t oi = 0; oi < gbs; oi++) {
             int64_t i = order_idx[oi];
             const int *row = &scores[i * nrank_];
@@ -308,43 +556,74 @@ private:
                     pick = z;
                 }
             }
-            bp.assign[int64_t(pick) * mbs_ + load[pick]] =
-                (start + i) % num_samples_;
+            int64_t slot = int64_t(pick) * mbs_ + load[pick];
+            bp.assign[slot] = (start + i) % num_samples_;
+            local_of_slot_[slot] = int32_t(i);
             load[pick]++;
         }
 
         // --- communication plans ------------------------------------------
         // plan[z] = keys of samples assigned to OTHER workers that are
         // valid in worker z's cache: z must flush them so readers see fresh
-        // rows (reference laia_scheduler.cc:252-270 semantics)
-        std::vector<uint8_t> mine(gbs);
-        auto plan_for = [&](int z) {
-            std::fill(mine.begin(), mine.end(), 0);
-            // mark which global-batch slots belong to z
-            // assign holds sample indices; recompute membership by slot
-            std::vector<key_t_> keys;
-            keys.reserve(gbs * num_tables_ / nrank_);
-            for (int w = 0; w < nrank_; w++) {
-                if (w == z) continue;
-                for (int j = 0; j < mbs_; j++) {
-                    const key_t_ *s =
-                        &ids_[bp.assign[int64_t(w) * mbs_ + j] * num_tables_];
-                    for (int t = 0; t < num_tables_; t++) {
-                        if (caches_[z].check(s[t])) keys.push_back(s[t]);
+        // rows (reference laia_scheduler.cc:252-270 semantics).
+        //
+        // Pass 1 (parallel over slot chunks): each thread walks its slots
+        // reading the STASHED residency words (no random mask probes) and
+        // appends keys to per-(thread, reader) buckets. A direct-mapped
+        // filter keyed by (key -> readers-already-emitted mask) absorbs the
+        // duplicate-heavy zipf head before any sort. Pass 2 (parallel over
+        // readers): concatenate the thread buckets, sort, unique.
+        lap(1);
+        if (int(tl_plans_.size()) != n_chunks) {
+            tl_plans_.assign(n_chunks,
+                             std::vector<std::vector<key_t_>>(nrank_));
+            tl_filts_.assign(n_chunks,
+                             std::vector<FiltEnt>(kFiltSize, {-1, 0}));
+        }
+        pool_.parallel_for(n_chunks, [&](int c) {
+            int64_t lo = c * chunk, hi = std::min<int64_t>(gbs, lo + chunk);
+            auto &buckets = tl_plans_[c];
+            for (auto &b : buckets) b.clear();
+            auto &filt = tl_filts_[c];
+            std::fill(filt.begin(), filt.end(), FiltEnt{-1, 0});
+            for (int64_t slot = lo; slot < hi; slot++) {
+                int w = int(slot / mbs_);
+                MaskT self = MaskT(1) << w;
+                const key_t_ *s = &ids_[bp.assign[slot] * num_tables_];
+                const MaskT *mw =
+                    &mwords_[int64_t(local_of_slot_[slot]) * num_tables_];
+                for (int t = 0; t < num_tables_; t++) {
+                    MaskT m = MaskT(mw[t] & ~self);
+                    if (!m) continue;
+                    key_t_ key = s[t];
+                    auto &fe = filt[size_t(key) & (kFiltSize - 1)];
+                    if (fe.key == key) {
+                        m = MaskT(m & ~fe.done);
+                        fe.done = MaskT(fe.done | m);
+                    } else {
+                        fe = {key, m};
+                    }
+                    while (m) {
+                        buckets[__builtin_ctzll(
+                            (unsigned long long)m)].push_back(key);
+                        m &= MaskT(m - 1);
                     }
                 }
             }
+        });
+        pool_.parallel_for(nrank_, [&](int z) {
+            auto &keys = bp.plans[z];
+            size_t total = 0;
+            for (int c = 0; c < n_chunks; c++)
+                total += tl_plans_[c][z].size();
+            keys.reserve(total);
+            for (int c = 0; c < n_chunks; c++)
+                keys.insert(keys.end(), tl_plans_[c][z].begin(),
+                            tl_plans_[c][z].end());
             std::sort(keys.begin(), keys.end());
             keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
-            bp.plans[z] = std::move(keys);
-        };
-        if (n_threads_ > 1 && nrank_ > 1) {
-            std::vector<std::thread> ts;
-            for (int z = 0; z < nrank_; z++) ts.emplace_back(plan_for, z);
-            for (auto &t : ts) t.join();
-        } else {
-            for (int z = 0; z < nrank_; z++) plan_for(z);
-        }
+        });
+        lap(2);
         return bp;
     }
 
@@ -352,7 +631,8 @@ private:
         // mirror real worker-cache evolution (reference laia_scheduler.cc
         // launch loop / topk_scheduler.cc:306-337): outdate flushed keys,
         // then touch this batch's unique keys per assigned worker
-        auto replay_one = [&](int z) {
+        PhaseTimer t(phase_us_[3]);
+        pool_.parallel_for(nrank_, [&](int z) {
             for (auto k : bp.plans[z]) caches_[z].outdate(k);
             std::vector<key_t_> keys;
             keys.reserve(mbs_ * num_tables_);
@@ -373,51 +653,52 @@ private:
                 }
             }
             update_push_[z] += long(bp.plans[z].size());
-        };
-        if (n_threads_ > 1 && nrank_ > 1) {
-            std::vector<std::thread> ts;
-            for (int z = 0; z < nrank_; z++) ts.emplace_back(replay_one, z);
-            for (auto &t : ts) t.join();
-        } else {
-            for (int z = 0; z < nrank_; z++) replay_one(z);
-        }
+        });
     }
 
-    // immutable config
-    int64_t num_samples_;
-    int num_tables_, nrank_, mbs_;
-    int64_t batch_num_;
-    int epochs_, top_k_, n_threads_, queue_cap_;
-    key_t_ key_space_;
-    std::vector<key_t_> ids_;
-    std::vector<int> order_;
-
-    // planner state (background thread only)
-    std::vector<LruSim> caches_;
-    std::vector<long> miss_pull_, miss_push_, update_pull_, update_push_;
-    std::vector<long> iter_times_;
-
-    // queue
-    std::deque<BatchPlan> queue_;
-    std::mutex mut_;
-    std::condition_variable cv_pop_, cv_push_;
-    bool done_ = false;
-    std::atomic<bool> close_{false};
+    int64_t cache_size_ = 0;
+    std::vector<MaskT> masks_;
+    std::vector<LruSim<MaskT>> caches_;
     std::thread worker_;
+
+    // plan-phase scratch (background thread only)
+    struct FiltEnt { key_t_ key; MaskT done; };
+    static constexpr size_t kFiltSize = 1 << 15;
+    std::vector<MaskT> mwords_;                 // [gbs, T] residency words
+    std::vector<int32_t> local_of_slot_;        // slot -> batch-local sample
+    std::vector<std::vector<std::vector<key_t_>>> tl_plans_;
+    std::vector<std::vector<FiltEnt>> tl_filts_;
 };
+
+ISched *make_scheduler(const key_t_ *ids, int64_t num_samples,
+                       int num_tables, int nrank, int mbs,
+                       int64_t batch_num, int epochs, int64_t cache_size,
+                       int top_k, const int *table_order, int n_threads,
+                       int queue_cap) {
+    auto build = [&](auto tag) -> ISched * {
+        using MaskT = decltype(tag);
+        auto *s = new SchedulerT<MaskT>(ids, num_samples, num_tables, nrank,
+                                        mbs, batch_num, epochs, top_k,
+                                        table_order, n_threads, queue_cap);
+        s->set_cache_size(cache_size);
+        return s;
+    };
+    if (nrank <= 8) return build(uint8_t{});
+    if (nrank <= 16) return build(uint16_t{});
+    if (nrank <= 32) return build(uint32_t{});
+    return build(uint64_t{});
+}
 
 } // namespace herald
 
 // ---------------------------------------------------------------------
-// C ABI (ctypes)
+// C ABI (ctypes). `ids` is BORROWED for the scheduler's lifetime — the
+// Python binding pins the numpy buffer (scheduler.py _ids_keepalive).
 // ---------------------------------------------------------------------
 struct HSched {
-    herald::Scheduler sched;
+    herald::ISched *sched;
     herald::BatchPlan current;
     bool has_current = false;
-
-    template <class... A>
-    explicit HSched(A &&...a) : sched(std::forward<A>(a)...) {}
 };
 
 extern "C" {
@@ -426,19 +707,22 @@ void *hsched_create(const int64_t *ids, int64_t num_samples, int num_tables,
                     int nrank, int mbs, int64_t batch_num, int epochs,
                     int64_t cache_size, int top_k, const int *table_order,
                     int n_threads, int queue_cap) {
-    return new HSched(ids, num_samples, num_tables, nrank, mbs, batch_num,
-                      epochs, cache_size, top_k, table_order, n_threads,
-                      queue_cap);
+    auto *h = new HSched();
+    h->sched = herald::make_scheduler(ids, num_samples, num_tables, nrank,
+                                      mbs, batch_num, epochs, cache_size,
+                                      top_k, table_order, n_threads,
+                                      queue_cap);
+    return h;
 }
 
-void hsched_start(void *h) { static_cast<HSched *>(h)->sched.start(); }
+void hsched_start(void *h) { static_cast<HSched *>(h)->sched->start(); }
 
 // Phase 1: block for next batch; fill assignment [nrank*mbs] and per-worker
 // plan sizes [nrank]. Returns total plan length, or -1 on end-of-stream.
 int64_t hsched_pop_begin(void *h, int64_t *assign_out,
                          int64_t *plan_sizes_out) {
     auto *s = static_cast<HSched *>(h);
-    if (!s->sched.pop(s->current)) return -1;
+    if (!s->sched->pop(s->current)) return -1;
     s->has_current = true;
     std::memcpy(assign_out, s->current.assign.data(),
                 s->current.assign.size() * sizeof(int64_t));
@@ -462,17 +746,26 @@ void hsched_pop_finish(void *h, int64_t *plan_out) {
 }
 
 int64_t hsched_queue_length(void *h) {
-    return int64_t(static_cast<HSched *>(h)->sched.queue_length());
+    return int64_t(static_cast<HSched *>(h)->sched->queue_length());
 }
 
 void hsched_perf(void *h, long *out4) {
-    static_cast<HSched *>(h)->sched.perf(out4);
+    static_cast<HSched *>(h)->sched->perf(out4);
 }
 
 long hsched_iter_time_us(void *h) {
-    return static_cast<HSched *>(h)->sched.iter_time_us();
+    return static_cast<HSched *>(h)->sched->iter_time_us();
 }
 
-void hsched_destroy(void *h) { delete static_cast<HSched *>(h); }
+// cumulative per-phase planning µs: [score, assign, plan, replay]
+void hsched_phase_times(void *h, long *out4) {
+    static_cast<HSched *>(h)->sched->phase_times(out4);
+}
+
+void hsched_destroy(void *h) {
+    auto *s = static_cast<HSched *>(h);
+    delete s->sched;
+    delete s;
+}
 
 } // extern "C"

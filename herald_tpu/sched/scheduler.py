@@ -16,6 +16,7 @@ Python half of the Herald core. Binds the native planner
 from __future__ import annotations
 
 import ctypes
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -47,6 +48,8 @@ class _NativeLib:
                                         ctypes.POINTER(ctypes.c_long)]
             lib.hsched_iter_time_us.restype = ctypes.c_long
             lib.hsched_iter_time_us.argtypes = [ctypes.c_void_p]
+            lib.hsched_phase_times.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_long)]
             lib.hsched_destroy.argtypes = [ctypes.c_void_p]
             obj = super().__new__(cls)
             obj.lib = lib
@@ -60,7 +63,11 @@ class NativeScheduler:
     def __init__(self, sparse_ids: np.ndarray, nrank: int, batch_size: int,
                  batch_num: int, epochs: int, cache_size: int,
                  top_k: int = 0, table_order: Optional[Sequence[int]] = None,
-                 n_threads: int = 8, queue_cap: int = 16):
+                 n_threads: Optional[int] = None, queue_cap: int = 16):
+        if n_threads is None:
+            # pool threads beyond the physical cores only add switching
+            # overhead (phases are CPU-bound)
+            n_threads = min(16, os.cpu_count() or 1)
         self._lib = _NativeLib().lib
         ids = np.ascontiguousarray(sparse_ids, dtype=np.int64)
         assert ids.ndim == 2
@@ -113,6 +120,14 @@ class NativeScheduler:
 
     def iter_time_us(self) -> int:
         return int(self._lib.hsched_iter_time_us(self._h))
+
+    def phase_times_us(self) -> dict:
+        """Cumulative planning time per phase (scheduler self-profiling,
+        the reference's `report_iter_time` with a per-phase breakdown)."""
+        out = (ctypes.c_long * 4)()
+        self._lib.hsched_phase_times(self._h, out)
+        return {"score": out[0], "assign": out[1],
+                "plan": out[2], "replay": out[3]}
 
     def close(self):
         if self._h:
