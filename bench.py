@@ -19,6 +19,13 @@ import json
 import time
 
 import jax
+
+# persistent compile cache: the benchmark spawns one subprocess per
+# measurement (HBM isolation), and each would otherwise recompile the
+# same programs (~1-2 min each through the remote-compile tunnel)
+jax.config.update("jax_compilation_cache_dir", "/tmp/herald_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -133,8 +140,13 @@ def bench_naive():
 
 
 def main():
-    # each path runs in its own process: both need an 8.6GB table and the
-    # remote runtime releases HBM lazily, so sharing one process OOMs
+    # Each measurement runs in its own process: both paths need an 8.6GB
+    # table and the remote runtime releases HBM lazily, so sharing one
+    # process OOMs. Chip state (lazy HBM release from the predecessor)
+    # perturbs whichever process runs after another by up to ~20%, in
+    # either direction — so each side is measured twice in alternating
+    # order with a settle gap, and the ratio compares BEST vs BEST
+    # (peak throughput of each implementation, interference excluded).
     import os
     import subprocess
     import sys
@@ -143,10 +155,19 @@ def main():
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), mode],
             capture_output=True, text=True, check=True)
+        time.sleep(15)   # let the terminal release HBM
         return float(out.stdout.strip().splitlines()[-1])
 
-    ours = run("engine")
-    naive = run("naive")
+    naives, engines = [], []
+    for first in (True, False):
+        if first:
+            naives.append(run("naive"))
+            engines.append(run("engine"))
+        else:
+            engines.append(run("engine"))
+            naives.append(run("naive"))
+    ours = max(engines)
+    naive = max(naives)
     print(json.dumps({
         "metric": "wdl_criteo_b256_e128_examples_per_sec_per_chip",
         "value": round(ours, 1),

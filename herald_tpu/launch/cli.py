@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scheduled", action="store_true",
                    help="enable the lookahead scheduler + hot-row cache "
                         "(the Herald mode; reference run_laia.py)")
+    p.add_argument("--fae", action="store_true",
+                   help="hot/cold split training (FAE baseline; reference "
+                        "run_laia_fae.py). Implied by fae_* model names.")
+    p.add_argument("--hot-rate", type=float, default=0.01,
+                   help="FAE: fraction of table rows kept hot "
+                        "(reference num_hot_emb ~= 1%% of rows)")
     p.add_argument("--batch-size", type=int, default=256,
                    help="per-worker batch size")
     p.add_argument("--embedding-size", type=int, default=128)
@@ -63,12 +69,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first")
     p.add_argument("--bf16-table", action="store_true")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. 'cpu'; combine with "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                        "for a virtual mesh). Set via jax.config because "
+                        "some environments pin JAX_PLATFORMS.")
     return p
 
 
 def run_training(args) -> dict:
     import jax
     import jax.numpy as jnp
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.multihost:
         jax.distributed.initialize()
 
@@ -99,6 +112,37 @@ def run_training(args) -> dict:
 
     timer = StepTimer()
     t_start = time.perf_counter()
+
+    use_fae = args.fae or model.train_engine == "fae"
+    if use_fae:
+        from herald_tpu.train.fae import FaeEngine, build_hot_lut
+        eng = FaeEngine(cfg, table_rows=rows, hot_rate=args.hot_rate)
+        lut, _ = build_hot_lut(trn[1], rows, num_hot=eng.num_hot)
+        state = eng.init_fae_state(cfg.seed)
+        gb = cfg.batch_size * max(eng.num_shards, 1)
+        steps_per_epoch = len(trn[1]) // gb
+        losses = []
+        for ep in range(args.nepoch):
+            for s in range(steps_per_epoch):
+                lo = s * gb
+                with timer:
+                    state, stats = eng.train_step_fae(
+                        state, lut, trn[0][lo:lo + gb],
+                        trn[1][lo:lo + gb], trn[2][lo:lo + gb])
+                losses.append(float(stats["loss"]))
+        train_time = time.perf_counter() - t_start
+        res = eng.evaluate_fae(state, lut, *val)
+        report = {
+            "model": cfg.model, "mode": "fae", "comm": cfg.comm_mode,
+            "devices": max(eng.num_shards, 1), "steps": len(losses),
+            "train_loss_last":
+                float(np.mean(losses[-20:])) if losses else None,
+            "val_auc": res["auc"], "val_acc": res["acc"],
+            "examples_per_sec": len(losses) * gb / max(train_time, 1e-9),
+            "num_hot": eng.num_hot,
+            "timing": timer.report(),
+        }
+        return report
 
     if args.scheduled:
         eng = CachedEngine(cfg, table_rows=rows)

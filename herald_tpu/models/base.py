@@ -65,6 +65,9 @@ class ModelDef:
     apply: Callable[..., jnp.ndarray]     # (params, emb, dense) -> logits [B]
     default_lr: float = 0.01
     num_embed_rows: Optional[int] = None  # override spec.num_embed_rows
+    # which training engine the model is meant for: "engine" (default) or
+    # "fae" (hot/cold split — reference fae_* builders, run_laia_fae.py)
+    train_engine: str = "engine"
 
     @property
     def table_rows(self) -> int:

@@ -159,3 +159,4 @@ def _adult_apply(params, emb, dense):
 wdl_adult = register(ModelDef(
     name="wdl_adult", spec=DATASETS["adult"], emb_width=lambda d: 8,
     init_dense=_adult_init, apply=_adult_apply, default_lr=5 / 128))
+

@@ -192,6 +192,98 @@ def rows_scatter_add(table: jnp.ndarray, ids: jnp.ndarray,
 
 
 # ----------------------------------------------------------------------
+# fused one-hot embedding ops (MXU path, no random HBM access)
+# ----------------------------------------------------------------------
+# Gather/segment-reduce expressed as `onehot(ids) @ table` with the one-hot
+# generated in-register per tile (never materialized to HBM). Exact: the
+# one-hot is 0/1 in bf16 and accumulation is f32. Cost is O(N*H) VPU
+# generation (~135 us at N=6656, H=4096 on v5e), flat in duplication.
+# docs/PERF_NOTES.md has the measured tradeoffs: on ONE chip these do not
+# beat XLA's per-index gather/scatter at CTR shapes; their role is the
+# replicated hot-row block in multi-chip training, where they convert
+# all-to-all exchange traffic into local MXU work (reference analog: the
+# FAE hot-embedding dense matrix, examples/ctr/models/fae_wdl_criteo.py).
+
+
+def _onehot_gather_kernel(H, TM):
+    def kernel(ids_ref, table_ref, out_ref):
+        ids = ids_ref[0, :]
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (TM, H), 1)
+              == ids[:, None]).astype(jnp.bfloat16)
+        out_ref[:] = jax.lax.dot_general(
+            oh, table_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block_ids", "interpret"))
+def hot_onehot_gather(hot_table: jnp.ndarray, ids: jnp.ndarray,
+                      block_ids: int = 512,
+                      interpret: bool | None = None) -> jnp.ndarray:
+    """hot_table [H, D], ids [N] -> [N, D]; ids outside [0, H) yield zero
+    rows (cold ids pass through untouched by construction)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    H, D = hot_table.shape
+    N = ids.shape[0]
+    TM = min(block_ids, N)
+    n = N
+    if n % TM:
+        pad = TM - n % TM
+        ids = jnp.concatenate([ids, jnp.full(pad, -1, ids.dtype)])
+        n += pad
+    out = pl.pallas_call(
+        _onehot_gather_kernel(H, TM),
+        grid=(n // TM,),
+        in_specs=[pl.BlockSpec((1, TM), lambda i: (0, i)),
+                  pl.BlockSpec((H, D), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((TM, D), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, D), hot_table.dtype),
+        interpret=interpret,
+    )(ids.astype(jnp.int32).reshape(1, n), hot_table)
+    return out[:N]
+
+
+def _onehot_push_kernel(TH):
+    def kernel(ids_ref, grads_ref, out_ref):
+        i = pl.program_id(0)
+        n = ids_ref.shape[1]
+        ids = ids_ref[0, :]
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (TH, n), 0) + i * TH
+              == ids[None, :]).astype(jnp.bfloat16)
+        out_ref[:] = jax.lax.dot_general(
+            oh, grads_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_rows", "block_rows", "interpret"))
+def hot_onehot_push(ids: jnp.ndarray, grads: jnp.ndarray, num_rows: int,
+                    block_rows: int = 512,
+                    interpret: bool | None = None) -> jnp.ndarray:
+    """ids [N], grads [N, D] -> delta [num_rows, D] f32 segment-sum
+    (duplicates accumulate; ids outside [0, num_rows) are dropped).
+
+    The MXU replacement for `jax.ops.segment_sum` / scatter-add when the
+    segment space is small (a hot block, a cache, an all-to-all bucket)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    N, D = grads.shape
+    TH = min(block_rows, num_rows)
+    assert num_rows % TH == 0, (num_rows, TH)
+    return pl.pallas_call(
+        _onehot_push_kernel(TH),
+        grid=(num_rows // TH,),
+        in_specs=[pl.BlockSpec((1, N), lambda i: (0, 0)),
+                  pl.BlockSpec((N, D), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((TH, D), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_rows, D), jnp.float32),
+        interpret=interpret,
+    )(ids.astype(jnp.int32).reshape(1, N), grads)
+
+
+# ----------------------------------------------------------------------
 # FM second-order interaction
 # ----------------------------------------------------------------------
 

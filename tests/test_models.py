@@ -31,3 +31,17 @@ def test_model_trains_one_epoch(name):
     preds = eng.predict(state, dense[:BATCH], sparse[:BATCH])
     assert np.asarray(preds).shape == (BATCH,)
     assert (np.asarray(preds) >= 0).all() and (np.asarray(preds) <= 1).all()
+
+
+def test_fae_variants_registered():
+    """The 4 reference fae_* builders exist and are tagged for FaeEngine
+    (reference: examples/ctr/models/fae_*.py)."""
+    from herald_tpu.models import available_models, get_model
+    names = available_models()
+    assert len(names) >= 21
+    for name in ("fae_wdl_criteo", "fae_dfm_avazu",
+                 "fae_dcn_criteosearch", "fae_ncf_movie"):
+        m = get_model(name)
+        assert m.train_engine == "fae"
+        base = get_model(name[4:])
+        assert m.spec is base.spec and m.apply is base.apply

@@ -44,3 +44,33 @@ def test_fm_second_order_matches_reference_math():
     out = fm_second_order(jnp.asarray(emb), interpret=True)
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4,
                                atol=1e-4)
+
+
+def test_hot_onehot_gather_zero_for_cold_ids():
+    from herald_tpu.ops.pallas import hot_onehot_gather
+    rng = np.random.default_rng(3)
+    H, D, N = 256, 128, 96
+    table = rng.standard_normal((H, D)).astype(np.float32)
+    ids = np.where(rng.random(N) < 0.7, rng.integers(0, H, N),
+                   1_000_000).astype(np.int32)
+    out = np.asarray(hot_onehot_gather(jnp.asarray(table), jnp.asarray(ids),
+                                       block_ids=32, interpret=True))
+    expect = np.where((ids < H)[:, None], table[np.clip(ids, 0, H - 1)], 0.0)
+    np.testing.assert_allclose(out, expect, rtol=1e-6, atol=1e-6)
+
+
+def test_hot_onehot_push_is_exact_segment_sum():
+    from herald_tpu.ops.pallas import hot_onehot_push
+    rng = np.random.default_rng(4)
+    H, D, N = 256, 128, 200
+    # duplicates + cold (out-of-range) ids
+    ids = np.where(rng.random(N) < 0.8, rng.integers(0, H, N),
+                   1_000_000).astype(np.int32)
+    grads = rng.standard_normal((N, D)).astype(np.float32)
+    out = np.asarray(hot_onehot_push(jnp.asarray(ids), jnp.asarray(grads),
+                                     num_rows=H, block_rows=64,
+                                     interpret=True))
+    expect = np.zeros((H, D), np.float32)
+    np.add.at(expect, np.clip(ids, 0, H - 1),
+              np.where((ids < H)[:, None], grads, 0.0))
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
