@@ -7,3 +7,8 @@ from herald_tpu.data.datasets import (
 )
 from herald_tpu.data.loaders import Dataloader, LookaheadDataloader
 from herald_tpu.data.prefetch import DevicePrefetcher
+from herald_tpu.data.preprocess import (
+    preprocess_avazu,
+    preprocess_criteo,
+    preprocess_criteo_search,
+)

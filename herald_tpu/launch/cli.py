@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-path", default=None,
                    help="dir with preprocessed .npy files (reference "
                         "load_data.py layout); default: synthetic")
+    p.add_argument("--preprocess-raw", default=None,
+                   help="raw dataset file (criteo train.txt / avazu "
+                        "train.csv / CriteoSearchData); preprocessed into "
+                        "--data-path first (reference download_* step)")
     p.add_argument("--samples", type=int, default=200_000,
                    help="synthetic sample count when no --data-path")
     p.add_argument("--val-ratio", type=float, default=0.1)
@@ -102,6 +106,13 @@ def run_training(args) -> dict:
         table_dtype=jnp.bfloat16 if args.bf16_table else np.float32)
     model = get_model(cfg.model)
     spec = dataset_for_model(cfg.model)
+    if args.preprocess_raw:
+        from herald_tpu.data import (preprocess_avazu, preprocess_criteo,
+                                     preprocess_criteo_search)
+        pp = {"criteo": preprocess_criteo, "avazu": preprocess_avazu,
+              "criteosearch": preprocess_criteo_search}[spec.name]
+        assert args.data_path, "--preprocess-raw requires --data-path"
+        pp(args.preprocess_raw, args.data_path, seed=args.seed)
     dense, sparse, labels = load_dataset(spec, args.data_path,
                                          num_samples=args.samples,
                                          seed=cfg.seed, num_rows=args.rows)

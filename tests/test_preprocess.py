@@ -1,0 +1,113 @@
+"""Raw-dataset preprocessing tests: tiny synthetic files in the reference
+raw layouts -> processed .npy -> load_dataset round trip.
+
+Reference semantics under test: examples/ctr/models/load_data.py
+(process_dense_feats / process_sparse_feats / 90-10 split / .npy layout).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from herald_tpu.data import DATASETS, load_dataset
+from herald_tpu.data.preprocess import (preprocess_avazu, preprocess_criteo,
+                                        preprocess_criteo_search)
+
+
+def _write(path, rows, delim):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(delim.join(str(x) for x in r) + "\n")
+
+
+def test_criteo_preprocess_semantics(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 50
+    rows = []
+    for i in range(n):
+        label = int(rng.integers(0, 2))
+        dense = [("" if rng.random() < 0.2 else round(float(rng.integers(-2, 100)), 1))
+                 for _ in range(13)]
+        sparse = [("" if rng.random() < 0.2 else f"v{rng.integers(0, 5)}")
+                  for _ in range(26)]
+        rows.append([label] + dense + sparse)
+    raw = tmp_path / "train.txt"
+    _write(raw, rows, "\t")
+    out = tmp_path / "processed"
+    dense, sparse, labels = preprocess_criteo(str(raw), str(out), seed=0)
+
+    # 90/10 split + all six files exist
+    assert len(labels) == n - n // 10
+    for name in ("train_dense_feats.npy", "train_sparse_feats.npy",
+                 "train_labels.npy", "test_dense_feats.npy",
+                 "test_sparse_feats.npy", "test_labels.npy"):
+        assert (out / name).exists()
+
+    # dense transform: log(x+1) for x > -1, else -1; missing -> 0 -> log(1)=0
+    assert dense.shape[1] == 13
+    assert np.isfinite(dense).all()
+    raw_dense = np.array([[0.0 if r[1 + j] == "" else float(r[1 + j])
+                           for j in range(13)] for r in rows])
+    lo = np.where(raw_dense > -1, np.log(np.maximum(raw_dense, -0.999) + 1),
+                  -1.0)
+    # spot-check via the global min/max (order differs by the split perm)
+    assert dense.min() >= lo.min() - 1e-5 and dense.max() <= lo.max() + 1e-5
+
+    # sparse: per-column disjoint contiguous ID ranges, cumulative offsets
+    assert sparse.shape[1] == 26
+    te_sparse = np.load(out / "test_sparse_feats.npy")
+    all_sparse = np.concatenate([sparse, te_sparse])
+    offset = 0
+    for f in range(26):
+        col = all_sparse[:, f]
+        uniq = np.unique(col)
+        assert uniq.min() == offset, (f, uniq.min(), offset)
+        assert np.array_equal(uniq, np.arange(offset, offset + len(uniq)))
+        offset += len(uniq)
+
+    # load_dataset consumes the processed layout
+    d2, s2, y2 = load_dataset(DATASETS["criteo"], str(out))
+    assert d2.shape == dense.shape and s2.shape == sparse.shape
+    np.testing.assert_array_equal(s2, sparse)
+
+
+def test_avazu_and_criteosearch_layouts(tmp_path):
+    rng = np.random.default_rng(1)
+    n = 40
+    # avazu: header + id,click,I1,C1,I2,C2..C10,I3,I4,C11..C18
+    header = (["id", "click", "I1", "C1", "I2"]
+              + [f"C{i}" for i in range(2, 11)] + ["I3", "I4"]
+              + [f"C{i}" for i in range(11, 19)])
+    rows = [header]
+    for i in range(n):
+        r = [i, int(rng.integers(0, 2)), rng.integers(0, 9), f"a{rng.integers(0,4)}",
+             rng.integers(0, 9)]
+        r += [f"b{rng.integers(0, 4)}" for _ in range(9)]
+        r += [rng.integers(0, 9), rng.integers(0, 9)]
+        r += [f"c{rng.integers(0, 4)}" for _ in range(8)]
+        rows.append(r)
+    raw = tmp_path / "train.csv"
+    _write(raw, rows, ",")
+    dense, sparse, labels = preprocess_avazu(str(raw), str(tmp_path / "av"),
+                                             seed=0)
+    assert dense.shape[1] == DATASETS["avazu"].num_dense == 4
+    assert sparse.shape[1] == DATASETS["avazu"].num_sparse == 18
+    assert set(np.unique(labels)) <= {0.0, 1.0}
+
+    # criteosearch: sale, salesamount, timedelay, I1..I3, C4..C20
+    rows = []
+    for i in range(n):
+        r = [int(rng.integers(0, 2)), round(float(rng.random()), 3),
+             rng.integers(0, 99)]
+        r += [rng.integers(-2, 99) for _ in range(3)]
+        r += [f"h{rng.integers(0, 6)}" for _ in range(17)]
+        rows.append(r)
+    raw2 = tmp_path / "CriteoSearchData"
+    _write(raw2, rows, "\t")
+    dense, sparse, labels = preprocess_criteo_search(
+        str(raw2), str(tmp_path / "cs"), seed=0)
+    assert dense.shape[1] == DATASETS["criteosearch"].num_dense == 3
+    assert sparse.shape[1] == DATASETS["criteosearch"].num_sparse == 17
+    # search variant maps x <= -1 to 0.0 (never -1)
+    assert (dense >= 0).all() or dense.min() > -1
