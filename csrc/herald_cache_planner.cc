@@ -31,6 +31,21 @@
 // or beyond the per-owner-shard routing capacity are deferred (stay dirty)
 // rather than dropped, so the device never overflows on the push path.
 //
+// Performance design (planning must keep pace with ~ms TPU steps; the
+// reference's answer was top-K filtering + shm fan-out, ours is):
+//  * per-key worker state lives in ONE interleaved word: bit z = worker z
+//    caches the key, bit HALF+z = that copy is dirty. Scoring costs one
+//    random probe per (sample, key) and stashes the word, so the
+//    planned-flush pass over other workers' samples re-reads the stashed
+//    words sequentially instead of probing hash maps (~nrank x fewer
+//    random accesses, which dominate at Criteo key-space sizes);
+//  * SlotCache uses a pre-allocated entry pool + open-addressing hash with
+//    backward-shift deletion — no allocation or malloc contention in
+//    steady state;
+//  * per-worker transactions run on a persistent thread pool; the only
+//    shared writes are each worker's own bits in the state words (atomic
+//    RMW), so the parallel schedule is deterministic.
+//
 // Build: g++ -O3 -std=c++17 -shared -fPIC herald_cache_planner.cc -o libherald_planner.so -lpthread
 
 #include <algorithm>
@@ -44,16 +59,15 @@
 #include <mutex>
 #include <numeric>
 #include <thread>
-#include <unordered_map>
 #include <vector>
 #include <chrono>
 
+#include "herald_common.h"
+
 namespace herald {
 
-using key_t_ = int64_t;
-
 // ---------------------------------------------------------------------
-// Slot-tracking LRU cache state machine (host mirror of the device-side
+// Slot-tracking cache state machine (host mirror of the device-side
 // cache array). Replaces both MiniLRUCache (simulation) and the reference
 // LRUCache/Embedding-Line bookkeeping (slots + dirty + stale).
 // ---------------------------------------------------------------------
@@ -77,7 +91,7 @@ public:
         bool used;
     };
 
-    void init(int capacity, key_t_ key_space, Policy policy = Policy::LRU) {
+    void init(int capacity, Policy policy = Policy::LRU) {
         cap_ = capacity;
         policy_ = policy;
         // LFUOPT: reference kUseCntMax = 10 (lfuopt_cache.h:19)
@@ -89,17 +103,17 @@ public:
             entries_[s].slot = s;
             free_.push_back(capacity - 1 - s);   // allocate slot 0 first
         }
-        map_.reserve(capacity * 2);
-        bitmap_.assign(static_cast<size_t>(key_space), 0);
+        size_t want = 16;
+        while (want < 2 * size_t(capacity + 2)) want <<= 1;
+        hslots_.assign(want, -1);
+        hmask_ = want - 1;
         heads_.assign(freq_cap_ + 1, -1);
         tails_.assign(freq_cap_ + 1, -1);
     }
 
-    bool check(key_t_ key) const { return bitmap_[key] != 0; }
-
     Entry *find(key_t_ key) {
-        auto it = map_.find(key);
-        return it == map_.end() ? nullptr : &entries_[it->second];
+        int32_t n = hslots_[probe(key)];
+        return n < 0 ? nullptr : &entries_[n];
     }
 
     // Insert `key`; returns the slot. If eviction was needed, *evicted is
@@ -115,8 +129,7 @@ public:
             *evicted = entries_[slot];
             *had_evict = true;
             detach(slot);
-            map_.erase(entries_[slot].key);
-            bitmap_[entries_[slot].key] = 0;
+            erase_hslot(probe(entries_[slot].key));
         }
         Entry &e = entries_[slot];
         e.key = key;
@@ -125,8 +138,7 @@ public:
         e.freq = 0;
         e.used = true;
         attach_front(slot);
-        map_[key] = slot;
-        bitmap_[key] = 1;
+        hslots_[probe(key)] = int32_t(slot);
         return slot;
     }
 
@@ -137,15 +149,38 @@ public:
         attach_front(slot);
     }
 
-    size_t size() const { return map_.size(); }
-
-    // iterate all resident entries
+    // iterate all resident entries (entry reuse keeps `used` accurate:
+    // a used entry always holds the currently-resident key of its slot)
     template <class F>
     void for_each(F &&f) {
-        for (auto &kv : map_) f(entries_[kv.second]);
+        for (auto &e : entries_)
+            if (e.used) f(e);
     }
 
 private:
+    // hash slot holding `key`, or the empty slot where it would go
+    size_t probe(key_t_ key) const {
+        size_t h = hash64(uint64_t(key)) & hmask_;
+        while (hslots_[h] != -1 && entries_[hslots_[h]].key != key)
+            h = (h + 1) & hmask_;
+        return h;
+    }
+
+    // backward-shift deletion keeps linear probing tombstone-free
+    void erase_hslot(size_t i) {
+        size_t j = i;
+        for (;;) {
+            j = (j + 1) & hmask_;
+            if (hslots_[j] == -1) break;
+            size_t k = hash64(uint64_t(entries_[hslots_[j]].key)) & hmask_;
+            if (((j - k) & hmask_) >= ((j - i) & hmask_)) {
+                hslots_[i] = hslots_[j];
+                i = j;
+            }
+        }
+        hslots_[i] = -1;
+    }
+
     int victim() const {
         // lowest non-empty frequency bucket, LRU within it. Under LFUOPT
         // the top (permanent) bucket is exempt unless it is all there is.
@@ -179,8 +214,8 @@ private:
     int freq_cap_ = 0;
     std::vector<Entry> entries_;
     std::vector<int> free_;
-    std::unordered_map<key_t_, int> map_;
-    std::vector<uint8_t> bitmap_;
+    std::vector<int32_t> hslots_;
+    size_t hmask_ = 0;
     std::vector<int> heads_, tails_;
 };
 
@@ -195,23 +230,41 @@ struct MicroProgram {
     std::vector<std::vector<int32_t>> flush_slots;
 };
 
-class CachePlanner {
+struct IPlanner {
+    virtual ~IPlanner() = default;
+    virtual void start() = 0;
+    virtual bool pop(MicroProgram &out) = 0;
+    virtual size_t queue_length() = 0;
+    virtual void perf(long out[5]) const = 0;
+    virtual long iter_time_us() const = 0;
+    virtual void phase_times(long out[4]) const = 0;
+    virtual void dirty_dump(int worker, std::vector<key_t_> &ids,
+                            std::vector<int32_t> &slots) = 0;
+};
+
+// MaskT holds both halves of a key's per-worker state: bit z = cached by
+// worker z, bit HALF+z = that cached copy is dirty. nrank <= HALF.
+template <class MaskT>
+class CachePlannerT final : public IPlanner {
+    static constexpr int HALF = int(sizeof(MaskT)) * 4;
+
 public:
-    CachePlanner(const key_t_ *ids, int64_t num_samples, int num_tables,
-                 int nrank, int mbs, int64_t batch_num, int epochs,
-                 int64_t cache_rows, int flush_cap, int owner_cap,
-                 int num_shards, int64_t rows_per_shard, int top_k,
-                 const int *table_order, int n_threads, int queue_cap,
-                 int policy = 0)
-        : num_samples_(num_samples), num_tables_(num_tables), nrank_(nrank),
-          mbs_(mbs), batch_num_(batch_num), epochs_(epochs),
+    CachePlannerT(const key_t_ *ids, int64_t num_samples, int num_tables,
+                  int nrank, int mbs, int64_t batch_num, int epochs,
+                  int64_t cache_rows, int flush_cap, int owner_cap,
+                  int num_shards, int64_t rows_per_shard, int top_k,
+                  const int *table_order, int n_threads, int queue_cap,
+                  int policy = 0, int assign_mode = 0)
+        : ids_(ids), num_samples_(num_samples), num_tables_(num_tables),
+          nrank_(nrank), mbs_(mbs), batch_num_(batch_num), epochs_(epochs),
           flush_cap_(flush_cap), owner_cap_(owner_cap),
           num_shards_(num_shards), rows_per_shard_(rows_per_shard),
           top_k_(top_k > 0 ? std::min<int>(top_k, num_tables) : num_tables),
-          n_threads_(std::max(1, n_threads)), queue_cap_(queue_cap) {
-        ids_.assign(ids, ids + num_samples * num_tables);
+          n_threads_(std::max(1, n_threads)), queue_cap_(queue_cap),
+          assign_mode_(assign_mode), pool_(std::max(1, n_threads)) {
         key_t_ max_key = 0;
-        for (auto k : ids_) max_key = std::max(max_key, k);
+        for (int64_t i = 0; i < num_samples_ * num_tables_; i++)
+            max_key = std::max(max_key, ids_[i]);
         key_space_ = max_key + 1;
         // every key must have a valid owner shard: keys outside the padded
         // table would index owner bookkeeping out of bounds
@@ -222,9 +275,8 @@ public:
                 + std::to_string(int64_t(num_shards_) * rows_per_shard_));
         caches_.resize(nrank_);
         for (auto &c : caches_)
-            c.init(int(cache_rows), key_space_,
-                   static_cast<Policy>(policy));
-        cached_by_.assign(size_t(key_space_), 0);   // worker bitmask per key
+            c.init(int(cache_rows), static_cast<Policy>(policy));
+        state_.assign(size_t(key_space_), 0);
         miss_pull_.assign(nrank_, 0);
         miss_push_.assign(nrank_, 0);
         update_pull_.assign(nrank_, 0);
@@ -239,9 +291,9 @@ public:
         order_.resize(top_k_);
     }
 
-    ~CachePlanner() { stop(); }
+    ~CachePlannerT() override { stop(); }
 
-    void start() { worker_ = std::thread([this] { run(); }); }
+    void start() override { worker_ = std::thread([this] { run(); }); }
 
     void stop() {
         close_.store(true);
@@ -250,7 +302,7 @@ public:
         if (worker_.joinable()) worker_.join();
     }
 
-    bool pop(MicroProgram &out) {
+    bool pop(MicroProgram &out) override {
         std::unique_lock<std::mutex> lk(mut_);
         cv_pop_.wait(lk, [this] {
             return !queue_.empty() || done_ || close_.load();
@@ -262,12 +314,12 @@ public:
         return true;
     }
 
-    size_t queue_length() {
+    size_t queue_length() override {
         std::lock_guard<std::mutex> lk(mut_);
         return queue_.size();
     }
 
-    void perf(long out[5]) const {
+    void perf(long out[5]) const override {
         auto avg = [&](const std::vector<long> &v) {
             return std::accumulate(v.begin(), v.end(), 0L) / nrank_;
         };
@@ -278,17 +330,22 @@ public:
         out[4] = avg(deferred_flush_);
     }
 
-    long iter_time_us() const {
+    long iter_time_us() const override {
         if (iter_times_.empty()) return 0;
         return std::accumulate(iter_times_.begin(), iter_times_.end(), 0L)
                / long(iter_times_.size());
+    }
+
+    // cumulative per-phase planning µs: score / assign / plan / stale
+    void phase_times(long out[4]) const override {
+        for (int i = 0; i < 4; i++) out[i] = phase_us_[i];
     }
 
     // Final sync: list every dirty row (id, slot) per worker so the engine
     // can flush residual deltas before eval/checkpoint. Only call after the
     // planning thread finished (end of epochs).
     void dirty_dump(int worker, std::vector<key_t_> &ids,
-                    std::vector<int32_t> &slots) {
+                    std::vector<int32_t> &slots) override {
         caches_[worker].for_each([&](SlotCache::Entry &e) {
             if (e.dirty) {
                 ids.push_back(e.key);
@@ -298,12 +355,27 @@ public:
     }
 
 private:
+    static constexpr MaskT cbit(int z) { return MaskT(MaskT(1) << z); }
+    static constexpr MaskT dbit(int z) {
+        return MaskT(MaskT(1) << (HALF + z));
+    }
+    static constexpr MaskT low_half() {
+        return MaskT((MaskT(1) << HALF) - 1);
+    }
+
+    void set_bits(key_t_ k, MaskT bits) {
+        __atomic_fetch_or(&state_[k], bits, __ATOMIC_RELAXED);
+    }
+    void clear_bits(key_t_ k, MaskT bits) {
+        __atomic_fetch_and(&state_[k], MaskT(~bits), __ATOMIC_RELAXED);
+    }
+
     void profile_tables() {
         order_.resize(num_tables_);
         std::iota(order_.begin(), order_.end(), 0);
         int64_t sample_n = std::min<int64_t>(num_samples_, 200000);
         std::vector<double> reuse(num_tables_, 0.0);
-        for (int t = 0; t < num_tables_; t++) {
+        pool_.parallel_for(num_tables_, [&](int t) {
             std::vector<key_t_> col;
             col.reserve(sample_n);
             for (int64_t i = 0; i < sample_n; i++)
@@ -311,7 +383,7 @@ private:
             std::sort(col.begin(), col.end());
             int64_t uniq = std::unique(col.begin(), col.end()) - col.begin();
             reuse[t] = 1.0 - double(uniq) / double(sample_n);
-        }
+        });
         std::stable_sort(order_.begin(), order_.end(),
                          [&](int a, int b) { return reuse[a] > reuse[b]; });
     }
@@ -354,35 +426,45 @@ private:
 
     MicroProgram plan_batch(int64_t start, std::vector<int> &scores) {
         int64_t gbs = int64_t(nrank_) * mbs_;
+        const MaskT *state = state_.data();
+        auto tick = std::chrono::steady_clock::now();
+        auto lap = [&](int phase) {
+            auto now = std::chrono::steady_clock::now();
+            phase_us_[phase] +=
+                std::chrono::duration_cast<std::chrono::microseconds>(
+                    now - tick).count();
+            tick = now;
+        };
 
-        // ---- 1. affinity scoring (parallel over samples) ----------------
+        // ---- 1. affinity scoring (parallel over sample chunks) ----------
+        // one random probe per (sample, table); the full state word is
+        // stashed in mwords_ so the planned-flush pass below reads
+        // sequential memory instead of re-probing. Round-robin mode
+        // (reference naive_scheduler, python/hetu/laia/laia.pyx:163-189)
+        // skips the scoring but still stashes the words.
         std::fill(scores.begin(), scores.end(), 0);
-        auto score_span = [&](int64_t lo, int64_t hi) {
+        mwords_.resize(gbs * num_tables_);
+        int n_chunks = n_threads_;
+        int64_t chunk = (gbs + n_chunks - 1) / n_chunks;
+        pool_.parallel_for(n_chunks, [&](int c) {
+            int64_t lo = c * chunk, hi = std::min<int64_t>(gbs, lo + chunk);
             for (int64_t i = lo; i < hi; i++) {
                 const key_t_ *s = sample(start + i);
+                MaskT *mw = &mwords_[i * num_tables_];
+                for (int t = 0; t < num_tables_; t++) mw[t] = state[s[t]];
+                if (assign_mode_ == 1) continue;
                 int *row = &scores[i * nrank_];
                 for (int k = 0; k < top_k_; k++) {
-                    uint64_t mask = cached_by_[s[order_[k]]];
-                    while (mask) {
-                        int z = __builtin_ctzll(mask);
-                        mask &= mask - 1;
-                        row[z] += 1;
+                    MaskT m = MaskT(mw[order_[k]] & low_half());
+                    while (m) {
+                        row[__builtin_ctzll(
+                            (unsigned long long)m)]++;
+                        m &= MaskT(m - 1);
                     }
                 }
             }
-        };
-        if (n_threads_ > 1) {
-            std::vector<std::thread> ts;
-            int64_t chunk = (gbs + n_threads_ - 1) / n_threads_;
-            for (int t = 0; t < n_threads_; t++) {
-                int64_t lo = t * chunk, hi = std::min(gbs, lo + chunk);
-                if (lo >= hi) break;
-                ts.emplace_back(score_span, lo, hi);
-            }
-            for (auto &t : ts) t.join();
-        } else {
-            score_span(0, gbs);
-        }
+        });
+        lap(0);
 
         // ---- 2. greedy load-balanced assignment --------------------------
         MicroProgram mp;
@@ -402,36 +484,55 @@ private:
                          [&](int64_t a, int64_t b) {
                              return best[a] > best[b];
                          });
-        for (int64_t oi = 0; oi < gbs; oi++) {
-            int64_t i = order_idx[oi];
-            const int *row = &scores[i * nrank_];
-            int pick = -1, pick_score = -1;
-            for (int z = 0; z < nrank_; z++) {
-                if (load[z] < mbs_ && row[z] > pick_score) {
-                    pick_score = row[z];
-                    pick = z;
-                }
+        local_of_slot_.resize(gbs);
+        if (assign_mode_ == 1) {
+            // round-robin: sample i -> worker i % nrank (reference
+            // dataloader strided shard, python/hetu/dataloader.py:26)
+            for (int64_t i = 0; i < gbs; i++) {
+                int w = int(i % nrank_);
+                int64_t slot = int64_t(w) * mbs_ + (i / nrank_);
+                mp.assign[slot] = (start + i) % num_samples_;
+                local_of_slot_[slot] = int32_t(i);
             }
-            mp.assign[int64_t(pick) * mbs_ + load[pick]] =
-                (start + i) % num_samples_;
-            load[pick]++;
+        } else {
+            for (int64_t oi = 0; oi < gbs; oi++) {
+                int64_t i = order_idx[oi];
+                const int *row = &scores[i * nrank_];
+                int pick = -1, pick_score = -1;
+                for (int z = 0; z < nrank_; z++) {
+                    if (load[z] < mbs_ && row[z] > pick_score) {
+                        pick_score = row[z];
+                        pick = z;
+                    }
+                }
+                int64_t slot = int64_t(pick) * mbs_ + load[pick];
+                mp.assign[slot] = (start + i) % num_samples_;
+                local_of_slot_[slot] = int32_t(i);
+                load[pick]++;
+            }
         }
+        lap(1);
 
         // ---- 3. per-worker cache transactions (parallel per worker) -----
         // Comm plan for worker z: keys in OTHER workers' batches that are
-        // valid (fresh or stale-but-resident matters only if dirty) in z's
-        // cache -> flush so the owner serves fresh rows.
+        // dirty in z's cache -> flush so the owner serves fresh rows.
         // Processing order inside a step: batch transactions FIRST so that
         // mandatory flushes (stale-refresh + eviction) always fit — their
         // count is bounded by the batch's unique keys (each key is either a
         // refresh or at most one eviction) <= flush_cap_. Planned flushes
         // (rows other workers read) then fill the remaining budget and are
         // deferred past it (rows simply stay dirty one step longer).
-        std::vector<std::vector<key_t_>> flush_sets(nrank_);
+        //
+        // Parallel-safe and deterministic: worker z mutates only its own
+        // cache and its own bits of the state words (atomic RMW); the
+        // planned pass filters on the PRE-BATCH stashed dirty words and
+        // verifies against z's live cache, which reproduces the live
+        // dirty test exactly (a stashed dirty bit can only go stale
+        // through z's own batch transactions, which the live verify and
+        // the own-batch binary_search skip already handle).
         auto plan_worker = [&](int z) {
             SlotCache &c = caches_[z];
             auto emit_flush = [&](key_t_ key, int slot) {
-                flush_sets[z].push_back(key);
                 mp.flush_ids[z].push_back(key);
                 mp.flush_slots[z].push_back(slot);
             };
@@ -462,6 +563,7 @@ private:
                     if (e->dirty) {                // flush-before-refresh
                         emit_flush(e->key, e->slot);
                         e->dirty = false;
+                        clear_bits(e->key, dbit(z));
                     }
                     e->stale = false;
                     c.touch(e->slot);
@@ -473,7 +575,7 @@ private:
                     SlotCache::Entry victim;
                     int slot = c.insert(key, &evicted, &victim);
                     if (evicted) {
-                        cached_by_[victim.key] &= ~(1ull << z);
+                        clear_bits(victim.key, MaskT(cbit(z) | dbit(z)));
                         if (victim.dirty) {
                             // eviction flush: device phase 1 reads the
                             // delta BEFORE phase 3 overwrites the slot
@@ -481,7 +583,7 @@ private:
                             miss_push_[z]++;
                         }
                     }
-                    cached_by_[key] |= (1ull << z);
+                    set_bits(key, cbit(z));
                     slots[q] = slot;
                     pulls[q] = 1;
                     miss_pull_[z]++;
@@ -490,18 +592,27 @@ private:
                 // runs after the flush phase, so flushing above and
                 // re-dirtying here matches the device exactly)
                 c.find(key)->dirty = true;
+                set_bits(key, dbit(z));
             }
 
             // --- planned flushes: rows OTHER workers read this batch that
-            // are dirty here, within the remaining flush budget
+            // are dirty here, within the remaining flush budget. The
+            // stashed pre-batch dirty bit is a fast filter; the live cache
+            // verifies (covers evictions/flushes from the batch phase).
             long planned = 0;
             std::vector<int> owner_used(num_shards_, 0);
+            const MaskT dz = dbit(z);
             for (int w = 0; w < nrank_ ; w++) {
                 if (w == z) continue;
                 for (int j = 0; j < mbs_; j++) {
-                    const key_t_ *s =
-                        &ids_[mp.assign[int64_t(w) * mbs_ + j] * num_tables_];
+                    int64_t slot_idx = int64_t(w) * mbs_ + j;
+                    const key_t_ *s = &ids_[mp.assign[slot_idx]
+                                            * num_tables_];
+                    const MaskT *mw =
+                        &mwords_[int64_t(local_of_slot_[slot_idx])
+                                 * num_tables_];
                     for (int t = 0; t < num_tables_; t++) {
+                        if (!(mw[t] & dz)) continue;
                         auto *e = c.find(s[t]);
                         if (!e || !e->dirty) continue;
                         // my own batch keys were already flushed (refresh)
@@ -510,7 +621,7 @@ private:
                         if (std::binary_search(keys.begin(), keys.end(),
                                                s[t]))
                             continue;
-                        if (int(flush_sets[z].size()) >= flush_cap_) {
+                        if (int(mp.flush_ids[z].size()) >= flush_cap_) {
                             deferred_flush_[z]++;
                             continue;
                         }
@@ -522,49 +633,56 @@ private:
                         owner_used[ow]++;
                         emit_flush(e->key, e->slot);
                         e->dirty = false;
+                        clear_bits(e->key, dz);
                         planned++;
                     }
                 }
             }
             update_push_[z] += planned;
         };
-        // cached_by_ bit updates touch only worker z's bit but share the
-        // word across workers; keep sequential for correctness (scoring is
-        // the hot loop and is already parallel).
-        for (int z = 0; z < nrank_; z++) plan_worker(z);
+        pool_.parallel_for(nrank_, plan_worker);
+        lap(2);
 
         // ---- 4. cross-worker staleness from this step's flushes ---------
         for (int z = 0; z < nrank_; z++) {
-            for (key_t_ key : flush_sets[z]) {
-                uint64_t mask = cached_by_[key] & ~(1ull << z);
-                while (mask) {
-                    int j = __builtin_ctzll(mask);
-                    mask &= mask - 1;
+            for (key_t_ key : mp.flush_ids[z]) {
+                MaskT m = MaskT((state[key] & low_half()) & ~cbit(z));
+                while (m) {
+                    int j = __builtin_ctzll((unsigned long long)m);
+                    m &= MaskT(m - 1);
                     auto *e = caches_[j].find(key);
                     if (e) e->stale = true;
                 }
             }
         }
+        lap(3);
         return mp;
     }
 
-    // config
+    // config (ids_ is borrowed — the Python binding pins the buffer)
+    const key_t_ *ids_;
     int64_t num_samples_;
     int num_tables_, nrank_, mbs_;
     int64_t batch_num_;
     int epochs_, flush_cap_, owner_cap_, num_shards_;
     int64_t rows_per_shard_;
-    int top_k_, n_threads_, queue_cap_;
+    int top_k_, n_threads_, queue_cap_, assign_mode_;
     key_t_ key_space_;
-    std::vector<key_t_> ids_;
     std::vector<int> order_;
 
     // planner state
     std::vector<SlotCache> caches_;
-    std::vector<uint64_t> cached_by_;
+    std::vector<MaskT> state_;
     std::vector<long> miss_pull_, miss_push_, update_pull_, update_push_;
     std::vector<long> deferred_flush_;
     std::vector<long> iter_times_;
+    long phase_us_[4] = {0, 0, 0, 0};
+
+    // plan scratch (background thread + pool only)
+    std::vector<MaskT> mwords_;            // [gbs, T] stashed state words
+    std::vector<int32_t> local_of_slot_;   // slot -> batch-local sample
+
+    Pool pool_;
 
     // queue
     std::deque<MicroProgram> queue_;
@@ -575,17 +693,37 @@ private:
     std::thread worker_;
 };
 
+IPlanner *make_planner(const key_t_ *ids, int64_t num_samples,
+                       int num_tables, int nrank, int mbs,
+                       int64_t batch_num, int epochs, int64_t cache_rows,
+                       int flush_cap, int owner_cap, int num_shards,
+                       int64_t rows_per_shard, int top_k,
+                       const int *table_order, int n_threads, int queue_cap,
+                       int policy, int assign_mode) {
+    auto build = [&](auto tag) -> IPlanner * {
+        using MaskT = decltype(tag);
+        return new CachePlannerT<MaskT>(
+            ids, num_samples, num_tables, nrank, mbs, batch_num, epochs,
+            cache_rows, flush_cap, owner_cap, num_shards, rows_per_shard,
+            top_k, table_order, n_threads, queue_cap, policy, assign_mode);
+    };
+    if (nrank <= 8) return build(uint16_t{});
+    if (nrank <= 16) return build(uint32_t{});
+    if (nrank <= 32) return build(uint64_t{});
+    throw std::invalid_argument(
+        "CachePlanner supports at most 32 local workers (nrank="
+        + std::to_string(nrank) + "); shard planning per host");
+}
+
 } // namespace herald
 
 // ---------------------------------------------------------------------
-// C ABI
+// C ABI. `ids` is BORROWED for the planner's lifetime — the Python
+// binding pins the numpy buffer (planner.py _ids_keepalive).
 // ---------------------------------------------------------------------
 struct HPlanner {
-    herald::CachePlanner planner;
+    herald::IPlanner *planner;
     herald::MicroProgram current;
-
-    template <class... A>
-    explicit HPlanner(A &&...a) : planner(std::forward<A>(a)...) {}
 };
 
 extern "C" {
@@ -595,25 +733,27 @@ void *hplan_create(const int64_t *ids, int64_t num_samples, int num_tables,
                    int64_t cache_rows, int flush_cap, int owner_cap,
                    int num_shards, int64_t rows_per_shard, int top_k,
                    const int *table_order, int n_threads, int queue_cap,
-                   int policy) {
+                   int policy, int assign_mode) {
     try {
-        return new HPlanner(ids, num_samples, num_tables, nrank, mbs,
-                            batch_num, epochs, cache_rows, flush_cap,
-                            owner_cap, num_shards, rows_per_shard, top_k,
-                            table_order, n_threads, queue_cap, policy);
+        auto *h = new HPlanner();
+        h->planner = herald::make_planner(
+            ids, num_samples, num_tables, nrank, mbs, batch_num, epochs,
+            cache_rows, flush_cap, owner_cap, num_shards, rows_per_shard,
+            top_k, table_order, n_threads, queue_cap, policy, assign_mode);
+        return h;
     } catch (const std::exception &e) {
         fprintf(stderr, "hplan_create failed: %s\n", e.what());
         return nullptr;
     }
 }
 
-void hplan_start(void *h) { static_cast<HPlanner *>(h)->planner.start(); }
+void hplan_start(void *h) { static_cast<HPlanner *>(h)->planner->start(); }
 
 // Phase 1: fill assign [nrank*mbs]; sizes_out [nrank*2] = (u, f) per worker.
 // Returns 0 ok, -1 end of stream.
 int hplan_pop_begin(void *h, int64_t *assign_out, int64_t *sizes_out) {
     auto *p = static_cast<HPlanner *>(h);
-    if (!p->planner.pop(p->current)) return -1;
+    if (!p->planner->pop(p->current)) return -1;
     std::memcpy(assign_out, p->current.assign.data(),
                 p->current.assign.size() * sizeof(int64_t));
     size_t nr = p->current.slots.size();
@@ -647,15 +787,20 @@ void hplan_pop_finish(void *h, int32_t *slots_out, uint8_t *pulls_out,
 }
 
 int64_t hplan_queue_length(void *h) {
-    return int64_t(static_cast<HPlanner *>(h)->planner.queue_length());
+    return int64_t(static_cast<HPlanner *>(h)->planner->queue_length());
 }
 
 void hplan_perf(void *h, long *out5) {
-    static_cast<HPlanner *>(h)->planner.perf(out5);
+    static_cast<HPlanner *>(h)->planner->perf(out5);
 }
 
 long hplan_iter_time_us(void *h) {
-    return static_cast<HPlanner *>(h)->planner.iter_time_us();
+    return static_cast<HPlanner *>(h)->planner->iter_time_us();
+}
+
+// cumulative per-phase planning µs: [score, assign, plan, stale]
+void hplan_phase_times(void *h, long *out4) {
+    static_cast<HPlanner *>(h)->planner->phase_times(out4);
 }
 
 // Fill ids/slots with worker's dirty rows; returns count. Call with
@@ -665,7 +810,7 @@ int64_t hplan_dirty_dump(void *h, int worker, int64_t *ids_out,
     auto *p = static_cast<HPlanner *>(h);
     std::vector<int64_t> ids;
     std::vector<int32_t> slots;
-    p->planner.dirty_dump(worker, ids, slots);
+    p->planner->dirty_dump(worker, ids, slots);
     if (ids_out) {
         std::memcpy(ids_out, ids.data(), ids.size() * sizeof(int64_t));
         std::memcpy(slots_out, slots.data(), slots.size() * sizeof(int32_t));
@@ -673,6 +818,10 @@ int64_t hplan_dirty_dump(void *h, int worker, int64_t *ids_out,
     return int64_t(ids.size());
 }
 
-void hplan_destroy(void *h) { delete static_cast<HPlanner *>(h); }
+void hplan_destroy(void *h) {
+    auto *p = static_cast<HPlanner *>(h);
+    delete p->planner;
+    delete p;
+}
 
 } // extern "C"

@@ -20,10 +20,12 @@ _lock = threading.Lock()
 def _build(src_name: str, lib_name: str, rebuild: bool) -> str:
     src = os.path.join(_CSRC, src_name)
     lib = os.path.join(_LIB_DIR, lib_name)
+    deps = [src, os.path.join(_CSRC, "herald_common.h")]
     with _lock:
-        if rebuild or not os.path.exists(lib) or (
-                os.path.exists(src)
-                and os.path.getmtime(src) > os.path.getmtime(lib)):
+        if rebuild or not os.path.exists(lib) or any(
+                os.path.exists(d)
+                and os.path.getmtime(d) > os.path.getmtime(lib)
+                for d in deps):
             cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
                    "-o", lib, src, "-lpthread"]
             subprocess.run(cmd, check=True, capture_output=True, text=True)

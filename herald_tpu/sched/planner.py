@@ -45,7 +45,9 @@ class _PlannerLib:
                 ctypes.c_int, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
                 ctypes.c_int, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
-                ctypes.c_int, ctypes.c_int]
+                ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            lib.hplan_phase_times.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_long)]
             lib.hplan_start.argtypes = [ctypes.c_void_p]
             lib.hplan_pop_begin.restype = ctypes.c_int
             lib.hplan_pop_begin.argtypes = [ctypes.c_void_p, i64p, i64p]
@@ -74,7 +76,8 @@ class CachePlanner:
                  owner_cap: Optional[int] = None, top_k: int = 0,
                  table_order: Optional[Sequence[int]] = None,
                  n_threads: int = 8, queue_cap: int = 16,
-                 drop_last: bool = True, policy: str = "lru"):
+                 drop_last: bool = True, policy: str = "lru",
+                 assign_mode: str = "affinity"):
         ids = np.ascontiguousarray(sparse_ids, np.int64)
         assert ids.ndim == 2
         n, num_tables = ids.shape
@@ -106,12 +109,16 @@ class CachePlanner:
             order_ptr = self._order.ctypes.data_as(
                 ctypes.POINTER(ctypes.c_int))
         policy_id = {"lru": 0, "lfu": 1, "lfuopt": 2}[policy.lower()]
+        # "roundrobin" = the reference's naive_scheduler baseline
+        # (laia.pyx:163-189): strided sample placement, no affinity — for
+        # A/Bing the scheduling gain with everything else held equal
+        mode_id = {"affinity": 0, "roundrobin": 1}[assign_mode.lower()]
         self._h = self._lib.hplan_create(
             ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             n, num_tables, nrank, batch_size, self.batch_num, epochs,
             cache_rows, self.F_cap, self.owner_cap, num_shards,
             rows_per_shard, top_k, order_ptr, n_threads, queue_cap,
-            policy_id)
+            policy_id, mode_id)
         if not self._h:
             raise ValueError(
                 "native cache planner rejected the configuration "
@@ -170,6 +177,13 @@ class CachePlanner:
 
     def iter_time_us(self) -> int:
         return int(self._lib.hplan_iter_time_us(self._h))
+
+    def phase_times_us(self) -> dict:
+        """Cumulative planning time per phase (planner self-profiling)."""
+        out = (ctypes.c_long * 4)()
+        self._lib.hplan_phase_times(self._h, out)
+        return {"score": out[0], "assign": out[1],
+                "plan": out[2], "stale": out[3]}
 
     def dirty_rows(self, worker: int):
         """Residual dirty (id, slot) pairs for the final sync/flush."""

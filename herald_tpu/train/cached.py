@@ -74,7 +74,8 @@ class CachedEngine(Engine):
 
     # ------------------------------------------------------------------
     def make_planner(self, sparse_ids: np.ndarray, epochs: int = 1,
-                     n_threads: int = 8) -> CachePlanner:
+                     n_threads: int = 8,
+                     assign_mode: str = "affinity") -> CachePlanner:
         return CachePlanner(
             sparse_ids, nrank=max(self.num_shards, 1),
             batch_size=self.cfg.batch_size, cache_rows=self.cache_rows,
@@ -83,7 +84,7 @@ class CachedEngine(Engine):
             flush_cap=self.F_cap,
             owner_cap=self.flush_exchange.capacity,
             top_k=self.cfg.sched_top_k_tables or 0, n_threads=n_threads,
-            policy=self.cfg.cache_policy)
+            policy=self.cfg.cache_policy, assign_mode=assign_mode)
 
     def init_cached_state(self, seed: Optional[int] = None
                           ) -> CachedTrainState:

@@ -134,3 +134,33 @@ def test_prefetch_window_serves_all_batches():
     np.testing.assert_array_equal(
         np.sort(first_epoch),
         np.arange(sched.batch_num * NRANK * MBS) % len(ids))
+
+
+def test_affinity_beats_roundrobin_on_reuse_heavy_stream():
+    """The whole point of the scheduler (reference laia naive_scheduler
+    vs LaiaScheduler A/B): with everything else equal, affinity placement
+    must produce less cache traffic than round-robin on a reuse-heavy ID
+    stream."""
+    from herald_tpu.sched.planner import CachePlanner
+    rng = np.random.default_rng(5)
+    NRANK, MBS, T = 4, 32, 8
+    n = NRANK * MBS * 24
+    ROWS = 5000
+    ids = (rng.zipf(2.0, (n, T)) - 1) % (ROWS // T)
+    ids += np.arange(T) * (ROWS // T)
+
+    def traffic(mode):
+        pl = CachePlanner(ids, nrank=NRANK, batch_size=MBS,
+                          cache_rows=MBS * T, num_shards=NRANK,
+                          rows_per_shard=(ROWS + NRANK - 1) // NRANK,
+                          epochs=1, n_threads=1, assign_mode=mode)
+        while pl.pop() is not None:
+            pass
+        p = pl.perf()
+        pl.close()
+        return sum(p[k] for k in ("miss_pull", "miss_push",
+                                  "update_pull", "update_push"))
+
+    rr = traffic("roundrobin")
+    af = traffic("affinity")
+    assert af < rr, (af, rr)
