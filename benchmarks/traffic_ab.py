@@ -30,11 +30,13 @@ from herald_tpu.sched.planner import CachePlanner
 
 
 def run_mode(ids, mode, nrank, mbs, cache_rows, rows_per_shard, emb_dim,
-             n_threads):
+             n_threads, pinned=0):
     pl = CachePlanner(ids, nrank=nrank, batch_size=mbs,
                       cache_rows=cache_rows, num_shards=nrank,
                       rows_per_shard=rows_per_shard, epochs=1,
-                      n_threads=n_threads, assign_mode=mode)
+                      n_threads=n_threads,
+                      assign_mode="affinity" if mode == "pinned" else mode,
+                      pinned_rows=pinned if mode == "pinned" else 0)
     steps = 0
     while pl.pop() is not None:
         steps += 1
@@ -73,12 +75,18 @@ def main():
                     help="cache rows as a fraction of unique IDs "
                          "(reference --cache-limit-ratio semantics)")
     ap.add_argument("--threads", type=int, default=None)
+    ap.add_argument("--pinned-rows", type=int, default=4096,
+                    help="size of the pinned replicated tier for the "
+                         "third mode (psum bytes counted separately)")
     args = ap.parse_args()
 
     model = get_model(args.model)
     rows = model.table_rows
     n = args.nrank * args.batch_size * args.batches
     _, sparse, _ = synthetic_ctr_data(model.spec, n, seed=0, num_rows=rows)
+    if args.pinned_rows:
+        from herald_tpu.data import frequency_remap
+        sparse, _ = frequency_remap(sparse, rows)
     uniq = len(np.unique(sparse))
     cache_rows = max(int(args.cache_limit_ratio * uniq),
                      args.batch_size * model.spec.num_sparse)
@@ -97,20 +105,30 @@ def main():
                           2)}))
 
     results = {}
-    for mode in ("roundrobin", "affinity"):
+    for mode in ("roundrobin", "affinity", "pinned"):
         r = run_mode(sparse, mode, args.nrank, args.batch_size, cache_rows,
-                     rows_per_shard, args.embedding_size, threads)
+                     rows_per_shard, args.embedding_size, threads,
+                     pinned=args.pinned_rows)
+        if mode == "pinned":
+            # the pinned tier's own cost: one [P, W] psum per step
+            r["pinned_rows"] = args.pinned_rows
+            r["psum_MB_per_step"] = round(
+                args.pinned_rows * args.embedding_size * 4 / 2**20, 2)
         results[mode] = r
         print(json.dumps(r))
 
-    rr = results["roundrobin"]
-    af = results["affinity"]
-    rr_rows = rr["rows_pulled_per_worker"] + rr["rows_pushed_per_worker"]
-    af_rows = af["rows_pulled_per_worker"] + af["rows_pushed_per_worker"]
+    def rows_of(m):
+        return (results[m]["rows_pulled_per_worker"]
+                + results[m]["rows_pushed_per_worker"])
+
     print(json.dumps({
-        "summary": "herald affinity vs round-robin cache",
-        "traffic_reduction": round(rr_rows / max(af_rows, 1), 3),
-        "vs_no_cache": round(vanilla_rows / max(af_rows, 1), 3),
+        "summary": "cache exchange traffic (rows/worker/epoch)",
+        "affinity_vs_roundrobin": round(
+            rows_of("roundrobin") / max(rows_of("affinity"), 1), 3),
+        "pinned_vs_affinity": round(
+            rows_of("affinity") / max(rows_of("pinned"), 1), 3),
+        "affinity_vs_no_cache": round(
+            vanilla_rows / max(rows_of("affinity"), 1), 3),
     }))
 
 

@@ -254,14 +254,15 @@ public:
                   int64_t cache_rows, int flush_cap, int owner_cap,
                   int num_shards, int64_t rows_per_shard, int top_k,
                   const int *table_order, int n_threads, int queue_cap,
-                  int policy = 0, int assign_mode = 0)
+                  int policy = 0, int assign_mode = 0, int64_t pinned = 0)
         : ids_(ids), num_samples_(num_samples), num_tables_(num_tables),
           nrank_(nrank), mbs_(mbs), batch_num_(batch_num), epochs_(epochs),
           flush_cap_(flush_cap), owner_cap_(owner_cap),
           num_shards_(num_shards), rows_per_shard_(rows_per_shard),
           top_k_(top_k > 0 ? std::min<int>(top_k, num_tables) : num_tables),
           n_threads_(std::max(1, n_threads)), queue_cap_(queue_cap),
-          assign_mode_(assign_mode), pool_(std::max(1, n_threads)) {
+          assign_mode_(assign_mode), pinned_(pinned),
+          cache_rows_(cache_rows), pool_(std::max(1, n_threads)) {
         key_t_ max_key = 0;
         for (int64_t i = 0; i < num_samples_ * num_tables_; i++)
             max_key = std::max(max_key, ids_[i]);
@@ -554,6 +555,15 @@ private:
             pulls.resize(keys.size());
             for (size_t q = 0; q < keys.size(); q++) {
                 key_t_ key = keys[q];
+                if (key < pinned_) {
+                    // pinned tier: rows [0, pinned) are replicated dense
+                    // parameters updated by psum — no cache slot, no
+                    // pull, no flush, no traffic accounting (the device
+                    // reads them from its local hot block)
+                    slots[q] = int32_t(cache_rows_);   // OOB: device drops
+                    pulls[q] = 0;
+                    continue;
+                }
                 auto *e = c.find(key);
                 if (e && !e->stale) {
                     c.touch(e->slot);
@@ -667,6 +677,7 @@ private:
     int epochs_, flush_cap_, owner_cap_, num_shards_;
     int64_t rows_per_shard_;
     int top_k_, n_threads_, queue_cap_, assign_mode_;
+    int64_t pinned_, cache_rows_;
     key_t_ key_space_;
     std::vector<int> order_;
 
@@ -699,13 +710,14 @@ IPlanner *make_planner(const key_t_ *ids, int64_t num_samples,
                        int flush_cap, int owner_cap, int num_shards,
                        int64_t rows_per_shard, int top_k,
                        const int *table_order, int n_threads, int queue_cap,
-                       int policy, int assign_mode) {
+                       int policy, int assign_mode, int64_t pinned) {
     auto build = [&](auto tag) -> IPlanner * {
         using MaskT = decltype(tag);
         return new CachePlannerT<MaskT>(
             ids, num_samples, num_tables, nrank, mbs, batch_num, epochs,
             cache_rows, flush_cap, owner_cap, num_shards, rows_per_shard,
-            top_k, table_order, n_threads, queue_cap, policy, assign_mode);
+            top_k, table_order, n_threads, queue_cap, policy, assign_mode,
+            pinned);
     };
     if (nrank <= 8) return build(uint16_t{});
     if (nrank <= 16) return build(uint32_t{});
@@ -733,13 +745,14 @@ void *hplan_create(const int64_t *ids, int64_t num_samples, int num_tables,
                    int64_t cache_rows, int flush_cap, int owner_cap,
                    int num_shards, int64_t rows_per_shard, int top_k,
                    const int *table_order, int n_threads, int queue_cap,
-                   int policy, int assign_mode) {
+                   int policy, int assign_mode, int64_t pinned) {
     try {
         auto *h = new HPlanner();
         h->planner = herald::make_planner(
             ids, num_samples, num_tables, nrank, mbs, batch_num, epochs,
             cache_rows, flush_cap, owner_cap, num_shards, rows_per_shard,
-            top_k, table_order, n_threads, queue_cap, policy, assign_mode);
+            top_k, table_order, n_threads, queue_cap, policy, assign_mode,
+            pinned);
         return h;
     } catch (const std::exception &e) {
         fprintf(stderr, "hplan_create failed: %s\n", e.what());

@@ -64,6 +64,13 @@ class HeraldConfig:
     use_cache: bool = False
     cache_policy: str = "lru"            # lru | lfu | lfuopt
     cache_limit_ratio: float = 0.1       # fraction of table rows cached
+    # pinned hot tier (cached mode): rows [0, pinned_rows) are REPLICATED
+    # dense parameters updated with a psum every step instead of living in
+    # the per-worker cache — kills the hot-row flush/refresh ping-pong
+    # (requires frequency-remapped ids: herald_tpu.data.frequency_remap).
+    # Extends the reference design (FAE's hot tier fused INTO the Herald
+    # cached engine).
+    pinned_rows: int = 0
     cache_limit: Optional[int] = None    # absolute row count, overrides ratio
     staleness_bound: int = 0             # reference --bound
 

@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--nepoch", type=int, default=1)
     p.add_argument("--cache-limit-ratio", type=float, default=0.1)
+    p.add_argument("--pinned-rows", type=int, default=0,
+                   help="scheduled mode: keep the P hottest rows as a "
+                        "replicated psum-updated block (three-tier: "
+                        "pinned-hot / cached-warm / sharded-cold); ids are "
+                        "frequency-remapped automatically")
     p.add_argument("--rows", type=int, default=None,
                    help="override embedding-table rows (scaled runs)")
     p.add_argument("--data-path", default=None,
@@ -103,6 +108,7 @@ def run_training(args) -> dict:
         optimizer=args.opt, learning_rate=args.lr,
         cache_limit_ratio=args.cache_limit_ratio, seed=args.seed,
         use_cache=args.scheduled, use_scheduler=args.scheduled,
+        pinned_rows=args.pinned_rows if args.scheduled else 0,
         table_dtype=jnp.bfloat16 if args.bf16_table else np.float32)
     model = get_model(cfg.model)
     spec = dataset_for_model(cfg.model)
@@ -117,6 +123,10 @@ def run_training(args) -> dict:
                                          num_samples=args.samples,
                                          seed=cfg.seed, num_rows=args.rows)
     rows = args.rows or int(sparse.max()) + 1
+    if cfg.pinned_rows:
+        # hottest ids -> [0, pinned_rows): the pinned tier's id contract
+        from herald_tpu.data import frequency_remap
+        sparse, _perm = frequency_remap(sparse, rows)
     n_val = int(len(sparse) * args.val_ratio)
     val = (dense[-n_val:], sparse[-n_val:], labels[-n_val:])
     trn = (dense[:-n_val], sparse[:-n_val], labels[:-n_val])

@@ -50,6 +50,11 @@ class CachedTrainState(NamedTuple):
     step: jnp.ndarray
     cache_data: jnp.ndarray    # [nrank*C, W]
     cache_delta: jnp.ndarray   # [nrank*C, W] fp32
+    # pinned hot tier (cfg.pinned_rows > 0): replicated [P, W] block of the
+    # hottest rows + its optimizer slots, updated via psum every step.
+    # [1, W] placeholder when the tier is off (NamedTuple keeps the field).
+    hot_table: jnp.ndarray
+    hot_slots: Dict[str, jnp.ndarray]
 
 
 class CachedEngine(Engine):
@@ -60,6 +65,8 @@ class CachedEngine(Engine):
         cfg.use_cache = True
         super().__init__(cfg, model=model, mesh=mesh, table_rows=table_rows)
         self.cache_rows = cfg.cache_rows(self.num_rows)
+        self.pinned_rows = int(cfg.pinned_rows or 0)
+        assert self.pinned_rows <= self.num_rows
         self.U_cap = self.ids_per_worker
         self.F_cap = self.U_cap
         # flush routing capacity = F_cap per (src, dst) pair: in the worst
@@ -84,7 +91,8 @@ class CachedEngine(Engine):
             flush_cap=self.F_cap,
             owner_cap=self.flush_exchange.capacity,
             top_k=self.cfg.sched_top_k_tables or 0, n_threads=n_threads,
-            policy=self.cfg.cache_policy, assign_mode=assign_mode)
+            policy=self.cfg.cache_policy, assign_mode=assign_mode,
+            pinned_rows=self.pinned_rows)
 
     def init_cached_state(self, seed: Optional[int] = None
                           ) -> CachedTrainState:
@@ -101,8 +109,23 @@ class CachedEngine(Engine):
         else:
             cache_data = jnp.zeros(shape, self.cfg.table_dtype)
             cache_delta = jnp.zeros(shape, jnp.float32)
+        # pinned tier: hot block initialized FROM the owner table rows so
+        # table[0:P] and hot_table agree at step 0
+        prows = max(self.pinned_rows, 1)
+        if self.pinned_rows:
+            hot = jax.jit(lambda t: jax.lax.dynamic_slice(
+                t, (0, 0), (prows, self.width)))(base.table)
+        else:
+            hot = jnp.zeros((1, self.width), self.cfg.table_dtype)
+        hot_slots = {k: jnp.zeros((prows, self.width), jnp.float32)
+                     for k in self.embed_opt.slot_names}
+        if self.num_shards > 1:
+            rep = NamedSharding(self.mesh, P())
+            hot = jax.device_put(jax.device_get(hot), rep)
+            hot_slots = jax.device_put(hot_slots, rep)
         return CachedTrainState(*base, cache_data=cache_data,
-                                cache_delta=cache_delta)
+                                cache_delta=cache_delta, hot_table=hot,
+                                hot_slots=hot_slots)
 
     # ------------------------------------------------------------------
     # per-device bodies
@@ -171,8 +194,17 @@ class CachedEngine(Engine):
         cache_data = cache_data.at[write_slots].set(
             pulled.astype(cache_data.dtype), mode="drop")
 
-        # phase 4: forward entirely from cache
+        # phase 4: forward from cache; pinned rows read from the local
+        # replica of the hot block (their planner slots are the OOB
+        # sentinel, so the cache read contributes zeros there)
         emb_uniq = cache_data.at[slots].get(mode="fill", fill_value=0)
+        if self.pinned_rows:
+            Pr = self.pinned_rows
+            pinned_mask = (uniq >= 0) & (uniq < Pr)
+            hot_ids = jnp.where(pinned_mask, uniq, Pr + 1)
+            hot_rows = state.hot_table.at[hot_ids].get(
+                mode="fill", fill_value=0)
+            emb_uniq = emb_uniq + hot_rows.astype(emb_uniq.dtype)
         emb = emb_uniq[inv.reshape(-1)].reshape(B, F, self.width)
 
         inv_shards = 1.0 / max(self.num_shards, 1)
@@ -203,10 +235,28 @@ class CachedEngine(Engine):
         cache_delta = cache_delta.at[upd_slots].add(
             g_uniq.astype(cache_delta.dtype), mode="drop")
 
+        # pinned tier update: exact synchronous SGD on the replicated hot
+        # block — psum of the touched-row grads, identical apply on every
+        # replica. No flush/refresh traffic ever (the FAE hot-matrix idea
+        # fused into the cached engine; reference fae_*.py trains hot ids
+        # as a dense matrix with allreduced grads).
+        if self.pinned_rows:
+            hot_delta = jnp.zeros((Pr, self.width), jnp.float32)
+            hot_delta = hot_delta.at[hot_ids].add(g_uniq, mode="drop")
+            if self.num_shards > 1:
+                hot_delta = jax.lax.psum(hot_delta, self.axis)
+            hot_new, hot_slots = self.embed_opt.apply_rows(
+                state.hot_table.astype(jnp.float32), hot_delta,
+                state.hot_slots, step, lr=self._elr_fn(step))
+            hot_table = hot_new.astype(state.hot_table.dtype)
+        else:
+            hot_table, hot_slots = state.hot_table, state.hot_slots
+
         new_state = CachedTrainState(
             table=table, table_slots=table_slots, dense=dense,
             dense_slots=dense_slots, step=step, cache_data=cache_data,
-            cache_delta=cache_delta)
+            cache_delta=cache_delta, hot_table=hot_table,
+            hot_slots=hot_slots)
         return new_state, {"loss": loss, "overflow": overflow}
 
     def _flush_only_body(self, state: CachedTrainState, flush_ids,
@@ -246,6 +296,8 @@ class CachedEngine(Engine):
                 step=P(),
                 cache_data=P(ax, None),
                 cache_delta=P(ax, None),
+                hot_table=P(),
+                hot_slots={k: P() for k in self.embed_opt.slot_names},
             )
             dsp = P(ax)               # per-step data, axis 0 = worker
             ksp = P(None, ax)         # stacked K steps
@@ -337,7 +389,8 @@ class CachedEngine(Engine):
     @staticmethod
     def to_base_state(state: CachedTrainState) -> TrainState:
         """View without cache arrays, for the base-engine eval path.
-        Call sync_cache first so the owner table is up to date."""
+        Call sync_cache first so the owner table is up to date (it also
+        writes the pinned hot block back into table[0:P])."""
         return TrainState(table=state.table, table_slots=state.table_slots,
                           dense=state.dense, dense_slots=state.dense_slots,
                           step=state.step)
@@ -358,6 +411,14 @@ class CachedEngine(Engine):
         truth after the last push)."""
         nr = max(self.num_shards, 1)
         C = self.cache_rows
+        if self.pinned_rows:
+            # write the hot block back into the owner table so eval /
+            # checkpoint see one authoritative table
+            upd = jax.jit(
+                lambda t, h: t.at[jnp.arange(self.pinned_rows)].set(
+                    h.astype(t.dtype)),
+                donate_argnums=(0,))
+            state = state._replace(table=upd(state.table, state.hot_table))
         dumps = [planner.dirty_rows(z) for z in range(nr)]
         max_n = max((len(d[0]) for d in dumps), default=0)
         if max_n == 0:
