@@ -9,16 +9,15 @@ explicit DMA scheduling is wanted:
 - `fm_second_order`    <- the DeepFM FM interaction
                           (`examples/ctr/models/deepfm_criteo.py:29-37`)
 
-TPU reality check (documented, measured by benchmarks/pallas_bench.py):
-Mosaic tiles HBM memrefs in (8, 128)-element groups, so the smallest
-addressable DMA unit spanning an embedding row of width 128 is the 8-row
-tile *group* containing it. These kernels therefore move one aligned
-(8, D) group per requested row and select/merge the target row in VMEM —
-8x the minimal bytes. XLA's native gather/scatter lowering has layout
-freedom Pallas entry points do not, and profiling shows it already runs at
-HBM bandwidth for CTR shapes, so `herald_tpu.train.Engine` keeps the
-XLA-native path by default; these kernels are correctness-tested
-substrates for future fused variants (e.g. gather+pool, gather+FM).
+TPU reality check (full measured cost model: docs/PERF_NOTES.md): Mosaic
+tiles HBM memrefs in (8, 128)-element groups, so the smallest addressable
+DMA unit spanning an embedding row of width 128 is the 8-row tile *group*
+containing it, and per-row DMA issue costs ~100 ns/descriptor — XLA's
+native gather/scatter engine (~23/~72 ns per index) wins at CTR shapes,
+so `herald_tpu.train.Engine` keeps the XLA path by default. The one-hot
+MXU kernels below sidestep random access entirely and are the substrate
+for replicated hot-tier math; the DMA kernels remain as correctness-tested
+substrates for fused variants (e.g. gather+pool, gather+FM).
 
 All kernels fall back to `interpret=True` off-TPU so the same tests run on
 the CPU mesh.
@@ -94,7 +93,7 @@ def embedding_gather(table: jnp.ndarray, ids: jnp.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ids.shape[0] // block_rows,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((block_rows, D),
                                lambda i, ids_ref: (i, 0)),
         scratch_shapes=[
@@ -173,9 +172,9 @@ def rows_scatter_add(table: jnp.ndarray, ids: jnp.ndarray,
         grid=(ids.shape[0] // block_rows,),
         in_specs=[
             pl.BlockSpec((block_rows, D), lambda i, n_ref, ids_ref: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),    # table (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),    # table (aliased)
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((_GROUP, D), table.dtype),
             pltpu.SemaphoreType.DMA(()),
