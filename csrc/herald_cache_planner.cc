@@ -84,7 +84,9 @@ public:
     struct Entry {
         int slot;
         bool dirty;   // has unflushed local gradient delta
-        bool stale;   // another worker flushed this row since our last pull
+        int stale;    // remote flushes since our last pull (HET version
+                      // gap: pull when stale > bound, PSFhandle_embedding
+                      // .cc:30-64 server_ver - client_ver > bound)
         int freq;     // frequency bucket (always 0 under LRU)
         int lru_prev, lru_next;   // intrusive list within the freq bucket
         key_t_ key;
@@ -98,7 +100,7 @@ public:
         freq_cap_ = policy == Policy::LRU ? 0
                     : policy == Policy::LFUOPT ? 10 : 255;
         entries_.assign(capacity,
-                        Entry{0, false, false, 0, -1, -1, -1, false});
+                        Entry{0, false, 0, 0, -1, -1, -1, false});
         for (int s = 0; s < capacity; s++) {
             entries_[s].slot = s;
             free_.push_back(capacity - 1 - s);   // allocate slot 0 first
@@ -134,7 +136,7 @@ public:
         Entry &e = entries_[slot];
         e.key = key;
         e.dirty = false;
-        e.stale = false;
+        e.stale = 0;
         e.freq = 0;
         e.used = true;
         attach_front(slot);
@@ -254,7 +256,8 @@ public:
                   int64_t cache_rows, int flush_cap, int owner_cap,
                   int num_shards, int64_t rows_per_shard, int top_k,
                   const int *table_order, int n_threads, int queue_cap,
-                  int policy = 0, int assign_mode = 0, int64_t pinned = 0)
+                  int policy = 0, int assign_mode = 0, int64_t pinned = 0,
+                  int bound = 0)
         : ids_(ids), num_samples_(num_samples), num_tables_(num_tables),
           nrank_(nrank), mbs_(mbs), batch_num_(batch_num), epochs_(epochs),
           flush_cap_(flush_cap), owner_cap_(owner_cap),
@@ -262,7 +265,8 @@ public:
           top_k_(top_k > 0 ? std::min<int>(top_k, num_tables) : num_tables),
           n_threads_(std::max(1, n_threads)), queue_cap_(queue_cap),
           assign_mode_(assign_mode), pinned_(pinned),
-          cache_rows_(cache_rows), pool_(std::max(1, n_threads)) {
+          cache_rows_(cache_rows), bound_(bound),
+          pool_(std::max(1, n_threads)) {
         key_t_ max_key = 0;
         for (int64_t i = 0; i < num_samples_ * num_tables_; i++)
             max_key = std::max(max_key, ids_[i]);
@@ -565,17 +569,19 @@ private:
                     continue;
                 }
                 auto *e = c.find(key);
-                if (e && !e->stale) {
+                if (e && e->stale <= bound_) {
+                    // fresh, or stale within the allowed version bound
+                    // (reference bound>0 semantics: use the cached value)
                     c.touch(e->slot);
                     slots[q] = e->slot;
                     pulls[q] = 0;
-                } else if (e) {                    // stale: refresh
+                } else if (e) {                    // too stale: refresh
                     if (e->dirty) {                // flush-before-refresh
                         emit_flush(e->key, e->slot);
                         e->dirty = false;
                         clear_bits(e->key, dbit(z));
                     }
-                    e->stale = false;
+                    e->stale = 0;
                     c.touch(e->slot);
                     slots[q] = e->slot;
                     pulls[q] = 1;
@@ -661,7 +667,7 @@ private:
                     int j = __builtin_ctzll((unsigned long long)m);
                     m &= MaskT(m - 1);
                     auto *e = caches_[j].find(key);
-                    if (e) e->stale = true;
+                    if (e) e->stale++;
                 }
             }
         }
@@ -678,6 +684,7 @@ private:
     int64_t rows_per_shard_;
     int top_k_, n_threads_, queue_cap_, assign_mode_;
     int64_t pinned_, cache_rows_;
+    int bound_;
     key_t_ key_space_;
     std::vector<int> order_;
 
@@ -710,14 +717,15 @@ IPlanner *make_planner(const key_t_ *ids, int64_t num_samples,
                        int flush_cap, int owner_cap, int num_shards,
                        int64_t rows_per_shard, int top_k,
                        const int *table_order, int n_threads, int queue_cap,
-                       int policy, int assign_mode, int64_t pinned) {
+                       int policy, int assign_mode, int64_t pinned,
+                       int bound) {
     auto build = [&](auto tag) -> IPlanner * {
         using MaskT = decltype(tag);
         return new CachePlannerT<MaskT>(
             ids, num_samples, num_tables, nrank, mbs, batch_num, epochs,
             cache_rows, flush_cap, owner_cap, num_shards, rows_per_shard,
             top_k, table_order, n_threads, queue_cap, policy, assign_mode,
-            pinned);
+            pinned, bound);
     };
     if (nrank <= 8) return build(uint16_t{});
     if (nrank <= 16) return build(uint32_t{});
@@ -745,14 +753,14 @@ void *hplan_create(const int64_t *ids, int64_t num_samples, int num_tables,
                    int64_t cache_rows, int flush_cap, int owner_cap,
                    int num_shards, int64_t rows_per_shard, int top_k,
                    const int *table_order, int n_threads, int queue_cap,
-                   int policy, int assign_mode, int64_t pinned) {
+                   int policy, int assign_mode, int64_t pinned, int bound) {
     try {
         auto *h = new HPlanner();
         h->planner = herald::make_planner(
             ids, num_samples, num_tables, nrank, mbs, batch_num, epochs,
             cache_rows, flush_cap, owner_cap, num_shards, rows_per_shard,
             top_k, table_order, n_threads, queue_cap, policy, assign_mode,
-            pinned);
+            pinned, bound);
         return h;
     } catch (const std::exception &e) {
         fprintf(stderr, "hplan_create failed: %s\n", e.what());

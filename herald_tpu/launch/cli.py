@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--nepoch", type=int, default=1)
     p.add_argument("--cache-limit-ratio", type=float, default=0.1)
+    p.add_argument("--bound", type=int, default=0,
+                   help="scheduled mode: bounded staleness — a cached row "
+                        "stays usable until it missed more than BOUND "
+                        "remote updates (reference HET --bound; 0 = "
+                        "always refresh)")
     p.add_argument("--pinned-rows", type=int, default=0,
                    help="scheduled mode: keep the P hottest rows as a "
                         "replicated psum-updated block (three-tier: "
@@ -109,6 +114,7 @@ def run_training(args) -> dict:
         cache_limit_ratio=args.cache_limit_ratio, seed=args.seed,
         use_cache=args.scheduled, use_scheduler=args.scheduled,
         pinned_rows=args.pinned_rows if args.scheduled else 0,
+        staleness_bound=args.bound,
         table_dtype=jnp.bfloat16 if args.bf16_table else np.float32)
     model = get_model(cfg.model)
     spec = dataset_for_model(cfg.model)

@@ -45,7 +45,8 @@ class _PlannerLib:
                 ctypes.c_int, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
                 ctypes.c_int, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
-                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64]
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+                ctypes.c_int]
             lib.hplan_phase_times.argtypes = [
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_long)]
             lib.hplan_start.argtypes = [ctypes.c_void_p]
@@ -77,7 +78,8 @@ class CachePlanner:
                  table_order: Optional[Sequence[int]] = None,
                  n_threads: int = 8, queue_cap: int = 16,
                  drop_last: bool = True, policy: str = "lru",
-                 assign_mode: str = "affinity", pinned_rows: int = 0):
+                 assign_mode: str = "affinity", pinned_rows: int = 0,
+                 bound: int = 0):
         ids = np.ascontiguousarray(sparse_ids, np.int64)
         assert ids.ndim == 2
         n, num_tables = ids.shape
@@ -116,12 +118,16 @@ class CachePlanner:
         # ids < pinned_rows form the replicated hot tier: no cache slot,
         # no pull/flush traffic (CachedEngine pinned_rows contract)
         self.pinned_rows = int(pinned_rows)
+        # HET bounded staleness (reference --bound: a cached row is usable
+        # until it missed more than `bound` remote updates,
+        # ps-lite/src/PSFhandle_embedding.cc:30-64); 0 = always refresh
+        self.bound = int(bound)
         self._h = self._lib.hplan_create(
             ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             n, num_tables, nrank, batch_size, self.batch_num, epochs,
             cache_rows, self.F_cap, self.owner_cap, num_shards,
             rows_per_shard, top_k, order_ptr, n_threads, queue_cap,
-            policy_id, mode_id, self.pinned_rows)
+            policy_id, mode_id, self.pinned_rows, self.bound)
         if not self._h:
             raise ValueError(
                 "native cache planner rejected the configuration "

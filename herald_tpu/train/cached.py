@@ -92,7 +92,8 @@ class CachedEngine(Engine):
             owner_cap=self.flush_exchange.capacity,
             top_k=self.cfg.sched_top_k_tables or 0, n_threads=n_threads,
             policy=self.cfg.cache_policy, assign_mode=assign_mode,
-            pinned_rows=self.pinned_rows)
+            pinned_rows=self.pinned_rows,
+            bound=self.cfg.staleness_bound)
 
     def init_cached_state(self, seed: Optional[int] = None
                           ) -> CachedTrainState:

@@ -86,3 +86,40 @@ def test_unknown_policy_rejected():
     with pytest.raises(KeyError):
         CachePlanner(ids, nrank=1, batch_size=1, cache_rows=4,
                      num_shards=1, rows_per_shard=ROWS, policy="mru")
+
+
+def test_staleness_bound_trades_pulls_for_staleness():
+    """Reference HET --bound semantics (PSFhandle_embedding.cc:30-64):
+    bound=0 refreshes on every remote update; bound>0 keeps using the
+    cached row until it missed more than `bound` updates, strictly
+    reducing update_pull traffic. bound=0 must reproduce the old exact
+    counters."""
+    import numpy as np
+    from herald_tpu.sched.planner import CachePlanner
+    rng = np.random.default_rng(7)
+    NRANK, MBS, T = 4, 16, 8
+    n = NRANK * MBS * 24
+    ROWS = 2000
+    # hot-heavy stream -> lots of cross-worker sharing -> staleness churn
+    ids = (rng.zipf(2.2, (n, T)) - 1) % (ROWS // T)
+    ids += np.arange(T) * (ROWS // T)
+
+    def run(bound):
+        pl = CachePlanner(ids, nrank=NRANK, batch_size=MBS,
+                          cache_rows=MBS * T, num_shards=NRANK,
+                          rows_per_shard=(ROWS + NRANK - 1) // NRANK,
+                          epochs=1, n_threads=1, bound=bound)
+        while pl.pop() is not None:
+            pass
+        p = pl.perf()
+        pl.close()
+        return p
+
+    p0 = run(0)
+    p2 = run(2)
+    p8 = run(8)
+    assert p2["update_pull"] < p0["update_pull"], (p2, p0)
+    assert p8["update_pull"] <= p2["update_pull"]
+    # conservation of updates: flushes still carry every delta eventually
+    # (miss/update pushes can only shrink because rows refresh less often)
+    assert p8["update_push"] <= p0["update_push"] * 1.5
