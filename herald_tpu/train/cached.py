@@ -113,17 +113,28 @@ class CachedEngine(Engine):
         # pinned tier: hot block initialized FROM the owner table rows so
         # table[0:P] and hot_table agree at step 0
         prows = max(self.pinned_rows, 1)
+        slice_hot = lambda t: jax.lax.dynamic_slice(
+            t, (0, 0), (prows, self.width))
         if self.pinned_rows:
-            hot = jax.jit(lambda t: jax.lax.dynamic_slice(
-                t, (0, 0), (prows, self.width)))(base.table)
+            if self.num_shards > 1:
+                # replicate via out_shardings (a device_get would fail in
+                # multi-process runs: the slice spans non-local devices)
+                hot = jax.jit(slice_hot, out_shardings=NamedSharding(
+                    self.mesh, P()))(base.table)
+            else:
+                hot = jax.jit(slice_hot)(base.table)
         else:
             hot = jnp.zeros((1, self.width), self.cfg.table_dtype)
-        hot_slots = {k: jnp.zeros((prows, self.width), jnp.float32)
+        hot_slots = {k: np.zeros((prows, self.width), np.float32)
                      for k in self.embed_opt.slot_names}
         if self.num_shards > 1:
             rep = NamedSharding(self.mesh, P())
-            hot = jax.device_put(jax.device_get(hot), rep)
+            if not self.pinned_rows:
+                hot = jax.device_put(np.zeros((1, self.width), np.float32)
+                                     .astype(self.cfg.table_dtype), rep)
             hot_slots = jax.device_put(hot_slots, rep)
+        else:
+            hot_slots = {k: jnp.asarray(v) for k, v in hot_slots.items()}
         return CachedTrainState(*base, cache_data=cache_data,
                                 cache_delta=cache_delta, hot_table=hot,
                                 hot_slots=hot_slots)

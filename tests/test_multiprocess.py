@@ -48,6 +48,27 @@ _WORKER = textwrap.dedent("""
                                       labels[sl])
         loss = float(stats["loss"])
         assert np.isfinite(loss)
+
+    # Herald scheduled path across process boundaries: every process runs
+    # an identical deterministic planner over the same ID stream, so the
+    # SPMD micro-program args agree (the multi-host planning contract)
+    from herald_tpu.train.cached import CachedEngine
+    ccfg = HeraldConfig(model="wdl_criteo", batch_size=8, embedding_dim=8,
+                        comm_mode="hybrid", learning_rate=0.5,
+                        cache_limit_ratio=0.5, pinned_rows=8)
+    ceng = CachedEngine(ccfg, table_rows=1000)
+    cstate = ceng.init_cached_state(0)
+    planner = ceng.make_planner(sparse, epochs=1, n_threads=1)
+    csteps = 0
+    while csteps < 3:
+        cstate, cstats = ceng.train_step_cached(cstate, planner, dense,
+                                                sparse, labels)
+        if cstats is None:
+            break
+        assert np.isfinite(float(cstats["loss"]))
+        csteps += 1
+    planner.close()
+    assert csteps == 3
     print("FINAL_LOSS", loss)
 """)
 
