@@ -46,3 +46,18 @@ def test_wdl_train_learns(comm_mode, lr):
     assert epoch_losses[-1] < epoch_losses[0], epoch_losses
     res = eng.evaluate(state, dense, sparse, labels)
     assert res["auc"] > 0.6, res
+
+
+def test_graphboard_emits_graphs():
+    """Reference python/graphboard analog: lower the train step and emit
+    its computation graph in three formats."""
+    from herald_tpu.utils import graphboard
+    cfg = HeraldConfig(model="wdl_criteo", batch_size=8, embedding_dim=8,
+                       comm_mode="local")
+    eng = Engine(cfg, table_rows=500)
+    dot = graphboard.step_graph(eng, fmt="dot")
+    assert dot.startswith("digraph") or "digraph" in dot[:200]
+    shlo = graphboard.step_graph(eng, fmt="stablehlo")
+    assert "func.func" in shlo
+    opt = graphboard.step_graph(eng, fmt="hlo_opt")
+    assert "HloModule" in opt or "ENTRY" in opt
