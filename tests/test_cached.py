@@ -200,3 +200,34 @@ def test_cached_epoch_matches_steps():
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(s1.table), np.asarray(s2.table),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_steady_state_traffic_is_update_dominated():
+    """BASELINE.md fixture-shape check (laia/test/wdl_criteo_cache_perf.txt):
+    once caches are warm on a reuse-heavy stream, traffic must be dominated
+    by planned update pushes/refreshes, not cold misses — the signature of
+    the Herald planned-refresh design."""
+    from herald_tpu.sched.planner import CachePlanner
+    rng = np.random.default_rng(11)
+    NRANK, MBS, T = 8, 16, 8
+    ROWS = 2000
+    n = NRANK * MBS * 60
+    ids = (rng.zipf(2.0, (n, T)) - 1) % (ROWS // T)
+    ids += np.arange(T) * (ROWS // T)
+    pl = CachePlanner(ids, nrank=NRANK, batch_size=MBS,
+                      cache_rows=4 * MBS * T, num_shards=NRANK,
+                      rows_per_shard=(ROWS + NRANK - 1) // NRANK,
+                      epochs=1, n_threads=1)
+    # consume the warmup half, snapshot, then the steady half
+    half = pl.batch_num // 2
+    for _ in range(half):
+        assert pl.pop() is not None
+    warm = pl.perf()
+    while pl.pop() is not None:
+        pass
+    done = pl.perf()
+    steady = {k: done[k] - warm[k] for k in done}
+    pl.close()
+    update_traffic = steady["update_pull"] + steady["update_push"]
+    miss_traffic = steady["miss_pull"] + steady["miss_push"]
+    assert update_traffic > miss_traffic, steady

@@ -109,3 +109,31 @@ def test_lr_schedule_in_engine():
     # step 3 lr is clamped at ending=1e-8 (reference StepScheduler
     # semantics), so the table is near-frozen but not bit-identical
     assert np.abs(t2 - t3).max() < 1e-6
+
+
+def test_checkpoint_roundtrip_pinned_state(tmp_path):
+    """CachedTrainState including the pinned hot tier survives save/load."""
+    import jax
+    from herald_tpu.train.cached import CachedEngine
+    from herald_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from herald_tpu.data import synthetic_ctr_data
+    from herald_tpu.models import get_model
+
+    cfg = HeraldConfig(model="wdl_criteo", batch_size=8, embedding_dim=8,
+                       comm_mode="local", cache_limit_ratio=0.5,
+                       pinned_rows=32, learning_rate=0.5)
+    eng = CachedEngine(cfg, table_rows=1000)
+    model = get_model(cfg.model)
+    dense, sparse, labels = synthetic_ctr_data(model.spec, 8 * 6, seed=0,
+                                               num_rows=1000)
+    state = eng.init_cached_state(0)
+    pl = eng.make_planner(sparse, epochs=1, n_threads=1)
+    for _ in range(3):
+        state, stats = eng.train_step_cached(state, pl, dense, sparse,
+                                             labels)
+        assert stats is not None
+    save_checkpoint(state, str(tmp_path / "ck"))
+    restored = load_checkpoint(str(tmp_path / "ck"), state)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    pl.close()
