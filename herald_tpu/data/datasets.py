@@ -170,6 +170,21 @@ def load_dataset(
             labels = np.load(files[2], mmap_mode="r").reshape(-1, 1)
             return np.asarray(dense, np.float32), \
                 np.asarray(sparse, np.int64), np.asarray(labels, np.float32)
+    if path and spec.name == "movie":
+        # reference ml-25m layout (load_data.py:321-341): train.npz with
+        # user_input / item_input / labels, items offset into the shared
+        # user+item ID space
+        npz_path = os.path.join(path, "train.npz")
+        if os.path.exists(npz_path):
+            train = np.load(npz_path)
+            users = np.asarray(train["user_input"], np.int64).reshape(-1, 1)
+            items = np.asarray(train["item_input"], np.int64).reshape(-1, 1)
+            sparse = np.concatenate([users, items], axis=1)
+            labels = np.asarray(train["labels"],
+                                np.float32).reshape(-1, 1)
+            dense = np.zeros((len(labels), max(spec.num_dense, 0)),
+                             np.float32)
+            return dense, sparse, labels
     return synthetic_ctr_data(spec, num_samples, seed=seed,
                               num_rows=num_rows)
 

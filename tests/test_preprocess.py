@@ -111,3 +111,20 @@ def test_avazu_and_criteosearch_layouts(tmp_path):
     assert sparse.shape[1] == DATASETS["criteosearch"].num_sparse == 17
     # search variant maps x <= -1 to 0.0 (never -1)
     assert (dense >= 0).all() or dense.min() > -1
+
+
+def test_movie_npz_layout(tmp_path):
+    """MovieLens ingestion: the reference train.npz layout
+    (load_data.py:321-341, user_input/item_input/labels)."""
+    rng = np.random.default_rng(3)
+    n = 64
+    users = rng.integers(0, 100, n)
+    items = 100 + rng.integers(0, 50, n)   # items offset past users
+    labels = rng.integers(0, 2, n).astype(np.float32)
+    np.savez(tmp_path / "train.npz", user_input=users, item_input=items,
+             labels=labels)
+    d, s, y = load_dataset(DATASETS["movie"], str(tmp_path))
+    assert s.shape == (n, 2)
+    np.testing.assert_array_equal(s[:, 0], users)
+    np.testing.assert_array_equal(s[:, 1], items)
+    np.testing.assert_array_equal(y.reshape(-1), labels)
