@@ -18,9 +18,13 @@
 //   pull   [U_cap] mask   keys that must be fetched from the owner shard
 //                         (miss or stale) before the forward pass
 //   flush_ids/slots [F_cap] dirty rows to push to their owner *this* step:
-//                         rows other workers read next batch (the comm
-//                         plan), evicted dirty rows, and stale-dirty rows
-//                         being refreshed
+//                         rows other workers' CURRENT batch reads (the
+//                         comm plan — since pull decisions for this batch
+//                         were made concurrently, the reader benefits at
+//                         its NEXT read of the row; equivalent lag to the
+//                         reference's one-batch-lookahead consumption,
+//                         laia_dataloader.py:107-114), evicted dirty rows,
+//                         and stale-dirty rows being refreshed
 //
 // Device-step contract (engine): phase 1 all flushes are applied to the
 // owner table, phase 2 all pulls gather from the updated table. Staleness
@@ -240,6 +244,7 @@ struct IPlanner {
     virtual void perf(long out[5]) const = 0;
     virtual long iter_time_us() const = 0;
     virtual void phase_times(long out[4]) const = 0;
+    virtual bool finished() = 0;
     virtual void dirty_dump(int worker, std::vector<key_t_> &ids,
                             std::vector<int32_t> &slots) = 0;
 };
@@ -326,7 +331,10 @@ public:
 
     void perf(long out[5]) const override {
         auto avg = [&](const std::vector<long> &v) {
-            return std::accumulate(v.begin(), v.end(), 0L) / nrank_;
+            long s = 0;
+            for (auto &x : v)
+                s += __atomic_load_n(&x, __ATOMIC_RELAXED);
+            return s / nrank_;
         };
         out[0] = avg(miss_pull_);
         out[1] = avg(miss_push_);
@@ -336,19 +344,25 @@ public:
     }
 
     long iter_time_us() const override {
-        if (iter_times_.empty()) return 0;
-        return std::accumulate(iter_times_.begin(), iter_times_.end(), 0L)
-               / long(iter_times_.size());
+        long c = __atomic_load_n(&iter_cnt_, __ATOMIC_RELAXED);
+        if (c == 0) return 0;
+        return __atomic_load_n(&iter_sum_, __ATOMIC_RELAXED) / c;
     }
 
     // cumulative per-phase planning µs: score / assign / plan / stale
     void phase_times(long out[4]) const override {
-        for (int i = 0; i < 4; i++) out[i] = phase_us_[i];
+        for (int i = 0; i < 4; i++)
+            out[i] = __atomic_load_n(&phase_us_[i], __ATOMIC_RELAXED);
     }
 
     // Final sync: list every dirty row (id, slot) per worker so the engine
     // can flush residual deltas before eval/checkpoint. Only call after the
     // planning thread finished (end of epochs).
+    bool finished() override {
+        std::lock_guard<std::mutex> lk(mut_);
+        return done_;
+    }
+
     void dirty_dump(int worker, std::vector<key_t_> &ids,
                     std::vector<int32_t> &slots) override {
         caches_[worker].for_each([&](SlotCache::Entry &e) {
@@ -408,10 +422,14 @@ private:
             auto t0 = std::chrono::steady_clock::now();
             MicroProgram mp = plan_batch(b * gbs, scores);
             auto t1 = std::chrono::steady_clock::now();
-            if (b >= 12)
-                iter_times_.push_back(
-                    std::chrono::duration_cast<std::chrono::microseconds>(
-                        t1 - t0).count());
+            if (b >= 12) {
+                __atomic_fetch_add(
+                    &iter_sum_,
+                    long(std::chrono::duration_cast<std::chrono::
+                         microseconds>(t1 - t0).count()),
+                    __ATOMIC_RELAXED);
+                __atomic_fetch_add(&iter_cnt_, 1L, __ATOMIC_RELAXED);
+            }
             {
                 std::unique_lock<std::mutex> lk(mut_);
                 cv_push_.wait(lk, [this] {
@@ -435,9 +453,11 @@ private:
         auto tick = std::chrono::steady_clock::now();
         auto lap = [&](int phase) {
             auto now = std::chrono::steady_clock::now();
-            phase_us_[phase] +=
-                std::chrono::duration_cast<std::chrono::microseconds>(
-                    now - tick).count();
+            __atomic_fetch_add(
+                &phase_us_[phase],
+                long(std::chrono::duration_cast<std::chrono::microseconds>(
+                    now - tick).count()),
+                __ATOMIC_RELAXED);
             tick = now;
         };
 
@@ -537,7 +557,14 @@ private:
         // the own-batch binary_search skip already handle).
         auto plan_worker = [&](int z) {
             SlotCache &c = caches_[z];
+            // per-owner routing budget covers ALL flushes of this step —
+            // mandatory batch-phase ones included, otherwise a batch whose
+            // evictions/refreshes pile onto one owner could exceed the
+            // device's per-(src,dst) exchange capacity and silently drop
+            // gradient deltas
+            std::vector<int> owner_used(num_shards_, 0);
             auto emit_flush = [&](key_t_ key, int slot) {
+                owner_used[owner_of(key)]++;
                 mp.flush_ids[z].push_back(key);
                 mp.flush_slots[z].push_back(slot);
             };
@@ -585,7 +612,7 @@ private:
                     c.touch(e->slot);
                     slots[q] = e->slot;
                     pulls[q] = 1;
-                    update_pull_[z]++;
+                    __atomic_fetch_add(&update_pull_[z], 1, __ATOMIC_RELAXED);
                 } else {                           // miss: insert
                     bool evicted = false;
                     SlotCache::Entry victim;
@@ -596,13 +623,13 @@ private:
                             // eviction flush: device phase 1 reads the
                             // delta BEFORE phase 3 overwrites the slot
                             emit_flush(victim.key, victim.slot);
-                            miss_push_[z]++;
+                            __atomic_fetch_add(&miss_push_[z], 1, __ATOMIC_RELAXED);
                         }
                     }
                     set_bits(key, cbit(z));
                     slots[q] = slot;
                     pulls[q] = 1;
-                    miss_pull_[z]++;
+                    __atomic_fetch_add(&miss_pull_[z], 1, __ATOMIC_RELAXED);
                 }
                 // the row receives gradients this step (device phase 5
                 // runs after the flush phase, so flushing above and
@@ -616,7 +643,6 @@ private:
             // stashed pre-batch dirty bit is a fast filter; the live cache
             // verifies (covers evictions/flushes from the batch phase).
             long planned = 0;
-            std::vector<int> owner_used(num_shards_, 0);
             const MaskT dz = dbit(z);
             for (int w = 0; w < nrank_ ; w++) {
                 if (w == z) continue;
@@ -638,23 +664,22 @@ private:
                                                s[t]))
                             continue;
                         if (int(mp.flush_ids[z].size()) >= flush_cap_) {
-                            deferred_flush_[z]++;
+                            __atomic_fetch_add(&deferred_flush_[z], 1, __ATOMIC_RELAXED);
                             continue;
                         }
                         int ow = owner_of(e->key);
                         if (owner_used[ow] >= owner_cap_) {
-                            deferred_flush_[z]++;
+                            __atomic_fetch_add(&deferred_flush_[z], 1, __ATOMIC_RELAXED);
                             continue;
                         }
-                        owner_used[ow]++;
-                        emit_flush(e->key, e->slot);
+                        emit_flush(e->key, e->slot);   // counts owner_used
                         e->dirty = false;
                         clear_bits(e->key, dz);
                         planned++;
                     }
                 }
             }
-            update_push_[z] += planned;
+            __atomic_fetch_add(&update_push_[z], planned, __ATOMIC_RELAXED);
         };
         pool_.parallel_for(nrank_, plan_worker);
         lap(2);
@@ -693,8 +718,8 @@ private:
     std::vector<MaskT> state_;
     std::vector<long> miss_pull_, miss_push_, update_pull_, update_push_;
     std::vector<long> deferred_flush_;
-    std::vector<long> iter_times_;
-    long phase_us_[4] = {0, 0, 0, 0};
+    mutable long iter_sum_ = 0, iter_cnt_ = 0;
+    mutable long phase_us_[4] = {0, 0, 0, 0};
 
     // plan scratch (background thread + pool only)
     std::vector<MaskT> mwords_;            // [gbs, T] stashed state words
@@ -829,6 +854,7 @@ void hplan_phase_times(void *h, long *out4) {
 int64_t hplan_dirty_dump(void *h, int worker, int64_t *ids_out,
                          int32_t *slots_out) {
     auto *p = static_cast<HPlanner *>(h);
+    if (!p->planner->finished()) return -1;
     std::vector<int64_t> ids;
     std::vector<int32_t> slots;
     p->planner->dirty_dump(worker, ids, slots);

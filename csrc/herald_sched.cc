@@ -95,8 +95,6 @@ public:
         return res;
     }
 
-    int insert(key_t_ key) { return insert_at(key, probe(key)); }
-
     void outdate(key_t_ key) {
         size_t s = probe(key);
         if (slots_[s] != -1) {
@@ -257,7 +255,10 @@ public:
 
     void perf(long out[4]) const override {
         auto avg = [&](const std::vector<long> &v) {
-            return std::accumulate(v.begin(), v.end(), 0L) / nrank_;
+            long s = 0;
+            for (auto &x : v)
+                s += __atomic_load_n(&x, __ATOMIC_RELAXED);
+            return s / nrank_;
         };
         out[0] = avg(miss_pull_);
         out[1] = avg(miss_push_);
@@ -266,14 +267,15 @@ public:
     }
 
     long iter_time_us() const override {
-        if (iter_times_.empty()) return 0;
-        return std::accumulate(iter_times_.begin(), iter_times_.end(), 0L)
-               / static_cast<long>(iter_times_.size());
+        long c = __atomic_load_n(&iter_cnt_, __ATOMIC_RELAXED);
+        if (c == 0) return 0;
+        return __atomic_load_n(&iter_sum_, __ATOMIC_RELAXED) / c;
     }
 
     // cumulative per-phase µs: score / assign / plan / replay
     void phase_times(long out[4]) const override {
-        for (int i = 0; i < 4; i++) out[i] = phase_us_[i];
+        for (int i = 0; i < 4; i++)
+            out[i] = __atomic_load_n(&phase_us_[i], __ATOMIC_RELAXED);
     }
 
 protected:
@@ -337,8 +339,8 @@ protected:
 
     // planner counters (background thread only)
     std::vector<long> miss_pull_, miss_push_, update_pull_, update_push_;
-    std::vector<long> iter_times_;
-    long phase_us_[4] = {0, 0, 0, 0};
+    mutable long iter_sum_ = 0, iter_cnt_ = 0;
+    mutable long phase_us_[4] = {0, 0, 0, 0};
 
     struct PhaseTimer {
         long &acc;
@@ -400,10 +402,14 @@ private:
             BatchPlan bp = plan_batch(b * gbs, scores);
             replay(bp);
             auto t1 = std::chrono::steady_clock::now();
-            if (b >= 12)
-                iter_times_.push_back(
-                    std::chrono::duration_cast<std::chrono::microseconds>(
-                        t1 - t0).count());
+            if (b >= 12) {
+                __atomic_fetch_add(
+                    &iter_sum_,
+                    long(std::chrono::duration_cast<std::chrono::
+                         microseconds>(t1 - t0).count()),
+                    __ATOMIC_RELAXED);
+                __atomic_fetch_add(&iter_cnt_, 1L, __ATOMIC_RELAXED);
+            }
             if (!push_plan(std::move(bp))) break;
         }
         mark_done();
@@ -420,9 +426,11 @@ private:
         auto tick = std::chrono::steady_clock::now();
         auto lap = [&](int phase) {
             auto now = std::chrono::steady_clock::now();
-            phase_us_[phase] +=
-                std::chrono::duration_cast<std::chrono::microseconds>(
-                    now - tick).count();
+            __atomic_fetch_add(
+                &phase_us_[phase],
+                long(std::chrono::duration_cast<std::chrono::microseconds>(
+                    now - tick).count()),
+                __ATOMIC_RELAXED);
             tick = now;
         };
         // one random probe per (sample, table): the residency words are
@@ -568,13 +576,18 @@ private:
             for (auto k : keys) {
                 int res = caches_[z].get(k);
                 if (res < 0) {
-                    if (res == -2) update_pull_[z]++;
+                    if (res == -2)
+                        __atomic_fetch_add(&update_pull_[z], 1,
+                                           __ATOMIC_RELAXED);
                 } else {
-                    miss_pull_[z]++;
-                    if (res > 0) miss_push_[z]++;
+                    __atomic_fetch_add(&miss_pull_[z], 1, __ATOMIC_RELAXED);
+                    if (res > 0)
+                        __atomic_fetch_add(&miss_push_[z], 1,
+                                           __ATOMIC_RELAXED);
                 }
             }
-            update_push_[z] += long(bp.plans[z].size());
+            __atomic_fetch_add(&update_push_[z], long(bp.plans[z].size()),
+                               __ATOMIC_RELAXED);
         });
     }
 
@@ -608,7 +621,8 @@ ISched *make_scheduler(const key_t_ *ids, int64_t num_samples,
     if (nrank <= 8) return build(uint8_t{});
     if (nrank <= 16) return build(uint16_t{});
     if (nrank <= 32) return build(uint32_t{});
-    return build(uint64_t{});
+    if (nrank <= 64) return build(uint64_t{});
+    return nullptr;   // > 64 local workers: widen MaskT before enabling
 }
 
 } // namespace herald
@@ -634,6 +648,10 @@ void *hsched_create(const int64_t *ids, int64_t num_samples, int num_tables,
                                       mbs, batch_num, epochs, cache_size,
                                       top_k, table_order, n_threads,
                                       queue_cap);
+    if (!h->sched) {
+        delete h;
+        return nullptr;
+    }
     return h;
 }
 

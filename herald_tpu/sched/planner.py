@@ -97,6 +97,14 @@ class CachePlanner:
                 f"unique capacity ({self.U_cap} = batch {batch_size} x "
                 f"{num_tables} tables)")
         self.F_cap = flush_cap or self.U_cap
+        # mandatory flushes (stale-refresh + eviction) are bounded by one
+        # batch's unique keys and are never deferred, so the static flush
+        # capacity must cover them
+        if self.F_cap < self.U_cap:
+            raise ValueError(
+                f"flush_cap ({self.F_cap}) must be >= per-batch unique "
+                f"capacity ({self.U_cap}): mandatory eviction/refresh "
+                f"flushes cannot be deferred")
         # per-owner routing capacity for flushes must match the engine's
         # all-to-all bucket capacity
         self.owner_cap = owner_cap or self.F_cap
@@ -195,8 +203,19 @@ class CachePlanner:
                 "plan": out[2], "stale": out[3]}
 
     def dirty_rows(self, worker: int):
-        """Residual dirty (id, slot) pairs for the final sync/flush."""
+        """Residual dirty (id, slot) pairs for the final sync/flush.
+
+        Only valid after the planning thread finished (every micro-program
+        popped AND executed): the planner runs up to queue_cap batches
+        ahead of the device, so an early dump would name (key, slot) pairs
+        for batches the device never ran and corrupt the owner table."""
         n = self._lib.hplan_dirty_dump(self._h, worker, None, None)
+        if n < 0 or self.queue_length() > 0:
+            raise RuntimeError(
+                "dirty_rows/sync called while the planner is still "
+                "producing or programs remain unconsumed: drain the "
+                "program stream (pop until None) before the final sync, "
+                "or drop the planner without syncing")
         ids = np.empty(max(int(n), 1), np.int64)
         slots = np.empty(max(int(n), 1), np.int32)
         if n > 0:

@@ -82,6 +82,10 @@ class NativeScheduler:
             ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             ids.shape[0], ids.shape[1], nrank, batch_size, batch_num,
             epochs, cache_size, top_k, order_ptr, n_threads, queue_cap)
+        if not self._h:
+            raise ValueError(
+                f"native scheduler rejected the configuration "
+                f"(nrank={nrank}; at most 64 workers are supported)")
         self._ids_keepalive = ids
         self._started = False
 

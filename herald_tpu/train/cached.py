@@ -67,6 +67,11 @@ class CachedEngine(Engine):
         self.cache_rows = cfg.cache_rows(self.num_rows)
         self.pinned_rows = int(cfg.pinned_rows or 0)
         assert self.pinned_rows <= self.num_rows
+        # program arrays travel as int32 (device-friendly); larger tables
+        # would silently wrap ids
+        assert self.num_rows < 2**31, \
+            f"table rows {self.num_rows} exceed int32 program ids"
+        self._unsynced = False
         self.U_cap = self.ids_per_worker
         self.F_cap = self.U_cap
         # flush routing capacity = F_cap per (src, dst) pair: in the worst
@@ -146,11 +151,16 @@ class CachedEngine(Engine):
                      flush_ids, flush_slots):
         C = self.cache_rows
         deltas = cache_delta.at[flush_slots].get(mode="fill", fill_value=0)
+        flush_overflow = jnp.zeros((), jnp.int32)
         if self.num_shards > 1:
             route = ex.route_ids(self.flush_exchange, flush_ids,
                                  flush_ids >= 0)
             rows_idx, row_grads, row_counts, row_mask = ex.scatter_grads(
                 self.flush_exchange, route, deltas)
+            # the planner guarantees per-owner flush counts fit the
+            # exchange capacity; surface any violation instead of silently
+            # dropping deltas
+            flush_overflow = route.overflow
         else:
             rows_idx = jnp.where(flush_ids >= 0, flush_ids,
                                  self.exchange.padded_rows)
@@ -174,7 +184,7 @@ class CachedEngine(Engine):
         zero = jnp.zeros((flush_slots.shape[0], cache_delta.shape[-1]),
                          cache_delta.dtype)
         cache_delta = cache_delta.at[flush_slots].set(zero, mode="drop")
-        return table, new_table_slots, cache_delta
+        return table, new_table_slots, cache_delta, flush_overflow
 
     def _cached_step_body(self, state: CachedTrainState, dense_x, ids,
                           labels, slots, pulls, flush_ids, flush_slots):
@@ -183,7 +193,7 @@ class CachedEngine(Engine):
         step = state.step + 1
 
         # phase 1: flush
-        table, table_slots, cache_delta = self._flush_phase(
+        table, table_slots, cache_delta, flush_overflow = self._flush_phase(
             state.table, state.table_slots, step, state.cache_delta,
             flush_ids, flush_slots)
 
@@ -194,7 +204,7 @@ class CachedEngine(Engine):
         if self.num_shards > 1:
             route = ex.route_ids(self.exchange, pull_ids, pull_ids >= 0)
             pulled = ex.gather_rows(self.exchange, table, route)
-            overflow = route.overflow
+            overflow = route.overflow + flush_overflow
         else:
             safe = jnp.where(pull_ids >= 0, pull_ids, table.shape[0] + 1)
             pulled = table.at[safe].get(mode="fill", fill_value=0)
@@ -273,7 +283,7 @@ class CachedEngine(Engine):
 
     def _flush_only_body(self, state: CachedTrainState, flush_ids,
                          flush_slots):
-        table, table_slots, cache_delta = self._flush_phase(
+        table, table_slots, cache_delta, _ = self._flush_phase(
             state.table, state.table_slots, state.step + 1,
             state.cache_delta, flush_ids, flush_slots)
         return state._replace(table=table, table_slots=table_slots,
@@ -365,6 +375,7 @@ class CachedEngine(Engine):
         prog = planner.pop()
         if prog is None:
             return state, None
+        self._unsynced = True
         args = self._program_to_device(prog, raw_dense, raw_sparse,
                                        raw_labels)
         return self._cached_step(state, *args)
@@ -380,6 +391,7 @@ class CachedEngine(Engine):
             progs.append(p)
         if not progs:
             return state, None
+        self._unsynced = True
         K = len(progs)
         gb = self.cfg.batch_size * max(self.num_shards, 1)
         idx = np.stack([p.assign.reshape(-1) for p in progs])  # [K, gb]
@@ -407,13 +419,26 @@ class CachedEngine(Engine):
                           dense=state.dense, dense_slots=state.dense_slots,
                           step=state.step)
 
+    def _warn_if_unsynced(self):
+        if self._unsynced:
+            import warnings
+            warnings.warn(
+                "evaluating a cached state before sync_cache: the owner "
+                "table is missing unflushed cache deltas"
+                + (" and the trained pinned hot block"
+                   if self.pinned_rows else "")
+                + "; call sync_cache(state, planner) first for exact "
+                  "results", UserWarning, stacklevel=3)
+
     def evaluate(self, state, dense_x, sparse_ids, labels, batch=None):
         if isinstance(state, CachedTrainState):
+            self._warn_if_unsynced()
             state = self.to_base_state(state)
         return super().evaluate(state, dense_x, sparse_ids, labels, batch)
 
     def predict(self, state, dense_x, sparse_ids):
         if isinstance(state, CachedTrainState):
+            self._warn_if_unsynced()
             state = self.to_base_state(state)
         return super().predict(state, dense_x, sparse_ids)
 
@@ -423,6 +448,9 @@ class CachedEngine(Engine):
         truth after the last push)."""
         nr = max(self.num_shards, 1)
         C = self.cache_rows
+        # dump first: it raises if the program stream was not drained, and
+        # must do so BEFORE any state mutation (the hot write-back donates)
+        dumps = [planner.dirty_rows(z) for z in range(nr)]
         if self.pinned_rows:
             # write the hot block back into the owner table so eval /
             # checkpoint see one authoritative table
@@ -431,7 +459,7 @@ class CachedEngine(Engine):
                     h.astype(t.dtype)),
                 donate_argnums=(0,))
             state = state._replace(table=upd(state.table, state.hot_table))
-        dumps = [planner.dirty_rows(z) for z in range(nr)]
+        self._unsynced = False
         max_n = max((len(d[0]) for d in dumps), default=0)
         if max_n == 0:
             return state
