@@ -19,12 +19,12 @@
 //                         (miss or stale) before the forward pass
 //   flush_ids/slots [F_cap] dirty rows to push to their owner *this* step:
 //                         rows other workers' CURRENT batch reads (the
-//                         comm plan — since pull decisions for this batch
-//                         were made concurrently, the reader benefits at
-//                         its NEXT read of the row; equivalent lag to the
-//                         reference's one-batch-lookahead consumption,
-//                         laia_dataloader.py:107-114), evicted dirty rows,
-//                         and stale-dirty rows being refreshed
+//                         comm plan — planning phase 5 upgrades those
+//                         readers' entries to pulls, so the flush lands
+//                         before the read it was planned for, the moral
+//                         equivalent of the reference's one-batch
+//                         lookahead, laia_dataloader.py:107-114), evicted
+//                         dirty rows, and stale-dirty rows being refreshed
 //
 // Device-step contract (engine): phase 1 all flushes are applied to the
 // owner table, phase 2 all pulls gather from the updated table. Staleness
@@ -498,6 +498,8 @@ private:
         mp.pulls.resize(nrank_);
         mp.flush_ids.resize(nrank_);
         mp.flush_slots.resize(nrank_);
+        batch_keys_.resize(nrank_);
+        batch_predirty_.resize(nrank_);
         std::vector<int> load(nrank_, 0);
         std::vector<int64_t> order_idx(gbs);
         std::iota(order_idx.begin(), order_idx.end(), 0);
@@ -579,11 +581,14 @@ private:
             }
             std::sort(keys.begin(), keys.end());
             keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
+            batch_keys_[z] = keys;          // phase 5 re-reads them
 
             auto &slots = mp.slots[z];
             auto &pulls = mp.pulls[z];
+            auto &pre_dirty = batch_predirty_[z];
             slots.resize(keys.size());
             pulls.resize(keys.size());
+            pre_dirty.assign(keys.size(), 1);
             for (size_t q = 0; q < keys.size(); q++) {
                 key_t_ key = keys[q];
                 if (key < pinned_) {
@@ -602,6 +607,7 @@ private:
                     c.touch(e->slot);
                     slots[q] = e->slot;
                     pulls[q] = 0;
+                    pre_dirty[q] = e->dirty ? 1 : 0;
                 } else if (e) {                    // too stale: refresh
                     if (e->dirty) {                // flush-before-refresh
                         emit_flush(e->key, e->slot);
@@ -696,6 +702,35 @@ private:
                 }
             }
         }
+
+        // ---- 5. same-batch refresh upgrade ------------------------------
+        // The device applies ALL of this step's flushes before the pulls,
+        // so a reader whose row was flushed by another worker THIS batch
+        // can pull the fresh value in the same step (this is what the comm
+        // plan was computed for). Only entries that were CLEAN before this
+        // batch upgrade — a pull overwrites the device's cache value, and
+        // a dirty entry's pending local delta must stay visible to its
+        // holder until its flush-before-refresh (same rule as the
+        // stale-refresh path; reference cache.cc flushes dirty rows before
+        // re-pulling them). Dirty or unread rows stay stale and refresh at
+        // their next read, as before.
+        pool_.parallel_for(nrank_, [&](int z) {
+            SlotCache &c = caches_[z];
+            auto &keys = batch_keys_[z];
+            auto &pulls = mp.pulls[z];
+            auto &pre_dirty = batch_predirty_[z];
+            for (size_t q = 0; q < keys.size(); q++) {
+                if (pulls[q] || pre_dirty[q] || keys[q] < pinned_)
+                    continue;
+                auto *e = c.find(keys[q]);
+                if (e && e->stale > bound_) {
+                    pulls[q] = 1;
+                    e->stale = 0;
+                    __atomic_fetch_add(&update_pull_[z], 1,
+                                       __ATOMIC_RELAXED);
+                }
+            }
+        });
         lap(3);
         return mp;
     }
@@ -722,6 +757,8 @@ private:
     mutable long phase_us_[4] = {0, 0, 0, 0};
 
     // plan scratch (background thread + pool only)
+    std::vector<std::vector<key_t_>> batch_keys_;  // per-worker sorted uniq
+    std::vector<std::vector<uint8_t>> batch_predirty_;
     std::vector<MaskT> mwords_;            // [gbs, T] stashed state words
     std::vector<int32_t> local_of_slot_;   // slot -> batch-local sample
 
