@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Secondary hardware benchmark: engine throughput at an arbitrary config.
+
+BASELINE.md lists extra configs to report beyond the headline bench.py
+(wdl b256/e128): dfm_criteo b1024/e512, dcn_criteo, wdl_avazu. This script
+measures any of them on the real chip:
+
+    python benchmarks/bench_config.py --model dfm_criteo \
+        --batch-size 1024 --embedding-size 512 --rows 8000000
+
+Note: full-Criteo dfm at e512 is a ~35 GB bf16 table — it does not fit one
+v5e's 16 GB HBM (the reference holds it in PS host RAM); --rows scales the
+table to the single-chip benchmarkable size and is reported in the output.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from herald_tpu import HeraldConfig
+from herald_tpu.data import synthetic_ctr_data
+from herald_tpu.models import get_model
+from herald_tpu.train.engine import Engine
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="dfm_criteo")
+    ap.add_argument("--batch-size", type=int, default=1024)
+    ap.add_argument("--embedding-size", type=int, default=512)
+    ap.add_argument("--rows", type=int, default=5_000_000)
+    ap.add_argument("--iters", type=int, default=64)
+    args = ap.parse_args()
+
+    cfg = HeraldConfig(model=args.model, batch_size=args.batch_size,
+                       embedding_dim=args.embedding_size,
+                       comm_mode="local", table_dtype=jnp.bfloat16)
+    model = get_model(cfg.model)
+    eng = Engine(cfg, table_rows=args.rows)
+    state = eng.init_state(0)
+    K = args.iters
+    dense, sparse, labels = synthetic_ctr_data(
+        model.spec, args.batch_size * 2 * K, seed=0, num_rows=args.rows)
+
+    def stage(lo, hi):
+        return (jax.device_put(dense[lo:hi].astype(np.float32)
+                               .reshape(K, args.batch_size, -1)),
+                jax.device_put(sparse[lo:hi].astype(np.int32)
+                               .reshape(K, args.batch_size, -1)),
+                jax.device_put(labels[lo:hi].astype(np.float32)
+                               .reshape(K, args.batch_size, -1)))
+
+    n = args.batch_size * K
+    c0, c1 = stage(0, n), stage(n, 2 * n)
+    state, _ = eng.train_epoch(state, *c0, steps=K)      # compile+warm
+    jax.block_until_ready(state.table)
+    times = []
+    for chunk in (c1, c0, c1):
+        t0 = time.perf_counter()
+        state, stats = eng.train_epoch(state, *chunk, steps=K)
+        float(np.asarray(stats["loss"])[-1])             # forced readback
+        times.append(time.perf_counter() - t0)
+    eps = args.batch_size * K / float(np.median(times))
+    print(json.dumps({
+        "metric": f"{args.model}_b{args.batch_size}_e{args.embedding_size}"
+                  f"_examples_per_sec_per_chip",
+        "value": round(eps, 1),
+        "unit": "examples/s",
+        "rows": args.rows,
+        "us_per_step": round(1e6 * np.median(times) / K, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
