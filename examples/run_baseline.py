@@ -7,10 +7,14 @@ lookahead scheduling.
         --nepoch 1 --batch-size 256 --embedding-size 128
 """
 
+import json
+import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 from herald_tpu.launch.cli import build_parser, run_training
-import json
 
 if __name__ == "__main__":
     args = build_parser().parse_args()

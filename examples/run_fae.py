@@ -8,6 +8,11 @@ with psum-reduced grads, cold IDs through the sharded exchange.
 """
 
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 from herald_tpu.launch.cli import build_parser, run_training
 

@@ -9,6 +9,11 @@ hot-row cache keeps embedding reads local.
 """
 
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 from herald_tpu.launch.cli import build_parser, run_training
 
