@@ -48,10 +48,10 @@ class Dataloader:
         local = np.arange(start, stop)
         # strided shard: sample k of worker r is global row r + k*nrank
         idx = rank + local * self.nrank
-        if len(idx) < self.batch_size:  # pad last batch by wrapping
-            pad = self.batch_size - len(idx)
-            idx = np.concatenate([idx, idx[:pad] if len(idx) else
-                                  np.zeros(pad, np.int64)])
+        if len(idx) < self.batch_size:  # pad last batch by cycling
+            if len(idx) == 0:
+                idx = np.zeros(1, np.int64)
+            idx = np.resize(idx, self.batch_size)   # repeats cyclically
         return idx
 
     def next_batch(self):

@@ -65,7 +65,10 @@ class Optimizer:
         if counts is not None:
             # ApplyCache semantics (`optimizer.h`): scale by per-row counts
             g = g / jnp.maximum(counts, 1).astype(g.dtype)[:, None]
-        if self.weight_decay and self.name != "adamw":
+        if self.weight_decay and self.name not in ("adamw", "lamb"):
+            # adamw/lamb use DECOUPLED decay (added to the update direction
+            # below, like _adamw_dense/_lamb_dense) — coupling it here too
+            # would regularize twice
             g = g + self.weight_decay * rows
 
         new_slots = dict(slots)

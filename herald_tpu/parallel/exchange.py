@@ -134,24 +134,21 @@ def scatter_grads(
     route: Route,
     grad_uniq: jnp.ndarray,     # [U, D] summed grads per unique id
     counts_uniq: Optional[jnp.ndarray] = None,  # [U] dup counts per id
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
     """Reverse path: send grads to owner shards, dedup and sum locally.
 
-    Returns (local_rows [S*C], row_grads [S*C, D], row_counts [S*C],
-    row_mask [S*C]) on the owner shard: unique local row indices with their
-    summed gradients; masked entries are padding.
+    Returns (local_rows [S*C], row_grads [S*C, D], row_counts [S*C] or
+    None, row_mask [S*C]) on the owner shard: unique local row indices with
+    their summed gradients; masked entries are padding. Per-row update
+    counts (the reference ApplyCache scaling, `server/optimizer.h`) cost an
+    extra all_to_all, so they are exchanged only when `counts_uniq` is
+    given; callers that don't scale by counts get None back for free.
     """
     S, C = spec.num_shards, spec.capacity
     D = grad_uniq.shape[-1]
     send = jnp.zeros((S * C, D), grad_uniq.dtype)
     send = send.at[route.pos].set(grad_uniq, mode="drop")
     recv = _all_to_all(spec, send.reshape(S, C, D)).reshape(S * C, D)
-
-    if counts_uniq is None:
-        counts_uniq = jnp.ones(grad_uniq.shape[0], jnp.int32)
-    send_cnt = jnp.zeros((S * C,), jnp.int32)
-    send_cnt = send_cnt.at[route.pos].set(counts_uniq, mode="drop")
-    recv_cnt = _all_to_all(spec, send_cnt.reshape(S, C)).reshape(S * C)
 
     my_start = _axis_index(spec) * spec.rows_per_shard
     flat_ids = route.recv_ids.reshape(-1)
@@ -162,8 +159,13 @@ def scatter_grads(
                                  fill_value=spec.rows_per_shard)
     row_grads = jax.ops.segment_sum(recv, inv.reshape(-1),
                                     num_segments=S * C)
-    row_counts = jax.ops.segment_sum(recv_cnt, inv.reshape(-1),
-                                     num_segments=S * C)
+    row_counts = None
+    if counts_uniq is not None:
+        send_cnt = jnp.zeros((S * C,), jnp.int32)
+        send_cnt = send_cnt.at[route.pos].set(counts_uniq, mode="drop")
+        recv_cnt = _all_to_all(spec, send_cnt.reshape(S, C)).reshape(S * C)
+        row_counts = jax.ops.segment_sum(recv_cnt, inv.reshape(-1),
+                                         num_segments=S * C)
     row_mask = uniq_local < spec.rows_per_shard
     return uniq_local, row_grads, row_counts, row_mask
 

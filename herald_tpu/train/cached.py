@@ -155,7 +155,7 @@ class CachedEngine(Engine):
         if self.num_shards > 1:
             route = ex.route_ids(self.flush_exchange, flush_ids,
                                  flush_ids >= 0)
-            rows_idx, row_grads, row_counts, row_mask = ex.scatter_grads(
+            rows_idx, row_grads, _, row_mask = ex.scatter_grads(
                 self.flush_exchange, route, deltas)
             # the planner guarantees per-owner flush counts fit the
             # exchange capacity; surface any violation instead of silently
@@ -165,7 +165,6 @@ class CachedEngine(Engine):
             rows_idx = jnp.where(flush_ids >= 0, flush_ids,
                                  self.exchange.padded_rows)
             row_grads = deltas
-            row_counts = jnp.ones(flush_ids.shape[0], jnp.int32)
             row_mask = flush_ids >= 0
 
         safe_idx = jnp.where(row_mask, rows_idx, 0)

@@ -171,15 +171,16 @@ class Engine:
         D = emb_grad.shape[-1]
         g_uniq = jax.ops.segment_sum(emb_grad.reshape(-1, D),
                                      inv.reshape(-1), num_segments=U)
-        cnt_uniq = jax.ops.segment_sum(
-            jnp.ones_like(inv.reshape(-1), dtype=jnp.int32),
-            inv.reshape(-1), num_segments=U)
+        # grads arrive pre-summed over duplicates (the reference's Hybrid
+        # path likewise sums, optimizer.py:148-160); ApplyCache count
+        # scaling is opt-in via apply_rows(counts=) and not used here, so
+        # the counts all-to-all is skipped entirely
         if self.num_shards > 1:
-            rows_idx, row_grads, row_counts, row_mask = ex.scatter_grads(
-                self.exchange, route, g_uniq, cnt_uniq)
+            rows_idx, row_grads, _, row_mask = ex.scatter_grads(
+                self.exchange, route, g_uniq)
         else:
             rows_idx = jnp.where(uniq >= 0, uniq, self.exchange.padded_rows)
-            row_grads, row_counts = g_uniq, cnt_uniq
+            row_grads = g_uniq
             row_mask = uniq >= 0
 
         safe_idx = jnp.where(row_mask, rows_idx, 0)
@@ -190,8 +191,8 @@ class Engine:
             lr=self._elr_fn(step), mask=row_mask)
         drop_idx = jnp.where(row_mask, rows_idx, table.shape[0] + 1)
         table = table.at[drop_idx].set(new_rows, mode="drop")
+        slots = dict(slots)
         for k in slots:
-            slots = dict(slots)
             slots[k] = slots[k].at[drop_idx].set(new_slots[k], mode="drop")
         return table, slots
 
@@ -389,15 +390,28 @@ class Engine:
     def evaluate(self, state: TrainState, dense_x, sparse_ids, labels,
                  batch: Optional[int] = None) -> Dict[str, float]:
         """Full-dataset eval; mirrors the reference's per-epoch validation
-        (`examples/ctr/run_laia.py:266-289`: loss/acc/AUC)."""
+        (`examples/ctr/run_laia.py:266-289`: loss/acc/AUC). The tail is
+        padded to a full batch (fixed compiled shape) and its extra
+        predictions discarded, so every sample is scored."""
         n = len(sparse_ids)
+        if n == 0:
+            return {"auc": 0.5, "acc": float("nan")}
         gb = self.cfg.batch_size * max(self.num_shards, 1)
         batch = batch or gb
+        if self.num_shards > 1 and batch > gb:
+            # the all-to-all exchange capacity is sized for gb; a larger
+            # eval batch would overflow it and zero-fill embeddings
+            batch = gb
         preds = []
-        for i in range(0, n - batch + 1, batch):
-            p = self.predict(state, dense_x[i:i + batch],
-                             sparse_ids[i:i + batch])
-            preds.append(np.asarray(p))
+        for i in range(0, n, batch):
+            d, s = dense_x[i:i + batch], sparse_ids[i:i + batch]
+            m = len(s)
+            if m < batch:   # pad the tail by repeating the last sample
+                pad = batch - m
+                d = np.concatenate([d, np.repeat(d[-1:], pad, axis=0)])
+                s = np.concatenate([s, np.repeat(s[-1:], pad, axis=0)])
+            p = np.asarray(self.predict(state, d, s))[:m]
+            preds.append(p)
         y_score = np.concatenate(preds) if preds else np.zeros(0)
         y_true = np.asarray(labels).reshape(-1)[: len(y_score)]
         return {

@@ -70,11 +70,15 @@ class FaeEngine(Engine):
 
     def init_fae_state(self, seed: Optional[int] = None) -> FaeTrainState:
         base = super().init_state(seed)
-        key = jax.random.PRNGKey((seed or 0) + 7)
+        if seed is None:
+            seed = self.cfg.seed        # same fallback as the base state
+        key = jax.random.PRNGKey(seed + 7)
         hot = 0.01 * jax.random.normal(key, (self.num_hot, self.width),
                                        jnp.float32)
         hot = hot.astype(self.cfg.table_dtype)
-        hot_slots = {k: jnp.zeros_like(hot)
+        # float32: apply_rows computes slots in f32 — an initial
+        # table-dtype slot would change dtype after step 1 and retrace
+        hot_slots = {k: jnp.zeros((self.num_hot, self.width), jnp.float32)
                      for k in self.embed_opt.slot_names}
         if self.num_shards > 1:
             rep = NamedSharding(self.mesh, P())

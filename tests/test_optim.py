@@ -87,3 +87,22 @@ def test_counts_scaling():
     counts = jnp.array([4, 1], jnp.int32)
     p2, _ = opt.apply_rows(p, g, {}, jnp.asarray(1), counts=counts)
     np.testing.assert_allclose(np.asarray(p2), [[-1, -1], [-4, -4]])
+
+
+def test_lamb_rows_weight_decay_is_decoupled_once():
+    """Regression: LAMB apply_rows used to add weight decay into the
+    gradient (polluting m/v) AND into the direction — double decay vs
+    _lamb_dense. Verify the moments see the raw gradient only."""
+    import jax.numpy as jnp
+    from herald_tpu.optim.optimizers import get_optimizer
+    opt = get_optimizer("lamb", lr=0.1, weight_decay=0.5)
+    rows = jnp.ones((4, 8), jnp.float32) * 2.0
+    grads = jnp.ones((4, 8), jnp.float32) * 0.25
+    slots = {k: jnp.zeros_like(rows) for k in opt.slot_names}
+    step = jnp.asarray(1, jnp.int32)
+    new_rows, new_slots = opt.apply_rows(rows, grads, slots, step)
+    # m after step 1 (bias-uncorrected) = (1-beta1) * g — with coupled
+    # decay it would be (1-beta1) * (g + wd*rows) = (1-beta1) * 1.25
+    expect_m = (1 - opt.beta1) * 0.25
+    np.testing.assert_allclose(np.asarray(new_slots["m"]),
+                               np.full((4, 8), expect_m), rtol=1e-6)
