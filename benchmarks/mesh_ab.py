@@ -1,0 +1,243 @@
+#!/usr/bin/env python
+"""END-TO-END scheduled-vs-baseline A/B on a multi-device mesh.
+
+This is the TPU analog of the reference's canonical proof
+(`examples/ctr/tests/run.sh`: run_laia vs run_hetu, same flags, wall-clock
+logged to laia.log/hetu.log) — but measured, not modeled:
+
+- **wall-clock** per step of the actual jitted shard_map programs, and
+- **actual all-to-all bytes** read from each compiled step's optimized HLO
+  (utils/hlo_stats.py) — the scheduled path's planner-sized exchange
+  buffers compile to measurably smaller collectives, and the runtime
+  overflow counter certifies that nothing was dropped to get there.
+
+Runs on the virtual CPU mesh by default (the environment has one real
+chip); pass --platform tpu on a pod.
+
+    python benchmarks/mesh_ab.py [--devices 8] [--batches 48] ...
+
+Prints one JSON line per mode plus a summary line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--model", default="wdl_criteo")
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--batches", type=int, default=48)
+    ap.add_argument("--rows", type=int, default=262_144)
+    ap.add_argument("--embedding-size", type=int, default=32)
+    ap.add_argument("--cache-limit-ratio", type=float, default=0.1)
+    ap.add_argument("--pinned-rows", type=int, default=0)
+    ap.add_argument("--scan-steps", type=int, default=8)
+    ap.add_argument("--warmup", type=int, default=8,
+                    help="cold-start steps run on the wide-capacity "
+                         "program before switching to the steady one")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.platform == "cpu":
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.devices}")
+    import jax
+    jax.config.update("jax_platforms", args.platform)
+    import numpy as np
+
+    from herald_tpu import HeraldConfig
+    from herald_tpu.data import synthetic_ctr_data
+    from herald_tpu.models import get_model
+    from herald_tpu.sched.sizing import (TrafficProfile,
+                                         profile_baseline_traffic,
+                                         profile_planned_traffic)
+    from herald_tpu.train.cached import CachedEngine
+    from herald_tpu.train.engine import Engine
+    from herald_tpu.utils.hlo_stats import collective_bytes
+
+    S = args.devices
+    model = get_model(args.model)
+    gb = args.batch_size * S
+    n = gb * args.batches
+    dense, sparse, labels = synthetic_ctr_data(
+        model.spec, n, seed=args.seed, num_rows=args.rows)
+    if args.pinned_rows:
+        # pinned tier contract: hottest ids -> [0, pinned_rows). The SAME
+        # remapped stream feeds both modes (a bijective relabel; strided
+        # ownership keeps owner buckets balanced under it).
+        from herald_tpu.data import frequency_remap
+        sparse, _ = frequency_remap(sparse, args.rows)
+    trn = (dense, sparse, labels)
+
+    def timed_epochs(run_chunk, steps, chunk):
+        """Warm-up two chunks (the second call can re-trace when the
+        first call's output shardings normalize), then time the rest."""
+        done = run_chunk(0, min(chunk, steps))
+        if done < steps:
+            done = run_chunk(done, min(chunk, steps - done))
+        t0 = time.perf_counter()
+        timed = 0
+        while done < steps:
+            k = min(chunk, steps - done)
+            run_chunk(done, k)
+            done += k
+            timed += k
+        dt = time.perf_counter() - t0
+        return dt / max(timed, 1)
+
+    # ---------------- baseline: plain hybrid engine ----------------------
+    base_prof = profile_baseline_traffic(sparse, args.batch_size, S)
+    # honest minimal sizing for BOTH sides: measured max + headroom
+    cfg_b = HeraldConfig(model=args.model, batch_size=args.batch_size,
+                         embedding_dim=args.embedding_size,
+                         comm_mode="hybrid", learning_rate=0.01,
+                         a2a_pull_capacity=base_prof.pull_capacity())
+    eng_b = Engine(cfg_b, table_rows=args.rows)
+    state_b = eng_b.init_state(args.seed)
+    hlo_b = collective_bytes(eng_b._train_step, state_b,
+                             *eng_b.example_step_args())
+
+    losses_b, overflow_b = [], 0
+
+    def run_b(done, k):
+        nonlocal state_b, overflow_b
+        lo = done * gb
+        state_b, stats = eng_b.train_epoch(
+            state_b, trn[0][lo:], trn[1][lo:], trn[2][lo:], steps=k)
+        losses_b.extend(np.asarray(stats["loss"]).tolist())
+        overflow_b += int(np.asarray(stats["overflow"]).sum())
+        return done + k
+
+    wall_b = timed_epochs(run_b, args.batches, args.scan_steps)
+    out_b = {
+        "mode": "baseline", "devices": S,
+        "pull_capacity": eng_b.exchange.capacity,
+        "a2a_bytes_per_step": hlo_b["all-to-all"],
+        "allreduce_bytes_per_step": hlo_b["all-reduce"],
+        "wall_s_per_step": round(wall_b, 5),
+        "overflow": overflow_b,
+        "loss_first": round(float(losses_b[0]), 4),
+        "loss_last": round(float(np.mean(losses_b[-8:])), 4),
+    }
+    print(json.dumps(out_b))
+
+    # ---------------- scheduled: planner-sized cached engine -------------
+    # Cache sized with reference semantics (--cache-limit-ratio of TABLE
+    # rows, run_laia.py: cache_limit = ratio * rows): steady state holds
+    # the working set and traffic is staleness refresh + planned flush,
+    # not capacity misses.
+    cfg_s = HeraldConfig(model=args.model, batch_size=args.batch_size,
+                         embedding_dim=args.embedding_size,
+                         comm_mode="hybrid", learning_rate=0.01,
+                         use_cache=True, use_scheduler=True,
+                         cache_limit_ratio=args.cache_limit_ratio,
+                         pinned_rows=args.pinned_rows)
+    cfg_s.cache_limit = max(cfg_s.cache_rows(args.rows),
+                            args.batch_size * model.spec.num_sparse)
+
+    # pass 1 (probe): plan with worst-case caps, record per-step traffic
+    eng_w = CachedEngine(cfg_s, table_rows=args.rows)   # wide capacities
+    pl_probe = eng_w.make_planner(sparse, epochs=1)
+    steps_prof, _ = profile_planned_traffic(pl_probe, sparse, S)
+    pl_probe.close()
+    n_steps = len(steps_prof)
+    W = min(args.warmup, n_steps // 2)   # cold-start steps (empty caches)
+    steady = TrafficProfile.from_steps(steps_prof[W:])
+
+    # pass 2: steady-state engine with measured capacities; the first W
+    # steps run on the wide program (two compiled executables over the
+    # same state shapes), the rest on the tight one. The overflow counter
+    # certifies that the sized program dropped nothing.
+    cfg_t = HeraldConfig(**{**cfg_s.__dict__,
+                            "a2a_pull_capacity": steady.pull_capacity(),
+                            "a2a_flush_capacity": steady.flush_capacity()})
+    eng_t = CachedEngine(cfg_t, table_rows=args.rows)
+    planner = eng_t.make_planner(sparse, epochs=1)  # owner_cap = steady
+    state_s = eng_w.init_cached_state(args.seed)
+    hlo_cold = collective_bytes(eng_w._cached_step, state_s,
+                                *eng_w.example_step_args())
+    hlo_s = collective_bytes(eng_t._cached_step, state_s,
+                             *eng_t.example_step_args())
+
+    losses_s, overflow_s = [], 0
+
+    def run_on(eng, k):
+        nonlocal state_s, overflow_s
+        state_s, stats = eng.train_epoch_cached(
+            state_s, planner, *trn, steps=k)
+        losses_s.extend(np.asarray(stats["loss"]).tolist())
+        overflow_s += int(np.asarray(stats["overflow"]).sum())
+
+    # cold phase on the wide program
+    done = 0
+    while done < W:
+        k = min(args.scan_steps, W - done)
+        run_on(eng_w, k)
+        done += k
+    # steady phase on the tight program: two chunks warm the compile (see
+    # timed_epochs), the rest is timed
+    for _ in range(2):
+        k = min(args.scan_steps, n_steps - done)
+        if k:
+            run_on(eng_t, k)
+            done += k
+    t0 = time.perf_counter()
+    timed = 0
+    while done < n_steps:
+        k = min(args.scan_steps, n_steps - done)
+        run_on(eng_t, k)
+        done += k
+        timed += k
+    wall_s = (time.perf_counter() - t0) / max(timed, 1)
+    state_s = eng_w.sync_cache(state_s, planner)   # wide caps for the drain
+    perf = planner.perf()
+
+    out_s = {
+        "mode": "scheduled", "devices": S,
+        "warmup_steps": W,
+        "cold_pull_capacity": eng_w.exchange.capacity,
+        "pull_capacity": eng_t.exchange.capacity,
+        "flush_capacity": eng_t.flush_exchange.capacity,
+        "a2a_bytes_per_step": hlo_s["all-to-all"],
+        "a2a_bytes_per_step_cold": hlo_cold["all-to-all"],
+        "allreduce_bytes_per_step": hlo_s["all-reduce"],
+        "wall_s_per_step": round(wall_s, 5),
+        "overflow": overflow_s,
+        "loss_first": round(float(losses_s[0]), 4),
+        "loss_last": round(float(np.mean(losses_s[-8:])), 4),
+        "planner_rows_pulled_per_worker": int(
+            perf["miss_pull"] + perf["update_pull"]),
+        "planner_rows_flushed_per_worker": int(
+            perf["miss_push"] + perf["update_push"]),
+    }
+    print(json.dumps(out_s))
+
+    total_b = hlo_b["all-to-all"] + hlo_b["all-reduce"]
+    total_s = hlo_s["all-to-all"] + hlo_s["all-reduce"]
+    print(json.dumps({
+        "summary": "scheduled (steady-state) vs baseline, same data+mesh",
+        "a2a_bytes_reduction": round(
+            hlo_b["all-to-all"] / max(hlo_s["all-to-all"], 1), 3),
+        "total_collective_bytes_reduction": round(
+            total_b / max(total_s, 1), 3),
+        # NOTE: on the virtual CPU mesh (all "devices" share one host
+        # core) collectives are memcpys, so wall-clock reflects FLOPs,
+        # not comm — the bytes reductions above are the transferable
+        # result; wall-clock is indicative only.
+        "wallclock_speedup": round(wall_b / max(wall_s, 1e-9), 3),
+        "baseline_overflow": overflow_b,
+        "scheduled_overflow": overflow_s,
+    }))
+
+
+if __name__ == "__main__":
+    main()

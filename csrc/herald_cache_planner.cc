@@ -411,7 +411,11 @@ private:
         return &ids_[(idx % num_samples_) * num_tables_];
     }
     int owner_of(key_t_ key) const {
-        return int(key / rows_per_shard_);
+        // strided ownership: shard = key % S (parallel/exchange.py
+        // route_ids) — hash-partitioning that spreads hot CTR keys evenly
+        // over owners, unlike the reference's contiguous AveragePartitioner
+        // (ps-lite/include/ps/partitioner.h:31-123)
+        return int(key % num_shards_);
     }
 
     void run() {

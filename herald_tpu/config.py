@@ -55,9 +55,18 @@ class HeraldConfig:
     # static capacity factor for all-to-all buckets: capacity per
     # (src, dst) pair = ceil(unique_ids / num_shards) * factor
     a2a_capacity_factor: float = 2.0
-    # Pallas DMA gather kernel for embedding lookups (ops/pallas/kernels):
-    # ~4x faster than XLA's gather for spread-out (cache-unfriendly) ID
-    # distributions; XLA wins on heavily skewed streams
+    # explicit per-(src,dst) ID-slot capacities, overriding the factor
+    # sizing. The scheduled path's traffic win materializes as smaller
+    # static all-to-all buffers: size these from the planner's measured
+    # max per-owner pull/flush counts (benchmarks/mesh_ab.py does this)
+    # and the compiled step moves proportionally fewer bytes.
+    a2a_pull_capacity: Optional[int] = None     # forward/pull exchange
+    a2a_flush_capacity: Optional[int] = None    # cached-mode flush exchange
+    # Pallas DMA gather kernel for embedding lookups (ops/pallas/kernels).
+    # Measured on v5e (docs/PERF_NOTES.md): per-row DMA is issue-rate-bound
+    # (~100 ns/descriptor) and LOSES to XLA's gather (~680 us vs ~154 us at
+    # N=6656), so this stays off by default; the kernel is kept as the
+    # scaffold for row-group DMA batching (wide tables amortize descriptors).
     use_pallas_gather: bool = False
 
     # --- hot-row cache (replaces src/hetu_cache) ---

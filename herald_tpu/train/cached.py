@@ -79,9 +79,15 @@ class CachedEngine(Engine):
         # flushes (eviction, stale-refresh) must never be dropped. The
         # buffer stays small (S * F_cap * W) and the planner guarantees
         # total flushes <= F_cap.
+        # cfg.a2a_flush_capacity shrinks the per-owner routing budget (and
+        # with it the flush all-to-all buffer): the planner receives it as
+        # owner_cap and defers planned flushes past it; mandatory flushes
+        # (eviction/stale-refresh) are not gated, so runtime overflow stays
+        # the correctness check (size from measured max per-owner counts —
+        # benchmarks/mesh_ab.py).
         self.flush_exchange = ex.make_exchange(
             self.num_rows, self.num_shards, self.F_cap, axis=self.axis,
-            capacity=self.F_cap)
+            capacity=min(cfg.a2a_flush_capacity or self.F_cap, self.F_cap))
         self._build_cached_steps()
 
     # ------------------------------------------------------------------
@@ -116,10 +122,13 @@ class CachedEngine(Engine):
             cache_data = jnp.zeros(shape, self.cfg.table_dtype)
             cache_delta = jnp.zeros(shape, jnp.float32)
         # pinned tier: hot block initialized FROM the owner table rows so
-        # table[0:P] and hot_table agree at step 0
+        # the table's logical rows [0, P) and hot_table agree at step 0.
+        # Under the strided layout their physical positions are scattered
+        # (ExchangeSpec.phys_index), so this is a gather, not a slice.
         prows = max(self.pinned_rows, 1)
-        slice_hot = lambda t: jax.lax.dynamic_slice(
-            t, (0, 0), (prows, self.width))
+        hot_phys = jnp.asarray(
+            self.exchange.phys_index(np.arange(prows, dtype=np.int64)))
+        slice_hot = lambda t: t[hot_phys]
         if self.pinned_rows:
             if self.num_shards > 1:
                 # replicate via out_shardings (a device_get would fail in
@@ -369,6 +378,21 @@ class CachedEngine(Engine):
         fslots = self._put(prog.flush_slots.reshape(-1), np.int32)
         return d, s, y, slots, pulls, fids, fslots
 
+    def example_step_args(self):
+        """Zero-filled device args of one cached step (HLO inspection)."""
+        gb = self.cfg.batch_size * max(self.num_shards, 1)
+        spec = self.model.spec
+        nr = max(self.num_shards, 1)
+        C = self.cache_rows
+        d = self._put(np.zeros((gb, max(spec.num_dense, 0))), np.float32)
+        s = self._put(np.zeros((gb, spec.num_sparse)), np.int32)
+        y = self._put(np.zeros((gb, 1)), np.float32)
+        slots = self._put(np.full(nr * self.U_cap, C), np.int32)
+        pulls = self._put(np.zeros(nr * self.U_cap), bool)
+        fids = self._put(np.full(nr * self.F_cap, -1), np.int32)
+        fslots = self._put(np.full(nr * self.F_cap, C), np.int32)
+        return d, s, y, slots, pulls, fids, fslots
+
     def train_step_cached(self, state, planner: CachePlanner, raw_dense,
                           raw_sparse, raw_labels):
         prog = planner.pop()
@@ -452,10 +476,12 @@ class CachedEngine(Engine):
         dumps = [planner.dirty_rows(z) for z in range(nr)]
         if self.pinned_rows:
             # write the hot block back into the owner table so eval /
-            # checkpoint see one authoritative table
+            # checkpoint see one authoritative table (strided layout:
+            # logical rows [0, P) live at scattered physical slots)
+            hot_phys = jnp.asarray(self.exchange.phys_index(
+                np.arange(self.pinned_rows, dtype=np.int64)))
             upd = jax.jit(
-                lambda t, h: t.at[jnp.arange(self.pinned_rows)].set(
-                    h.astype(t.dtype)),
+                lambda t, h: t.at[hot_phys].set(h.astype(t.dtype)),
                 donate_argnums=(0,))
             state = state._replace(table=upd(state.table, state.hot_table))
         self._unsynced = False

@@ -75,7 +75,8 @@ class Engine:
         self.ids_per_worker = cfg.batch_size * F
         self.exchange = ex.make_exchange(
             self.num_rows, self.num_shards, self.ids_per_worker,
-            axis=self.axis, capacity_factor=cfg.a2a_capacity_factor)
+            axis=self.axis, capacity_factor=cfg.a2a_capacity_factor,
+            capacity=cfg.a2a_pull_capacity)
 
         self._fast_local_sgd = (self.num_shards == 1
                                 and self.embed_opt.name == "sgd"
@@ -348,6 +349,17 @@ class Engine:
         if self._data_sharding is not None:
             return jax.device_put(a, self._data_sharding)
         return jnp.asarray(a)
+
+    def example_step_args(self):
+        """Zero-filled device args of one train step (for HLO inspection:
+        `utils/hlo_stats.collective_bytes(eng._train_step, state, *args)`)."""
+        gb = self.cfg.batch_size * max(self.num_shards, 1)
+        spec = self.model.spec
+        d = self._put_batch(np.zeros((gb, max(spec.num_dense, 0))),
+                            np.float32)
+        s = self._put_batch(np.zeros((gb, spec.num_sparse)), np.int32)
+        y = self._put_batch(np.zeros((gb, 1)), np.float32)
+        return d, s, y
 
     def train_step(self, state: TrainState, dense_x, sparse_ids, labels):
         """One global step. Host arrays may be [W, B, ...] or [W*B, ...]."""

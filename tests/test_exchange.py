@@ -46,7 +46,9 @@ def test_gather_matches_dense_lookup():
     sm = jax.jit(jax.shard_map(
         f, mesh=mesh, in_specs=(P("dp", None), P("dp")),
         out_specs=P("dp"), check_vma=False))
-    t_sharded = jax.device_put(table, NamedSharding(mesh, P("dp", None)))
+    # strided layout: logical row r lives at physical slot phys_index(r)
+    t_sharded = jax.device_put(spec.to_physical(table),
+                               NamedSharding(mesh, P("dp", None)))
     out = np.asarray(sm(t_sharded, ids_sorted.reshape(-1)))
     expect = table[ids_sorted.reshape(-1)]
     np.testing.assert_allclose(out, expect, rtol=1e-6)
@@ -56,8 +58,9 @@ def test_gather_handles_padding_and_overflow():
     mesh = _mesh()
     spec = _spec(capacity=2)   # force overflow
     table = np.ones((ROWS, DIM), np.float32)
-    # every device asks for 8 rows all owned by shard 0 -> 6 dropped each
-    ids = np.tile(np.arange(8, dtype=np.int32), (S, 1))
+    # every device asks for 8 rows all owned by shard 0 (strided: ids
+    # congruent 0 mod S) -> 6 dropped each
+    ids = np.tile(np.arange(8, dtype=np.int32) * S, (S, 1))
     ids[:, -2:] = -1           # padding entries
 
     def f(table_shard, uniq):
@@ -117,4 +120,6 @@ def test_scatter_grads_matches_dense_scatter_add():
         for i in range(U):
             if ids_sorted[r, i] >= 0:
                 expect[ids_sorted[r, i]] += grads[r, i]
-    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
+    # `out` is the stacked physical shard blocks (strided layout)
+    np.testing.assert_allclose(out, spec.to_physical(expect),
+                               rtol=1e-5, atol=1e-5)

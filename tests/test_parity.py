@@ -37,8 +37,20 @@ def test_hybrid_matches_local():
 
     s_local = e_local.init_state(0)
     s_hybrid = e_hybrid.init_state(0)
-    np.testing.assert_allclose(np.asarray(s_local.table),
-                               np.asarray(s_hybrid.table))
+    # random init is keyed by physical position, and the hybrid table's
+    # strided layout permutes logical rows — start both engines from the
+    # same LOGICAL values by transplanting the local table
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    tphys = e_hybrid.exchange.to_physical(np.asarray(s_local.table))
+    s_hybrid = s_hybrid._replace(table=jax.device_put(
+        tphys, NamedSharding(e_hybrid.mesh, P("dp", None))))
+
+    def hybrid_logical():
+        return e_hybrid.exchange.to_logical(np.asarray(s_hybrid.table))
+
+    np.testing.assert_allclose(np.asarray(s_local.table)[:ROWS],
+                               hybrid_logical())
 
     for t in range(STEPS):
         sl = slice(t * W * B, (t + 1) * W * B)
@@ -50,8 +62,8 @@ def test_hybrid_matches_local():
         np.testing.assert_allclose(float(st_l["loss"]),
                                    float(st_h["loss"]), rtol=1e-5)
 
-    np.testing.assert_allclose(np.asarray(s_local.table),
-                               np.asarray(s_hybrid.table),
+    np.testing.assert_allclose(np.asarray(s_local.table)[:ROWS],
+                               hybrid_logical(),
                                rtol=1e-4, atol=1e-6)
     for k in s_local.dense:
         np.testing.assert_allclose(np.asarray(s_local.dense[k]),
