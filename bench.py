@@ -89,6 +89,57 @@ def bench_engine():
     return BATCH * ITERS / float(np.median(times))
 
 
+def bench_scheduled():
+    """Herald path on one chip: hot-row cache + planner micro-programs.
+
+    Single-chip has no exchange, so this measures the cache-path step cost
+    (flush/pull/insert/update phases) against the plain engine — the
+    driver-visible number VERDICT r1 asked for. The multi-chip comm win is
+    measured separately by the mesh A/B (see main()).
+    """
+    from herald_tpu.sched.sizing import (TrafficProfile,
+                                         profile_planned_traffic)
+    from herald_tpu.train.cached import CachedEngine
+    cfg = HeraldConfig(model="wdl_criteo", batch_size=BATCH,
+                       embedding_dim=EMB_DIM, comm_mode="local",
+                       learning_rate=0.01, table_dtype=jnp.bfloat16,
+                       use_cache=True, use_scheduler=True,
+                       cache_limit_ratio=0.1)
+    model = get_model(cfg.model)
+    dense, sparse, labels = synthetic_ctr_data(
+        model.spec, BATCH * ITERS, seed=0, num_rows=ROWS)
+    dense = dense.astype(np.float32)
+    labels = labels.astype(np.float32)
+    sparse32 = sparse.astype(np.int32)   # per-epoch gathers skip astype
+    # probe pass (host only): with the cache holding the working set,
+    # steady-state flushes are rare — size the padded flush arrays from
+    # the measured max instead of the U_cap worst case, which would make
+    # every step pay full-width scatter passes of pure padding
+    probe_eng = CachedEngine(cfg, table_rows=ROWS)
+    probe = probe_eng.make_planner(sparse, epochs=1)
+    steps_prof, _ = profile_planned_traffic(probe, sparse, 1)
+    probe.close()
+    prof = TrafficProfile.from_steps(steps_prof)
+    cfg.sched_flush_slots = prof.flush_slots()
+    cfg.sched_unique_slots = prof.unique_slots()
+    eng = CachedEngine(cfg, table_rows=ROWS)
+    epochs = 3
+    planner = eng.make_planner(sparse, epochs=epochs)
+    state = eng.init_cached_state(0)
+    times = []
+    for _ in range(epochs):
+        t0 = time.perf_counter()
+        state, stats = eng.train_epoch_cached(state, planner, dense,
+                                              sparse32, labels,
+                                              steps=ITERS)
+        # host readback of a value depending on every step (see
+        # bench_engine note on block_until_ready)
+        float(np.asarray(stats["loss"])[-1])
+        times.append(time.perf_counter() - t0)
+    # epoch 1 includes compile; best of the rest
+    return BATCH * ITERS / min(times[1:])
+
+
 def bench_naive():
     """No dedup, full scatter-add — the straight-port baseline."""
     model = get_model("wdl_criteo")
@@ -168,18 +219,50 @@ def main():
             naives.append(run("naive"))
     ours = max(engines)
     naive = max(naives)
+    sched = run("scheduled")
+
+    # multi-chip communication A/B on the 8-device virtual mesh (bytes are
+    # read from the compiled HLO — deterministic; the overflow/correctness
+    # certification lives in tests/test_traffic_hlo.py). The CPU subprocess
+    # doesn't touch the chip.
+    mesh = {}
+    try:
+        ab = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "mesh_ab.py"),
+             "--batches", "24", "--pinned-rows", "1024", "--bytes-only"],
+            capture_output=True, text=True, check=True, timeout=480)
+        lines = [json.loads(l) for l in ab.stdout.strip().splitlines()]
+        base = next(l for l in lines if l.get("mode") == "baseline")
+        schd = next(l for l in lines if l.get("mode") == "scheduled")
+        summ = next(l for l in lines if "summary" in l)
+        mesh = {
+            "mesh_a2a_bytes_baseline": base["a2a_bytes_per_step"],
+            "mesh_a2a_bytes_scheduled": schd["a2a_bytes_per_step"],
+            "mesh_a2a_reduction": summ["a2a_bytes_reduction"],
+            "mesh_total_collective_reduction":
+                summ["total_collective_bytes_reduction"],
+        }
+    except Exception as e:   # never lose the chip numbers to a CPU A/B
+        mesh = {"mesh_ab_error": str(e)[:200]}
+
     print(json.dumps({
         "metric": "wdl_criteo_b256_e128_examples_per_sec_per_chip",
         "value": round(ours, 1),
         "unit": "examples/s",
         "vs_baseline": round(ours / naive, 3),
+        "scheduled_examples_per_sec": round(sched, 1),
+        "scheduled_vs_naive": round(sched / naive, 3),
+        **mesh,
     }))
 
 
 if __name__ == "__main__":
     import sys
-    if len(sys.argv) > 1 and sys.argv[1] in ("engine", "naive"):
-        fn = bench_engine if sys.argv[1] == "engine" else bench_naive
-        print(fn())
+    modes = {"engine": bench_engine, "naive": bench_naive,
+             "scheduled": bench_scheduled}
+    if len(sys.argv) > 1 and sys.argv[1] in modes:
+        print(modes[sys.argv[1]]())
     else:
         main()

@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--warmup", type=int, default=8,
                     help="cold-start steps run on the wide-capacity "
                          "program before switching to the steady one")
+    ap.add_argument("--bytes-only", action="store_true",
+                    help="skip the timed mesh runs: plan, size, compile "
+                         "and report the per-step collective bytes only "
+                         "(deterministic; tests/test_traffic_hlo.py holds "
+                         "the overflow certification)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -117,17 +122,21 @@ def main():
         overflow_b += int(np.asarray(stats["overflow"]).sum())
         return done + k
 
-    wall_b = timed_epochs(run_b, args.batches, args.scan_steps)
+    wall_b = (None if args.bytes_only
+              else timed_epochs(run_b, args.batches, args.scan_steps))
     out_b = {
         "mode": "baseline", "devices": S,
         "pull_capacity": eng_b.exchange.capacity,
         "a2a_bytes_per_step": hlo_b["all-to-all"],
         "allreduce_bytes_per_step": hlo_b["all-reduce"],
-        "wall_s_per_step": round(wall_b, 5),
-        "overflow": overflow_b,
-        "loss_first": round(float(losses_b[0]), 4),
-        "loss_last": round(float(np.mean(losses_b[-8:])), 4),
     }
+    if not args.bytes_only:
+        out_b.update({
+            "wall_s_per_step": round(wall_b, 5),
+            "overflow": overflow_b,
+            "loss_first": round(float(losses_b[0]), 4),
+            "loss_last": round(float(np.mean(losses_b[-8:])), 4),
+        })
     print(json.dumps(out_b))
 
     # ---------------- scheduled: planner-sized cached engine -------------
@@ -148,6 +157,7 @@ def main():
     eng_w = CachedEngine(cfg_s, table_rows=args.rows)   # wide capacities
     pl_probe = eng_w.make_planner(sparse, epochs=1)
     steps_prof, _ = profile_planned_traffic(pl_probe, sparse, S)
+    probe_perf = pl_probe.perf()
     pl_probe.close()
     n_steps = len(steps_prof)
     W = min(args.warmup, n_steps // 2)   # cold-start steps (empty caches)
@@ -157,17 +167,55 @@ def main():
     # steps run on the wide program (two compiled executables over the
     # same state shapes), the rest on the tight one. The overflow counter
     # certifies that the sized program dropped nothing.
-    cfg_t = HeraldConfig(**{**cfg_s.__dict__,
+    full = TrafficProfile.from_steps(steps_prof)
+    # padded program widths are sized over the WHOLE stream (uniques and
+    # flush totals are cold-safe) and must match on every engine that
+    # executes the planner's programs; only the exchange CAPACITIES
+    # differ between the cold and steady programs
+    widths = {"sched_unique_slots": full.unique_slots(),
+              "sched_flush_slots": full.flush_slots()}
+    cfg_c = HeraldConfig(**{**cfg_s.__dict__, **widths})
+    eng_c = CachedEngine(cfg_c, table_rows=args.rows)   # wide capacities
+    cfg_t = HeraldConfig(**{**cfg_s.__dict__, **widths,
                             "a2a_pull_capacity": steady.pull_capacity(),
                             "a2a_flush_capacity": steady.flush_capacity()})
     eng_t = CachedEngine(cfg_t, table_rows=args.rows)
-    planner = eng_t.make_planner(sparse, epochs=1)  # owner_cap = steady
-    state_s = eng_w.init_cached_state(args.seed)
-    hlo_cold = collective_bytes(eng_w._cached_step, state_s,
-                                *eng_w.example_step_args())
+    state_s = eng_c.init_cached_state(args.seed)
+    hlo_cold = collective_bytes(eng_c._cached_step, state_s,
+                                *eng_c.example_step_args())
     hlo_s = collective_bytes(eng_t._cached_step, state_s,
                              *eng_t.example_step_args())
 
+    if args.bytes_only:
+        out_s = {
+            "mode": "scheduled", "devices": S,
+            "warmup_steps": W,
+            "cold_pull_capacity": eng_c.exchange.capacity,
+            "pull_capacity": eng_t.exchange.capacity,
+            "flush_capacity": eng_t.flush_exchange.capacity,
+            "a2a_bytes_per_step": hlo_s["all-to-all"],
+            "a2a_bytes_per_step_cold": hlo_cold["all-to-all"],
+            "allreduce_bytes_per_step": hlo_s["all-reduce"],
+            "hot_tier_bytes_per_step": hlo_s["reduce-scatter"]
+                + hlo_s["all-gather"],
+            "planner_rows_pulled_per_worker": int(
+                probe_perf["miss_pull"] + probe_perf["update_pull"]),
+            "planner_rows_flushed_per_worker": int(
+                probe_perf["miss_push"] + probe_perf["update_push"]),
+        }
+        print(json.dumps(out_s))
+        total_b = sum(v for k, v in hlo_b.items() if k != "count")
+        total_s = sum(v for k, v in hlo_s.items() if k != "count")
+        print(json.dumps({
+            "summary": "scheduled (steady-state) vs baseline, bytes only",
+            "a2a_bytes_reduction": round(
+                hlo_b["all-to-all"] / max(hlo_s["all-to-all"], 1), 3),
+            "total_collective_bytes_reduction": round(
+                total_b / max(total_s, 1), 3),
+        }))
+        return
+
+    planner = eng_t.make_planner(sparse, epochs=1)  # owner_cap = steady
     losses_s, overflow_s = [], 0
 
     def run_on(eng, k):
@@ -181,7 +229,7 @@ def main():
     done = 0
     while done < W:
         k = min(args.scan_steps, W - done)
-        run_on(eng_w, k)
+        run_on(eng_c, k)
         done += k
     # steady phase on the tight program: two chunks warm the compile (see
     # timed_epochs), the rest is timed
@@ -198,13 +246,13 @@ def main():
         done += k
         timed += k
     wall_s = (time.perf_counter() - t0) / max(timed, 1)
-    state_s = eng_w.sync_cache(state_s, planner)   # wide caps for the drain
+    state_s = eng_c.sync_cache(state_s, planner)   # wide caps for the drain
     perf = planner.perf()
 
     out_s = {
         "mode": "scheduled", "devices": S,
         "warmup_steps": W,
-        "cold_pull_capacity": eng_w.exchange.capacity,
+        "cold_pull_capacity": eng_c.exchange.capacity,
         "pull_capacity": eng_t.exchange.capacity,
         "flush_capacity": eng_t.flush_exchange.capacity,
         "a2a_bytes_per_step": hlo_s["all-to-all"],
@@ -221,8 +269,8 @@ def main():
     }
     print(json.dumps(out_s))
 
-    total_b = hlo_b["all-to-all"] + hlo_b["all-reduce"]
-    total_s = hlo_s["all-to-all"] + hlo_s["all-reduce"]
+    total_b = sum(v for k, v in hlo_b.items() if k != "count")
+    total_s = sum(v for k, v in hlo_s.items() if k != "count")
     print(json.dumps({
         "summary": "scheduled (steady-state) vs baseline, same data+mesh",
         "a2a_bytes_reduction": round(

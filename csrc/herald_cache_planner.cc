@@ -873,6 +873,52 @@ void hplan_pop_finish(void *h, int32_t *slots_out, uint8_t *pulls_out,
     }
 }
 
+// One-shot pop writing DIRECTLY into padded device-layout buffers:
+// assign [nrank*mbs], slots/pulls rows of width u_cap (pad: cache_rows /
+// 0), flush rows of width f_cap (pad: -1 / cache_rows), flush ids emitted
+// as int32 (the engine ships programs to the device as int32). Replaces
+// pop_begin+pop_finish plus the Python-side pad-and-stack, which cost as
+// much as the device step at single-chip scale. Returns 0 ok, -1 end of
+// stream, -2 a worker's uniques/flushes exceed the given caps (caller
+// must treat as fatal: truncation would corrupt training).
+int hplan_pop_padded(void *h, int64_t *assign_out, int64_t u_cap,
+                     int64_t f_cap, int64_t cache_rows, int32_t *slots_out,
+                     uint8_t *pulls_out, int32_t *flush_ids_out,
+                     int32_t *flush_slots_out) {
+    auto *p = static_cast<HPlanner *>(h);
+    if (!p->planner->pop(p->current)) return -1;
+    std::memcpy(assign_out, p->current.assign.data(),
+                p->current.assign.size() * sizeof(int64_t));
+    size_t nr = p->current.slots.size();
+    for (size_t z = 0; z < nr; z++) {
+        auto &sl = p->current.slots[z];
+        auto &pu = p->current.pulls[z];
+        auto &fi = p->current.flush_ids[z];
+        auto &fs = p->current.flush_slots[z];
+        if (int64_t(sl.size()) > u_cap || int64_t(fi.size()) > f_cap)
+            return -2;
+        int32_t *srow = slots_out + z * u_cap;
+        uint8_t *prow = pulls_out + z * u_cap;
+        std::memcpy(srow, sl.data(), sl.size() * sizeof(int32_t));
+        std::memcpy(prow, pu.data(), pu.size());
+        for (int64_t q = int64_t(sl.size()); q < u_cap; q++) {
+            srow[q] = int32_t(cache_rows);
+            prow[q] = 0;
+        }
+        int32_t *firow = flush_ids_out + z * f_cap;
+        int32_t *fsrow = flush_slots_out + z * f_cap;
+        for (size_t q = 0; q < fi.size(); q++) {
+            firow[q] = int32_t(fi[q]);
+            fsrow[q] = fs[q];
+        }
+        for (int64_t q = int64_t(fi.size()); q < f_cap; q++) {
+            firow[q] = -1;
+            fsrow[q] = int32_t(cache_rows);
+        }
+    }
+    return 0;
+}
+
 int64_t hplan_queue_length(void *h) {
     return int64_t(static_cast<HPlanner *>(h)->planner->queue_length());
 }

@@ -62,6 +62,17 @@ class HeraldConfig:
     # and the compiled step moves proportionally fewer bytes.
     a2a_pull_capacity: Optional[int] = None     # forward/pull exchange
     a2a_flush_capacity: Optional[int] = None    # cached-mode flush exchange
+    # per-worker flush-array length (cached mode). Default U_cap covers the
+    # worst case (every batch key evicting); a probe-measured value shrinks
+    # the padded flush scatter passes to near-zero in the big-cache regime.
+    # The planner raises if a program ever exceeds it (nothing truncates).
+    sched_flush_slots: Optional[int] = None
+    # per-worker unique-key capacity (cached mode). Default batch*fields is
+    # the worst case; real CTR batches dedup 4-5x below it, and every cache
+    # pass (dedup sort, pull gather, insert/update scatters) is as wide as
+    # this. Size from a probe (sizing.TrafficProfile.unique_slots); the
+    # planner raises if a batch's uniques ever exceed it.
+    sched_unique_slots: Optional[int] = None
     # Pallas DMA gather kernel for embedding lookups (ops/pallas/kernels).
     # Measured on v5e (docs/PERF_NOTES.md): per-row DMA is issue-rate-bound
     # (~100 ns/descriptor) and LOSES to XLA's gather (~680 us vs ~154 us at

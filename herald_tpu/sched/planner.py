@@ -25,7 +25,8 @@ class StepProgram:
     slots: np.ndarray         # [nrank, U_cap] int32, cache slot per sorted
                               #   unique batch key; C (OOB) for padding
     pulls: np.ndarray         # [nrank, U_cap] bool, pull from owner
-    flush_ids: np.ndarray     # [nrank, F_cap] int64, -1 padding
+    flush_ids: np.ndarray     # [nrank, F_cap] int32, -1 padding (ids are
+                              #   asserted < 2^31 by the engine)
     flush_slots: np.ndarray   # [nrank, F_cap] int32, C (OOB) padding
 
 
@@ -54,6 +55,10 @@ class _PlannerLib:
             lib.hplan_pop_begin.argtypes = [ctypes.c_void_p, i64p, i64p]
             lib.hplan_pop_finish.argtypes = [ctypes.c_void_p, i32p, u8p,
                                              i64p, i32p]
+            lib.hplan_pop_padded.restype = ctypes.c_int
+            lib.hplan_pop_padded.argtypes = [
+                ctypes.c_void_p, i64p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, i32p, u8p, i32p, i32p]
             lib.hplan_queue_length.restype = ctypes.c_int64
             lib.hplan_queue_length.argtypes = [ctypes.c_void_p]
             lib.hplan_perf.argtypes = [ctypes.c_void_p,
@@ -79,14 +84,17 @@ class CachePlanner:
                  n_threads: int = 8, queue_cap: int = 16,
                  drop_last: bool = True, policy: str = "lru",
                  assign_mode: str = "affinity", pinned_rows: int = 0,
-                 bound: int = 0):
+                 bound: int = 0, unique_cap: Optional[int] = None):
         ids = np.ascontiguousarray(sparse_ids, np.int64)
         assert ids.ndim == 2
         n, num_tables = ids.shape
         self.nrank = nrank
         self.mbs = batch_size
         self.num_tables = num_tables
-        self.U_cap = batch_size * num_tables
+        # unique_cap below batch*tables is allowed (probe-sized padding,
+        # HeraldConfig.sched_unique_slots); pop() raises if a batch's
+        # actual uniques exceed it (jnp.unique would silently truncate)
+        self.U_cap = int(unique_cap or batch_size * num_tables)
         # one batch's unique keys must fit: otherwise two same-batch keys
         # would share a slot and the forward pass reads wrong residents
         # (the reference has the same implicit requirement — its cache
@@ -97,14 +105,14 @@ class CachePlanner:
                 f"unique capacity ({self.U_cap} = batch {batch_size} x "
                 f"{num_tables} tables)")
         self.F_cap = flush_cap or self.U_cap
-        # mandatory flushes (stale-refresh + eviction) are bounded by one
-        # batch's unique keys and are never deferred, so the static flush
-        # capacity must cover them
-        if self.F_cap < self.U_cap:
-            raise ValueError(
-                f"flush_cap ({self.F_cap}) must be >= per-batch unique "
-                f"capacity ({self.U_cap}): mandatory eviction/refresh "
-                f"flushes cannot be deferred")
+        # flush_cap below U_cap is allowed (sizing from a measured probe
+        # pass shrinks the padded flush arrays dramatically in the
+        # big-cache regime where flushes are rare) — but mandatory flushes
+        # (stale-refresh + eviction) are never deferred by the planner, so
+        # pop() verifies every program fits and raises rather than
+        # truncate (losing a flush would lose gradient deltas)
+        if self.F_cap < 1:
+            raise ValueError(f"flush_cap ({self.F_cap}) must be >= 1")
         # per-owner routing capacity for flushes must match the engine's
         # all-to-all bucket capacity
         self.owner_cap = owner_cap or self.F_cap
@@ -143,44 +151,46 @@ class CachePlanner:
         self._ids_keepalive = ids
         self._lib.hplan_start(self._h)
 
+    def pop_into(self, assign, slots, pulls, flush_ids, flush_slots
+                 ) -> bool:
+        """Pop one program directly into caller-provided PADDED buffers
+        (device layout: assign [nrank*mbs] i64, slots/pulls [nrank*U_cap]
+        i32/u8, flush rows [nrank*F_cap] i32). Returns False at end of
+        stream; raises if a program exceeds the static caps (truncating
+        would corrupt training). One C call per step — the pad-and-stack
+        Python path cost as much as the device step at single-chip scale.
+        """
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        rc = self._lib.hplan_pop_padded(
+            self._h, assign.ctypes.data_as(i64p), self.U_cap, self.F_cap,
+            self.cache_rows,
+            slots.ctypes.data_as(i32p), pulls.ctypes.data_as(u8p),
+            flush_ids.ctypes.data_as(i32p),
+            flush_slots.ctypes.data_as(i32p))
+        if rc == -2:
+            raise RuntimeError(
+                f"a program exceeds the static caps (unique_cap "
+                f"{self.U_cap} / flush_cap {self.F_cap}); size them from "
+                f"a probe pass (sched/sizing.py) or leave the defaults")
+        return rc == 0
+
     def pop(self) -> Optional[StepProgram]:
         assign = np.empty(self.nrank * self.mbs, np.int64)
-        sizes = np.empty(self.nrank * 2, np.int64)
-        rc = self._lib.hplan_pop_begin(
-            self._h, assign.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
-        if rc < 0:
+        slots = np.empty(self.nrank * self.U_cap, np.int32)
+        pulls = np.empty(self.nrank * self.U_cap, np.uint8)
+        flush_ids = np.empty(self.nrank * self.F_cap, np.int32)
+        flush_slots = np.empty(self.nrank * self.F_cap, np.int32)
+        if not self.pop_into(assign, slots, pulls, flush_ids, flush_slots):
             return None
-        us = sizes[0::2]
-        fs = sizes[1::2]
-        slots_flat = np.empty(max(int(us.sum()), 1), np.int32)
-        pulls_flat = np.empty(max(int(us.sum()), 1), np.uint8)
-        fids_flat = np.empty(max(int(fs.sum()), 1), np.int64)
-        fslots_flat = np.empty(max(int(fs.sum()), 1), np.int32)
-        self._lib.hplan_pop_finish(
-            self._h,
-            slots_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            pulls_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            fids_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            fslots_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
-
-        C = self.cache_rows
-        slots = np.full((self.nrank, self.U_cap), C, np.int32)
-        pulls = np.zeros((self.nrank, self.U_cap), bool)
-        flush_ids = np.full((self.nrank, self.F_cap), -1, np.int64)
-        flush_slots = np.full((self.nrank, self.F_cap), C, np.int32)
-        uo = fo = 0
-        for z in range(self.nrank):
-            u, f = int(us[z]), int(fs[z])
-            slots[z, :u] = slots_flat[uo:uo + u]
-            pulls[z, :u] = pulls_flat[uo:uo + u].astype(bool)
-            uo += u
-            flush_ids[z, :f] = fids_flat[fo:fo + f]
-            flush_slots[z, :f] = fslots_flat[fo:fo + f]
-            fo += f
-        return StepProgram(assign=assign.reshape(self.nrank, self.mbs),
-                           slots=slots, pulls=pulls, flush_ids=flush_ids,
-                           flush_slots=flush_slots)
+        nr = self.nrank
+        return StepProgram(assign=assign.reshape(nr, self.mbs),
+                           slots=slots.reshape(nr, self.U_cap),
+                           pulls=pulls.reshape(nr, self.U_cap)
+                           .astype(bool),
+                           flush_ids=flush_ids.reshape(nr, self.F_cap),
+                           flush_slots=flush_slots.reshape(nr, self.F_cap))
 
     def queue_length(self) -> int:
         return int(self._lib.hplan_queue_length(self._h))

@@ -39,6 +39,9 @@ class StepTraffic:
     flush_bucket: int      # largest per-(worker, owner) flush bucket
     pulls: int             # total pulled rows (all workers)
     flushes: int           # total flushed rows (all workers)
+    pull_worker: int = 0   # largest single-worker pull count
+    flush_worker: int = 0  # largest single-worker flush count
+    uniq_worker: int = 0   # largest single-worker unique-key count
 
 
 @dataclasses.dataclass
@@ -49,6 +52,9 @@ class TrafficProfile:
     steps: int
     total_pulls: int
     total_flushes: int
+    max_pull_worker: int = 0
+    max_flush_worker: int = 0
+    max_uniq_worker: int = 0
 
     @classmethod
     def from_steps(cls, steps: List[StepTraffic]) -> "TrafficProfile":
@@ -57,7 +63,11 @@ class TrafficProfile:
             max_flush_bucket=max((s.flush_bucket for s in steps), default=0),
             steps=len(steps),
             total_pulls=sum(s.pulls for s in steps),
-            total_flushes=sum(s.flushes for s in steps))
+            total_flushes=sum(s.flushes for s in steps),
+            max_pull_worker=max((s.pull_worker for s in steps), default=0),
+            max_flush_worker=max((s.flush_worker for s in steps),
+                                 default=0),
+            max_uniq_worker=max((s.uniq_worker for s in steps), default=0))
 
     def pull_capacity(self, align: int = 8, headroom: float = 1.25) -> int:
         """Safe per-(src,dst) pull capacity: measured max + headroom.
@@ -74,20 +84,37 @@ class TrafficProfile:
         need = int(np.ceil(self.max_flush_bucket * headroom))
         return max(-(-need // align) * align, align)
 
+    def flush_slots(self, align: int = 8, headroom: float = 1.5) -> int:
+        """Per-worker flush-array length (`HeraldConfig.sched_flush_slots`):
+        measured max single-worker flush count + headroom. The planner
+        raises rather than truncate if a run ever exceeds it."""
+        need = int(np.ceil(self.max_flush_worker * headroom))
+        return max(-(-need // align) * align, align)
+
+    def unique_slots(self, align: int = 8, headroom: float = 1.15) -> int:
+        """Per-worker unique-key capacity (HeraldConfig.sched_unique_slots):
+        the width of every dedup/cache pass in the compiled step. Uniques
+        are a property of the data (stable across epochs), so headroom is
+        thin; the planner raises rather than truncate."""
+        need = int(np.ceil(self.max_uniq_worker * headroom))
+        return max(-(-need // align) * align, align)
+
 
 def step_traffic(prog: StepProgram, sparse_ids: np.ndarray,
                  num_shards: int) -> StepTraffic:
     """Reproduce the device's per-step owner bucketing for one program."""
     nrank = prog.assign.shape[0]
-    pull_b = flush_b = pulls = flushes = 0
+    pull_b = flush_b = pulls = flushes = pull_w = flush_w = uniq_w = 0
     for z in range(nrank):
         # device-side key order: sorted unique of the assigned batch
         keys = np.unique(sparse_ids[prog.assign[z]].ravel())
+        uniq_w = max(uniq_w, len(keys))
         pull_keys = keys[prog.pulls[z, : len(keys)]]
         if len(pull_keys):
             buckets = np.bincount(pull_keys % num_shards,
                                   minlength=num_shards)
             pull_b = max(pull_b, int(buckets.max()))
+            pull_w = max(pull_w, len(pull_keys))
             pulls += len(pull_keys)
         fids = prog.flush_ids[z]
         fids = fids[fids >= 0]
@@ -95,9 +122,12 @@ def step_traffic(prog: StepProgram, sparse_ids: np.ndarray,
             buckets = np.bincount(fids % num_shards,
                                   minlength=num_shards)
             flush_b = max(flush_b, int(buckets.max()))
+            flush_w = max(flush_w, len(fids))
             flushes += len(fids)
     return StepTraffic(pull_bucket=pull_b, flush_bucket=flush_b,
-                       pulls=pulls, flushes=flushes)
+                       pulls=pulls, flushes=flushes,
+                       pull_worker=pull_w, flush_worker=flush_w,
+                       uniq_worker=uniq_w)
 
 
 def profile_planned_traffic(planner: CachePlanner, sparse_ids: np.ndarray,

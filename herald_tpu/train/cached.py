@@ -66,14 +66,21 @@ class CachedEngine(Engine):
         super().__init__(cfg, model=model, mesh=mesh, table_rows=table_rows)
         self.cache_rows = cfg.cache_rows(self.num_rows)
         self.pinned_rows = int(cfg.pinned_rows or 0)
+        if self.pinned_rows and self.num_shards > 1:
+            # the hot tier reduce-scatters its grads (each shard applies
+            # the optimizer to its block, then all-gathers values), so the
+            # block height must divide evenly; round up — extra pinned
+            # rows only widen the replicated tier
+            S = self.num_shards
+            self.pinned_rows = -(-self.pinned_rows // S) * S
         assert self.pinned_rows <= self.num_rows
         # program arrays travel as int32 (device-friendly); larger tables
         # would silently wrap ids
         assert self.num_rows < 2**31, \
             f"table rows {self.num_rows} exceed int32 program ids"
         self._unsynced = False
-        self.U_cap = self.ids_per_worker
-        self.F_cap = self.U_cap
+        self.U_cap = int(cfg.sched_unique_slots or self.ids_per_worker)
+        self.F_cap = int(cfg.sched_flush_slots or self.U_cap)
         # flush routing capacity = F_cap per (src, dst) pair: in the worst
         # case every flushed row belongs to one owner shard, and mandatory
         # flushes (eviction, stale-refresh) must never be dropped. The
@@ -104,7 +111,8 @@ class CachedEngine(Engine):
             top_k=self.cfg.sched_top_k_tables or 0, n_threads=n_threads,
             policy=self.cfg.cache_policy, assign_mode=assign_mode,
             pinned_rows=self.pinned_rows,
-            bound=self.cfg.staleness_bound)
+            bound=self.cfg.staleness_bound,
+            unique_cap=self.U_cap)
 
     def init_cached_state(self, seed: Optional[int] = None
                           ) -> CachedTrainState:
@@ -139,16 +147,23 @@ class CachedEngine(Engine):
                 hot = jax.jit(slice_hot)(base.table)
         else:
             hot = jnp.zeros((1, self.width), self.cfg.table_dtype)
-        hot_slots = {k: np.zeros((prows, self.width), np.float32)
-                     for k in self.embed_opt.slot_names}
         if self.num_shards > 1:
             rep = NamedSharding(self.mesh, P())
             if not self.pinned_rows:
                 hot = jax.device_put(np.zeros((1, self.width), np.float32)
                                      .astype(self.cfg.table_dtype), rep)
-            hot_slots = jax.device_put(hot_slots, rep)
+            # sharded slot rows ([P/S] block per shard); the placeholder
+            # (pinned off) stays 1 row per shard = S rows total
+            srows = prows if self.pinned_rows else self.num_shards
+            ssh = NamedSharding(self.mesh, P(self.axis, None))
+            hot_slots = {
+                k: jax.device_put(np.zeros((srows, self.width),
+                                           np.float32), ssh)
+                for k in self.embed_opt.slot_names
+            }
         else:
-            hot_slots = {k: jnp.asarray(v) for k, v in hot_slots.items()}
+            hot_slots = {k: jnp.zeros((prows, self.width), jnp.float32)
+                         for k in self.embed_opt.slot_names}
         return CachedTrainState(*base, cache_data=cache_data,
                                 cache_delta=cache_delta, hot_table=hot,
                                 hot_slots=hot_slots)
@@ -183,11 +198,14 @@ class CachedEngine(Engine):
             rows, row_grads.astype(rows.dtype), row_slots, step,
             lr=self._elr_fn(step), mask=row_mask)
         drop_idx = jnp.where(row_mask, rows_idx, table.shape[0] + 1)
-        table = table.at[drop_idx].set(new_rows, mode="drop")
+        # cast to storage dtypes (see engine._apply_sparse_grads: an f32
+        # scatter into a bf16 table converts the WHOLE table)
+        table = table.at[drop_idx].set(new_rows.astype(table.dtype),
+                                       mode="drop")
         new_table_slots = dict(table_slots)
         for k in table_slots:
             new_table_slots[k] = table_slots[k].at[drop_idx].set(
-                new_slots[k], mode="drop")
+                new_slots[k].astype(table_slots[k].dtype), mode="drop")
         # zero flushed deltas (positive-OOB sentinel C is dropped)
         zero = jnp.zeros((flush_slots.shape[0], cache_delta.shape[-1]),
                          cache_delta.dtype)
@@ -266,19 +284,35 @@ class CachedEngine(Engine):
             g_uniq.astype(cache_delta.dtype), mode="drop")
 
         # pinned tier update: exact synchronous SGD on the replicated hot
-        # block — psum of the touched-row grads, identical apply on every
-        # replica. No flush/refresh traffic ever (the FAE hot-matrix idea
-        # fused into the cached engine; reference fae_*.py trains hot ids
-        # as a dense matrix with allreduced grads).
+        # block. Multi-shard: reduce-scatter the touched-row grads, each
+        # shard applies the optimizer to its [P/S] block (slots live
+        # sharded), then all-gather the updated values in the table dtype
+        # — identical per-row math to a psum + replicated apply, at
+        # ~P*W*(dt + 4/S) collective bytes instead of P*W*4. No
+        # flush/refresh traffic ever (the FAE hot-matrix idea fused into
+        # the cached engine; reference fae_*.py trains hot ids as a dense
+        # matrix with allreduced grads).
         if self.pinned_rows:
             hot_delta = jnp.zeros((Pr, self.width), jnp.float32)
             hot_delta = hot_delta.at[hot_ids].add(g_uniq, mode="drop")
             if self.num_shards > 1:
-                hot_delta = jax.lax.psum(hot_delta, self.axis)
-            hot_new, hot_slots = self.embed_opt.apply_rows(
-                state.hot_table.astype(jnp.float32), hot_delta,
-                state.hot_slots, step, lr=self._elr_fn(step))
-            hot_table = hot_new.astype(state.hot_table.dtype)
+                blk = Pr // self.num_shards
+                my_grads = jax.lax.psum_scatter(
+                    hot_delta, self.axis, scatter_dimension=0, tiled=True)
+                z = jax.lax.axis_index(self.axis)
+                my_vals = jax.lax.dynamic_slice(
+                    state.hot_table, (z * blk, 0), (blk, self.width))
+                new_vals, hot_slots = self.embed_opt.apply_rows(
+                    my_vals.astype(jnp.float32), my_grads,
+                    state.hot_slots, step, lr=self._elr_fn(step))
+                hot_table = jax.lax.all_gather(
+                    new_vals.astype(state.hot_table.dtype), self.axis,
+                    tiled=True)
+            else:
+                hot_new, hot_slots = self.embed_opt.apply_rows(
+                    state.hot_table.astype(jnp.float32), hot_delta,
+                    state.hot_slots, step, lr=self._elr_fn(step))
+                hot_table = hot_new.astype(state.hot_table.dtype)
         else:
             hot_table, hot_slots = state.hot_table, state.hot_slots
 
@@ -327,7 +361,10 @@ class CachedEngine(Engine):
                 cache_data=P(ax, None),
                 cache_delta=P(ax, None),
                 hot_table=P(),
-                hot_slots={k: P() for k in self.embed_opt.slot_names},
+                # hot optimizer slots are row-sharded: each shard applies
+                # the optimizer to its reduce-scattered block
+                hot_slots={k: P(ax, None)
+                           for k in self.embed_opt.slot_names},
             )
             dsp = P(ax)               # per-step data, axis 0 = worker
             ksp = P(None, ax)         # stacked K steps
@@ -359,7 +396,7 @@ class CachedEngine(Engine):
     # host-facing API
     # ------------------------------------------------------------------
     def _put(self, a, dtype, stacked=False):
-        a = np.asarray(a).astype(dtype)
+        a = np.asarray(a).astype(dtype, copy=False)
         sh = self._kdata_sharding if stacked else self._data_sharding
         if self.num_shards > 1:
             return jax.device_put(a, sh)
@@ -405,33 +442,36 @@ class CachedEngine(Engine):
 
     def train_epoch_cached(self, state, planner: CachePlanner, raw_dense,
                            raw_sparse, raw_labels, steps: int):
-        """Pop `steps` micro-programs, stack, and scan them on device."""
-        progs = []
-        for _ in range(steps):
-            p = planner.pop()
-            if p is None:
+        """Pop `steps` micro-programs directly into stacked device-layout
+        buffers (planner.pop_into: one C call per step, no Python
+        pad-and-stack) and scan them on device."""
+        nr = max(self.num_shards, 1)
+        gb = self.cfg.batch_size * nr
+        assign = np.empty((steps, gb), np.int64)
+        slots = np.empty((steps, nr * planner.U_cap), np.int32)
+        pulls = np.empty((steps, nr * planner.U_cap), np.uint8)
+        fids = np.empty((steps, nr * planner.F_cap), np.int32)
+        fslots = np.empty((steps, nr * planner.F_cap), np.int32)
+        K = 0
+        for k in range(steps):
+            if not planner.pop_into(assign[k], slots[k], pulls[k],
+                                    fids[k], fslots[k]):
                 break
-            progs.append(p)
-        if not progs:
+            K += 1
+        if K == 0:
             return state, None
         self._unsynced = True
-        K = len(progs)
-        gb = self.cfg.batch_size * max(self.num_shards, 1)
-        idx = np.stack([p.assign.reshape(-1) for p in progs])  # [K, gb]
-
-        def stk(get, dtype):
-            a = np.stack([get(p) for p in progs]).astype(dtype)
-            return self._put(a, dtype, stacked=True)
+        idx = assign[:K]
 
         d = self._put(raw_dense[idx], np.float32, stacked=True)
         s = self._put(raw_sparse[idx], np.int32, stacked=True)
         y = self._put(raw_labels[idx], np.float32, stacked=True)
-        slots = stk(lambda p: p.slots.reshape(-1), np.int32)
-        pulls = stk(lambda p: p.pulls.reshape(-1), bool)
-        fids = stk(lambda p: p.flush_ids.reshape(-1), np.int32)
-        fslots = stk(lambda p: p.flush_slots.reshape(-1), np.int32)
-        return self._cached_epoch(state, d, s, y, slots, pulls, fids,
-                                  fslots)
+        slots_d = self._put(slots[:K], np.int32, stacked=True)
+        pulls_d = self._put(pulls[:K].view(bool), bool, stacked=True)
+        fids_d = self._put(fids[:K], np.int32, stacked=True)
+        fslots_d = self._put(fslots[:K], np.int32, stacked=True)
+        return self._cached_epoch(state, d, s, y, slots_d, pulls_d,
+                                  fids_d, fslots_d)
 
     @staticmethod
     def to_base_state(state: CachedTrainState) -> TrainState:

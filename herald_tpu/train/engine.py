@@ -191,10 +191,15 @@ class Engine:
             rows, row_grads.astype(rows.dtype), row_slots, step,
             lr=self._elr_fn(step), mask=row_mask)
         drop_idx = jnp.where(row_mask, rows_idx, table.shape[0] + 1)
-        table = table.at[drop_idx].set(new_rows, mode="drop")
+        # cast back to the storage dtypes: scattering f32 optimizer output
+        # into a bf16 table would make XLA materialize a full-table f32
+        # convert (17 GB at reference scale)
+        table = table.at[drop_idx].set(new_rows.astype(table.dtype),
+                                       mode="drop")
         slots = dict(slots)
         for k in slots:
-            slots[k] = slots[k].at[drop_idx].set(new_slots[k], mode="drop")
+            slots[k] = slots[k].at[drop_idx].set(
+                new_slots[k].astype(slots[k].dtype), mode="drop")
         return table, slots
 
     def _train_step_body(self, state: TrainState, dense_x, ids, labels):
@@ -345,7 +350,7 @@ class Engine:
         a = np.asarray(arr)
         if a.ndim >= 3:  # [W, B, ...] -> [W*B, ...]
             a = a.reshape(a.shape[0] * a.shape[1], *a.shape[2:])
-        a = a.astype(dtype)
+        a = a.astype(dtype, copy=False)
         if self._data_sharding is not None:
             return jax.device_put(a, self._data_sharding)
         return jnp.asarray(a)
@@ -383,7 +388,7 @@ class Engine:
             if isinstance(a, jax.Array) and a.ndim >= 2 \
                     and a.shape[0] == steps:
                 return a    # already staged on device ([K, GB, ...])
-            a = np.asarray(a)[: steps * gb].astype(dtype)
+            a = np.asarray(a)[: steps * gb].astype(dtype, copy=False)
             a = a.reshape(steps, gb, *a.shape[1:])
             if self._kdata_sharding is not None:
                 return jax.device_put(a, self._kdata_sharding)
