@@ -202,24 +202,48 @@ def main():
     import subprocess
     import sys
 
-    def run(mode):
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    def run(mode, timeout=180):
+        log(f"[bench] {mode} ...")
+        t0 = time.perf_counter()
+        # healthy runs take 15-35s each (persistent compile cache); the
+        # remote-TPU tunnel occasionally hangs a fresh process right
+        # after its predecessor exits — time out fast and retry rather
+        # than stall the driver's capture
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), mode],
-            capture_output=True, text=True, check=True)
-        time.sleep(15)   # let the terminal release HBM
+            capture_output=True, text=True, check=True, timeout=timeout)
+        log(f"[bench] {mode} done in {time.perf_counter() - t0:.0f}s")
+        time.sleep(20)   # let the terminal release HBM
         return float(out.stdout.strip().splitlines()[-1])
+
+    def run_retry(mode):
+        try:
+            return run(mode)
+        except Exception:
+            return run(mode)
 
     naives, engines = [], []
     for first in (True, False):
         if first:
-            naives.append(run("naive"))
-            engines.append(run("engine"))
+            naives.append(run_retry("naive"))
+            engines.append(run_retry("engine"))
         else:
-            engines.append(run("engine"))
-            naives.append(run("naive"))
+            engines.append(run_retry("engine"))
+            naives.append(run_retry("naive"))
     ours = max(engines)
     naive = max(naives)
-    sched = run("scheduled")
+    # the cache-path measurement is secondary — a flaky remote-TPU tunnel
+    # (rare hangs after heavy HBM churn) must not lose the headline
+    try:
+        sched = run("scheduled")
+    except Exception:
+        try:
+            sched = run("scheduled")   # one retry
+        except Exception:
+            sched = None
 
     # multi-chip communication A/B on the 8-device virtual mesh (bytes are
     # read from the compiled HLO — deterministic; the overflow/correctness
@@ -252,8 +276,9 @@ def main():
         "value": round(ours, 1),
         "unit": "examples/s",
         "vs_baseline": round(ours / naive, 3),
-        "scheduled_examples_per_sec": round(sched, 1),
-        "scheduled_vs_naive": round(sched / naive, 3),
+        "scheduled_examples_per_sec":
+            round(sched, 1) if sched else None,
+        "scheduled_vs_naive": round(sched / naive, 3) if sched else None,
         **mesh,
     }))
 

@@ -192,6 +192,29 @@ class CachePlanner:
                            flush_ids=flush_ids.reshape(nr, self.F_cap),
                            flush_slots=flush_slots.reshape(nr, self.F_cap))
 
+    def fast_forward(self, k: int) -> int:
+        """Advance the program stream past the first `k` batches.
+
+        Mid-epoch resume: planning is deterministic given (ids, config),
+        so a restarted run recreates the planner and discards the
+        programs the crashed run already executed — the cache simulator
+        replays to the exact state the checkpointed device cache arrays
+        are in (CachedTrainState checkpoints cache_data/cache_delta).
+        Replaces the reference's Van-level recovery story
+        (ps-lite/src/van.cc:104-116) with checkpoint + replay.
+        Returns the number of batches actually skipped.
+        """
+        assign = np.empty(self.nrank * self.mbs, np.int64)
+        slots = np.empty(self.nrank * self.U_cap, np.int32)
+        pulls = np.empty(self.nrank * self.U_cap, np.uint8)
+        fids = np.empty(self.nrank * self.F_cap, np.int32)
+        fslots = np.empty(self.nrank * self.F_cap, np.int32)
+        done = 0
+        while done < k and self.pop_into(assign, slots, pulls, fids,
+                                         fslots):
+            done += 1
+        return done
+
     def queue_length(self) -> int:
         return int(self._lib.hplan_queue_length(self._h))
 

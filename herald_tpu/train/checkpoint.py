@@ -1,19 +1,36 @@
-"""Checkpoint save/load.
+"""Multi-host-safe checkpoint save/load.
 
 Replaces the reference's `Executor.save/load`
-(`python/hetu/gpu_ops/executor.py:433-498`: SaveParam/LoadParam RPCs writing
-raw binary per param + worker-0 pickles). Here the whole TrainState pytree
-(including optimizer slots and the step counter, which the reference does
-NOT checkpoint — noted gap in SURVEY.md §5) is written as one .npz plus a
-JSON manifest; sharded arrays are gathered host-side and re-sharded on load
-against the engine's shardings.
+(`python/hetu/gpu_ops/executor.py:433-498`: SaveParam/LoadParam RPCs; the
+PS writes each shard server-side,
+`ps-lite/include/ps/server/PSFHandle.h:401-439`). The TPU analog of
+"server-side save" is **per-process shard dumps**: every process writes
+only its addressable shards (no host gather — a multi-host table never
+fits through one host), process 0 writes replicated leaves + manifest.
+
+Layout under <path>/:
+    manifest.json      state type, leaf shapes/dtypes/layout, mesh info
+    replicated.npz     fully-replicated leaves (process 0)
+    shards.p<i>.npz    process i's addressable blocks (keys b0, b1, ...)
+    blocks.p<i>.json   block metadata: leaf key + global offsets per block
+
+Restore assembles each target shard from whichever saved blocks cover its
+global index range, so it works across process counts and (block-)sharding
+layouts, not just the topology that saved. NOTE on row semantics: the
+table's PHYSICAL layout encodes the strided logical->shard map
+(parallel/exchange.py); a checkpoint restores bit-exactly onto an engine
+with the same num_shards, while cross-shard-count restores must remap via
+`ExchangeSpec.to_logical/to_physical` (utils in exchange.py).
+
+Unlike the reference (which checkpoints only parameters), optimizer slots
+and the step counter round-trip too.
 """
 
 from __future__ import annotations
 
 import json
 import os
-from typing import Any, Union
+from typing import Dict, List, Tuple, Union
 
 import jax
 import numpy as np
@@ -25,52 +42,176 @@ _STATE_TYPES = {"TrainState": TrainState,
                 "CachedTrainState": CachedTrainState}
 
 
-def _flatten_with_paths(state):
+def _leaf_items(state):
     flat, treedef = jax.tree_util.tree_flatten_with_path(state)
-    items = {}
+    items = []
     for path, leaf in flat:
         key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
                        for p in path)
-        items[key] = np.asarray(leaf)
+        items.append((key, leaf))
     return items, treedef
+
+
+def _is_sharded(leaf) -> bool:
+    sh = getattr(leaf, "sharding", None)
+    return (isinstance(leaf, jax.Array) and sh is not None
+            and not sh.is_fully_replicated)
+
+
+def _bounds(index, shape) -> List[Tuple[int, int]]:
+    """Normalize a shard index (tuple of slices) to [(start, stop)] per
+    dim."""
+    out = []
+    for sl, dim in zip(index, shape):
+        s, e, step = sl.indices(dim)
+        assert step == 1, "strided shard indices are not supported"
+        out.append((s, e))
+    return out
 
 
 def save_checkpoint(state: Union[TrainState, CachedTrainState],
                     path: str) -> None:
+    """Every process must call this (collectively); each writes only its
+    own addressable shards."""
     os.makedirs(path, exist_ok=True)
-    items, _ = _flatten_with_paths(state)
-    np.savez(os.path.join(path, "state.npz"), **items)
-    manifest = {
-        "state_type": type(state).__name__,
-        "keys": sorted(items.keys()),
-        "shapes": {k: list(v.shape) for k, v in items.items()},
-        "dtypes": {k: str(v.dtype) for k, v in items.items()},
-    }
-    with open(os.path.join(path, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2)
+    pidx = jax.process_index()
+    items, _ = _leaf_items(state)
+
+    blocks: Dict[str, np.ndarray] = {}
+    block_meta = []
+    replicated: Dict[str, np.ndarray] = {}
+    layout: Dict[str, str] = {}
+    shapes: Dict[str, list] = {}
+    dtypes: Dict[str, str] = {}
+    for key, leaf in items:
+        arr_shape = tuple(np.shape(leaf))
+        shapes[key] = list(arr_shape)
+        dtypes[key] = str(np.asarray(leaf).dtype
+                          if not isinstance(leaf, jax.Array)
+                          else leaf.dtype)
+        if _is_sharded(leaf):
+            layout[key] = "sharded"
+            seen = set()
+            for sh in leaf.addressable_shards:
+                if sh.replica_id != 0:
+                    continue   # one copy per distinct block
+                b = tuple(_bounds(sh.index, arr_shape))
+                if b in seen:
+                    continue
+                seen.add(b)
+                fk = f"b{len(block_meta)}"
+                blocks[fk] = np.asarray(sh.data)
+                block_meta.append({"key": key, "file_key": fk,
+                                   "offsets": [list(x) for x in b]})
+        else:
+            layout[key] = "replicated"
+            if pidx == 0:
+                replicated[key] = np.asarray(leaf)
+
+    np.savez(os.path.join(path, f"shards.p{pidx}.npz"), **blocks)
+    with open(os.path.join(path, f"blocks.p{pidx}.json"), "w") as f:
+        json.dump(block_meta, f)
+    if pidx == 0:
+        np.savez(os.path.join(path, "replicated.npz"), **replicated)
+        manifest = {
+            "state_type": type(state).__name__,
+            "num_processes": jax.process_count(),
+            "layout": layout, "shapes": shapes, "dtypes": dtypes,
+        }
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+
+
+class _BlockReader:
+    """Assembles arbitrary global index ranges from the saved blocks."""
+
+    def __init__(self, path: str, num_processes: int):
+        self.path = path
+        self.meta: Dict[str, list] = {}
+        self._npz: Dict[int, "np.lib.npyio.NpzFile"] = {}
+        for p in range(num_processes):
+            with open(os.path.join(path, f"blocks.p{p}.json")) as f:
+                for m in json.load(f):
+                    self.meta.setdefault(m["key"], []).append(
+                        (p, m["file_key"],
+                         [tuple(x) for x in m["offsets"]]))
+
+    def _file(self, p: int):
+        if p not in self._npz:
+            self._npz[p] = np.load(
+                os.path.join(self.path, f"shards.p{p}.npz"))
+        return self._npz[p]
+
+    def read(self, key: str, bounds: List[Tuple[int, int]],
+             dtype) -> np.ndarray:
+        out = np.empty([e - s for s, e in bounds], dtype)
+        filled = 0
+        for p, fk, offs in self.meta.get(key, []):
+            inter = []
+            ok = True
+            for (ts, te), (bs, be) in zip(bounds, offs):
+                s, e = max(ts, bs), min(te, be)
+                if s >= e:
+                    ok = False
+                    break
+                inter.append((s, e))
+            if not ok:
+                continue
+            data = self._file(p)[fk]
+            src = tuple(slice(s - bs, e - bs)
+                        for (s, e), (bs, _) in zip(inter, offs))
+            dst = tuple(slice(s - ts, e - ts)
+                        for (s, e), (ts, _) in zip(inter, bounds))
+            out[dst] = data[src]
+            filled += int(np.prod([e - s for s, e in inter]))
+        if filled < int(np.prod(out.shape)):
+            raise ValueError(
+                f"checkpoint blocks do not cover leaf {key!r} range "
+                f"{bounds} (covered {filled} of {np.prod(out.shape)})")
+        return out
 
 
 def load_checkpoint(path: str, like: Union[TrainState, CachedTrainState]
                     ) -> Union[TrainState, CachedTrainState]:
-    """Load into the structure/shardings of `like` (an initialized state)."""
+    """Load into the structure/shardings of `like` (an initialized state).
+    Every process calls this; each materializes only its own shards."""
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
     assert manifest["state_type"] == type(like).__name__, (
         f"checkpoint holds {manifest['state_type']}, "
         f"expected {type(like).__name__}")
-    data = np.load(os.path.join(path, "state.npz"))
-    items, treedef = _flatten_with_paths(like)
+    reader = _BlockReader(path, int(manifest["num_processes"]))
+    repl_path = os.path.join(path, "replicated.npz")
+    repl = np.load(repl_path) if os.path.exists(repl_path) else {}
+
+    items, treedef = _leaf_items(like)
     new_leaves = []
-    flat, _ = jax.tree_util.tree_flatten_with_path(like)
-    for path_key, leaf in flat:
-        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
-                       for p in path_key)
-        arr = data[key]
-        assert arr.shape == leaf.shape, (key, arr.shape, leaf.shape)
-        sharding = getattr(leaf, "sharding", None)
-        if sharding is not None:
-            new_leaves.append(jax.device_put(arr.astype(leaf.dtype),
-                                             sharding))
+    for key, leaf in items:
+        shape = tuple(np.shape(leaf))
+        assert list(shape) == manifest["shapes"][key], (
+            key, shape, manifest["shapes"][key])
+        saved_sharded = manifest["layout"][key] == "sharded"
+        dtype = np.asarray(leaf).dtype if not isinstance(leaf, jax.Array) \
+            else leaf.dtype
+        if _is_sharded(leaf):
+            if saved_sharded:
+                def cb(idx, key=key, shape=shape, dtype=dtype):
+                    return reader.read(key, _bounds(idx, shape), dtype)
+            else:
+                full = repl[key].astype(dtype)
+
+                def cb(idx, full=full):
+                    return full[idx]
+            new_leaves.append(jax.make_array_from_callback(
+                shape, leaf.sharding, cb))
         else:
-            new_leaves.append(arr.astype(leaf.dtype))
+            if saved_sharded:
+                arr = reader.read(key, [(0, d) for d in shape], dtype)
+            else:
+                arr = repl[key].astype(dtype)
+            sharding = getattr(leaf, "sharding", None)
+            if sharding is not None:
+                new_leaves.append(jax.device_put(arr, sharding))
+            else:
+                new_leaves.append(arr.astype(dtype))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)

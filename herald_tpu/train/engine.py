@@ -117,13 +117,16 @@ class Engine:
         dense_slots = jax.tree.map(
             self.dense_opt.init_slots, dense,
             is_leaf=lambda x: isinstance(x, jnp.ndarray))
+        step = jnp.zeros((), jnp.int32)
         if self.num_shards > 1:
             rep = NamedSharding(self.mesh, P())
             dense = jax.device_put(dense, rep)
             dense_slots = jax.device_put(dense_slots, rep)
+            # replicate over the WHOLE mesh: a single-device scalar would
+            # mix device sets with the sharded table in multi-process runs
+            step = jax.device_put(step, rep)
         return TrainState(table=table, table_slots=slots, dense=dense,
-                          dense_slots=dense_slots,
-                          step=jnp.zeros((), jnp.int32))
+                          dense_slots=dense_slots, step=step)
 
     # ------------------------------------------------------------------
     # per-device step bodies (run inside shard_map for hybrid mode)

@@ -1,0 +1,41 @@
+"""CLI wiring tests: input pipeline + overflow surfacing (VERDICT r1
+items 4 / Weak #2, #3)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from herald_tpu.launch.cli import build_parser, run_training
+
+
+def test_cli_aborts_loudly_on_exchange_overflow():
+    """A production run must not train on zero-filled rows: with an
+    undersized all-to-all capacity the CLI aborts with a clear message
+    (reference analog: a PS would simply send bigger messages; static
+    buffers must police themselves)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    args = build_parser().parse_args(
+        ["--model", "wdl_criteo", "--comm", "hybrid",
+         "--batch-size", "16", "--samples", "2048", "--rows", "5000",
+         "--nepoch", "1", "--scan-steps", "4",
+         "--a2a-capacity-factor", "0.01"])   # floor-clamped to 8 slots
+    with pytest.raises(RuntimeError, match="exchange overflow"):
+        run_training(args)
+
+
+def test_cli_prefetch_matches_direct_path():
+    """The async DevicePrefetcher pipeline trains the identical model
+    (same step count, same data order) as the direct staging loop."""
+    common = ["--model", "wdl_criteo", "--comm", "local",
+              "--batch-size", "16", "--samples", "2560", "--rows", "3000",
+              "--lr", "0.5", "--nepoch", "1", "--scan-steps", "8",
+              "--val-ratio", "0.2", "--seed", "5"]
+    with_pf = run_training(build_parser().parse_args(common))
+    without = run_training(build_parser().parse_args(
+        common + ["--no-prefetch"]))
+    assert with_pf["steps"] == without["steps"]
+    assert with_pf["overflow_rows"] == 0
+    assert with_pf["val_auc"] == pytest.approx(without["val_auc"],
+                                               abs=1e-12)

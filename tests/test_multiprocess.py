@@ -49,6 +49,31 @@ _WORKER = textwrap.dedent("""
         loss = float(stats["loss"])
         assert np.isfinite(loss)
 
+    # Multi-host-safe checkpoint: each process writes only its own
+    # addressable shards (no host gather — reference saves server-side,
+    # ps-lite/include/ps/server/PSFHandle.h:401-439); restore assembles
+    # every process's target shards from the per-process block files.
+    from herald_tpu.train.checkpoint import (load_checkpoint,
+                                             save_checkpoint)
+    from jax.experimental import multihost_utils as mhu
+    ckpt = os.path.join({ckpt_dir!r}, "ckpt")
+    save_checkpoint(state, ckpt)
+    mhu.sync_global_devices("ckpt_saved")          # all shard files on disk
+    restored = load_checkpoint(ckpt, eng.init_state(123))
+    assert int(restored.step) == int(state.step)
+    for sh, rh in zip(state.table.addressable_shards,
+                      restored.table.addressable_shards):
+        assert sh.index == rh.index
+        assert (np.asarray(sh.data) == np.asarray(rh.data)).all()
+    for k in state.dense:
+        assert (np.asarray(restored.dense[k])
+                == np.asarray(state.dense[k])).all()
+    # training continues from the restored state across both processes
+    state2, stats2 = eng.train_step(restored, dense[:64], sparse[:64],
+                                    labels[:64])
+    assert np.isfinite(float(stats2["loss"]))
+    print("CKPT_OK")
+
     # Herald scheduled path across process boundaries: every process runs
     # an identical deterministic planner over the same ID stream, so the
     # SPMD micro-program args agree (the multi-host planning contract)
@@ -85,7 +110,8 @@ def test_two_process_hybrid_training(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     coord = f"127.0.0.1:{_free_port()}"
     script = tmp_path / "worker.py"
-    script.write_text(_WORKER.format(repo=repo, coord=coord))
+    script.write_text(_WORKER.format(repo=repo, coord=coord,
+                                     ckpt_dir=str(tmp_path)))
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     procs = [subprocess.Popen([sys.executable, str(script), str(pid)],
