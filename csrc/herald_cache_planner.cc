@@ -251,6 +251,22 @@ struct IPlanner {
 
 // MaskT holds both halves of a key's per-worker state: bit z = cached by
 // worker z, bit HALF+z = that cached copy is dirty. nrank <= HALF.
+// Instantiated up to unsigned __int128 (64 workers); beyond that the
+// per-host BroadcastPlanner fan-out shards planning, which is also the
+// reference's answer at scale (laia/src/topk_scheduler.cc:71-88).
+
+// ctz over any mask width (128-bit masks split into two 64-bit words)
+template <class T>
+static inline int ctz_mask(T m) {
+    if constexpr (sizeof(T) > 8) {
+        unsigned long long lo = (unsigned long long)m;
+        if (lo) return __builtin_ctzll(lo);
+        return 64 + __builtin_ctzll((unsigned long long)(m >> 64));
+    } else {
+        return __builtin_ctzll((unsigned long long)m);
+    }
+}
+
 template <class MaskT>
 class CachePlannerT final : public IPlanner {
     static constexpr int HALF = int(sizeof(MaskT)) * 4;
@@ -466,33 +482,29 @@ private:
         };
 
         // ---- 1. affinity scoring (parallel over sample chunks) ----------
-        // one random probe per (sample, table); the full state word is
-        // stashed in mwords_ so the planned-flush pass below reads
-        // sequential memory instead of re-probing. Round-robin mode
+        // one random probe per (sample, scored table). Round-robin mode
         // (reference naive_scheduler, python/hetu/laia/laia.pyx:163-189)
-        // skips the scoring but still stashes the words.
+        // skips scoring entirely.
         std::fill(scores.begin(), scores.end(), 0);
-        mwords_.resize(gbs * num_tables_);
         int n_chunks = n_threads_;
         int64_t chunk = (gbs + n_chunks - 1) / n_chunks;
-        pool_.parallel_for(n_chunks, [&](int c) {
-            int64_t lo = c * chunk, hi = std::min<int64_t>(gbs, lo + chunk);
-            for (int64_t i = lo; i < hi; i++) {
-                const key_t_ *s = sample(start + i);
-                MaskT *mw = &mwords_[i * num_tables_];
-                for (int t = 0; t < num_tables_; t++) mw[t] = state[s[t]];
-                if (assign_mode_ == 1) continue;
-                int *row = &scores[i * nrank_];
-                for (int k = 0; k < top_k_; k++) {
-                    MaskT m = MaskT(mw[order_[k]] & low_half());
-                    while (m) {
-                        row[__builtin_ctzll(
-                            (unsigned long long)m)]++;
-                        m &= MaskT(m - 1);
+        if (assign_mode_ != 1) {
+            pool_.parallel_for(n_chunks, [&](int c) {
+                int64_t lo = c * chunk;
+                int64_t hi = std::min<int64_t>(gbs, lo + chunk);
+                for (int64_t i = lo; i < hi; i++) {
+                    const key_t_ *s = sample(start + i);
+                    int *row = &scores[i * nrank_];
+                    for (int k = 0; k < top_k_; k++) {
+                        MaskT m = MaskT(state[s[order_[k]]] & low_half());
+                        while (m) {
+                            row[ctz_mask(m)]++;
+                            m &= MaskT(m - 1);
+                        }
                     }
                 }
-            }
-        });
+            });
+        }
         lap(0);
 
         // ---- 2. greedy load-balanced assignment --------------------------
@@ -516,6 +528,7 @@ private:
                              return best[a] > best[b];
                          });
         local_of_slot_.resize(gbs);
+        worker_of_local_.resize(gbs);
         if (assign_mode_ == 1) {
             // round-robin: sample i -> worker i % nrank (reference
             // dataloader strided shard, python/hetu/dataloader.py:26)
@@ -542,6 +555,48 @@ private:
                 load[pick]++;
             }
         }
+        for (int64_t slot = 0; slot < gbs; slot++)
+            worker_of_local_[local_of_slot_[slot]] = int(slot / mbs_);
+
+        // ---- 2.5 readers masks + planned-flush candidates ---------------
+        // One pass over the batch's (sample, table) ids: readers_[k]
+        // accumulates WHICH workers read key k this step; the first
+        // toucher also reads k's pre-batch dirty mask and appends k to
+        // each dirty holder's candidate list. Candidates are therefore
+        // deduped to unique (key, holder) pairs — the planned-flush pass
+        // costs O(dirty keys actually read) instead of
+        // O(nrank * gbs * tables) (quadratic in workers at scale).
+        // Candidate CONTENT is deterministic (exactly one first-toucher
+        // wins the atomic OR); ORDER is made deterministic by a per-
+        // worker sort in phase 3.
+        if (readers_.empty()) readers_.assign(key_space_, MaskT(0));
+        if (int(cand_.size()) != n_chunks) cand_.resize(n_chunks);
+        if (int(touched_.size()) != n_chunks) touched_.resize(n_chunks);
+        pool_.parallel_for(n_chunks, [&](int c) {
+            auto &cc = cand_[c];
+            if (int(cc.size()) != nrank_) cc.resize(nrank_);
+            for (auto &v : cc) v.clear();
+            auto &tc = touched_[c];
+            tc.clear();
+            int64_t lo = c * chunk;
+            int64_t hi = std::min<int64_t>(gbs, lo + chunk);
+            for (int64_t i = lo; i < hi; i++) {
+                const key_t_ *s = sample(start + i);
+                MaskT rb = cbit(worker_of_local_[i]);
+                for (int t = 0; t < num_tables_; t++) {
+                    key_t_ k = s[t];
+                    MaskT prev = __atomic_fetch_or(&readers_[k], rb,
+                                                   __ATOMIC_RELAXED);
+                    if (prev) continue;          // not the first toucher
+                    tc.push_back(k);
+                    MaskT dm = MaskT(state[k] >> HALF);
+                    while (dm) {
+                        cc[ctz_mask(dm)].push_back(k);
+                        dm &= MaskT(dm - 1);
+                    }
+                }
+            }
+        });
         lap(1);
 
         // ---- 3. per-worker cache transactions (parallel per worker) -----
@@ -654,40 +709,39 @@ private:
             // verifies (covers evictions/flushes from the batch phase).
             long planned = 0;
             const MaskT dz = dbit(z);
-            for (int w = 0; w < nrank_ ; w++) {
-                if (w == z) continue;
-                for (int j = 0; j < mbs_; j++) {
-                    int64_t slot_idx = int64_t(w) * mbs_ + j;
-                    const key_t_ *s = &ids_[mp.assign[slot_idx]
-                                            * num_tables_];
-                    const MaskT *mw =
-                        &mwords_[int64_t(local_of_slot_[slot_idx])
-                                 * num_tables_];
-                    for (int t = 0; t < num_tables_; t++) {
-                        if (!(mw[t] & dz)) continue;
-                        auto *e = c.find(s[t]);
-                        if (!e || !e->dirty) continue;
-                        // my own batch keys were already flushed (refresh)
-                        // or re-dirtied by phase 5; flushing them again
-                        // would double-apply their delta on the device
-                        if (std::binary_search(keys.begin(), keys.end(),
-                                               s[t]))
-                            continue;
-                        if (int(mp.flush_ids[z].size()) >= flush_cap_) {
-                            __atomic_fetch_add(&deferred_flush_[z], 1, __ATOMIC_RELAXED);
-                            continue;
-                        }
-                        int ow = owner_of(e->key);
-                        if (owner_used[ow] >= owner_cap_) {
-                            __atomic_fetch_add(&deferred_flush_[z], 1, __ATOMIC_RELAXED);
-                            continue;
-                        }
-                        emit_flush(e->key, e->slot);   // counts owner_used
-                        e->dirty = false;
-                        clear_bits(e->key, dz);
-                        planned++;
-                    }
+            const MaskT me = cbit(z);
+            // candidates are unique keys z held dirty pre-batch that
+            // someone reads this step (phase 2.5). Sort for a
+            // deterministic deferral order (which chunk first-touched a
+            // key is a benign race); then verify against the live cache
+            // and the final readers mask.
+            std::vector<key_t_> cand;
+            for (auto &cc : cand_)
+                cand.insert(cand.end(), cc[z].begin(), cc[z].end());
+            std::sort(cand.begin(), cand.end());
+            for (key_t_ key : cand) {
+                MaskT rm = readers_[key];
+                // my own batch keys were already flushed (refresh) or
+                // re-dirtied; flushing them again would double-apply
+                // their delta on the device
+                if (rm & me) continue;
+                auto *e = c.find(key);
+                if (!e || !e->dirty) continue;
+                if (int(mp.flush_ids[z].size()) >= flush_cap_) {
+                    __atomic_fetch_add(&deferred_flush_[z], 1,
+                                       __ATOMIC_RELAXED);
+                    continue;
                 }
+                int ow = owner_of(e->key);
+                if (owner_used[ow] >= owner_cap_) {
+                    __atomic_fetch_add(&deferred_flush_[z], 1,
+                                       __ATOMIC_RELAXED);
+                    continue;
+                }
+                emit_flush(e->key, e->slot);   // counts owner_used
+                e->dirty = false;
+                clear_bits(e->key, dz);
+                planned++;
             }
             __atomic_fetch_add(&update_push_[z], planned, __ATOMIC_RELAXED);
         };
@@ -699,7 +753,7 @@ private:
             for (key_t_ key : mp.flush_ids[z]) {
                 MaskT m = MaskT((state[key] & low_half()) & ~cbit(z));
                 while (m) {
-                    int j = __builtin_ctzll((unsigned long long)m);
+                    int j = ctz_mask(m);
                     m &= MaskT(m - 1);
                     auto *e = caches_[j].find(key);
                     if (e) e->stale++;
@@ -735,6 +789,11 @@ private:
                 }
             }
         });
+
+        // ---- 6. reset the readers masks for the next batch --------------
+        pool_.parallel_for(n_chunks, [&](int c) {
+            for (key_t_ k : touched_[c]) readers_[k] = MaskT(0);
+        });
         lap(3);
         return mp;
     }
@@ -763,8 +822,14 @@ private:
     // plan scratch (background thread + pool only)
     std::vector<std::vector<key_t_>> batch_keys_;  // per-worker sorted uniq
     std::vector<std::vector<uint8_t>> batch_predirty_;
-    std::vector<MaskT> mwords_;            // [gbs, T] stashed state words
     std::vector<int32_t> local_of_slot_;   // slot -> batch-local sample
+    std::vector<int32_t> worker_of_local_; // batch-local sample -> worker
+    std::vector<MaskT> readers_;           // key -> workers reading it
+                                           //   this batch (zeroed after)
+    std::vector<std::vector<key_t_>> touched_;   // [chunk] first-touched
+    // [chunk][holder] -> unique keys the holder held dirty pre-batch and
+    // someone reads this batch (planned-flush candidates)
+    std::vector<std::vector<std::vector<key_t_>>> cand_;
 
     Pool pool_;
 
@@ -796,9 +861,11 @@ IPlanner *make_planner(const key_t_ *ids, int64_t num_samples,
     if (nrank <= 8) return build(uint16_t{});
     if (nrank <= 16) return build(uint32_t{});
     if (nrank <= 32) return build(uint64_t{});
+    if (nrank <= 64) return build((unsigned __int128){});
     throw std::invalid_argument(
-        "CachePlanner supports at most 32 local workers (nrank="
-        + std::to_string(nrank) + "); shard planning per host");
+        "CachePlanner supports at most 64 workers per planner (nrank="
+        + std::to_string(nrank) + "); shard planning per host "
+        "(BroadcastPlanner fan-out, sched/service.py)");
 }
 
 } // namespace herald

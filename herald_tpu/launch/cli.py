@@ -215,8 +215,21 @@ def run_training(args) -> dict:
 
     if args.scheduled:
         eng = CachedEngine(cfg, table_rows=rows)
-        planner = eng.make_planner(trn[1], epochs=args.nepoch,
-                                   n_threads=cfg.sched_threads)
+        make = lambda: eng.make_planner(trn[1], epochs=args.nepoch,
+                                        n_threads=cfg.sched_threads)
+        if jax.process_count() > 1:
+            # one native planner total (process 0); program chunks fan
+            # out over the interconnect — the TPU analog of the
+            # reference's per-host scheduler + shm ring buffer
+            # (laia/src/topk_scheduler.cc:71-88)
+            from herald_tpu.sched.service import BroadcastPlanner
+            planner = BroadcastPlanner(
+                make, num_samples=len(trn[1]),
+                nrank=max(eng.num_shards, 1), batch_size=cfg.batch_size,
+                unique_cap=eng.U_cap, flush_cap=eng.F_cap,
+                cache_rows=eng.cache_rows, epochs=args.nepoch)
+        else:
+            planner = make()
         state = eng.init_cached_state(cfg.seed)
         steps_total = planner.batch_num * args.nepoch
         done = 0

@@ -26,8 +26,10 @@ def _build(src_name: str, lib_name: str, rebuild: bool) -> str:
                 os.path.exists(d)
                 and os.path.getmtime(d) > os.path.getmtime(lib)
                 for d in deps):
-            cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                   "-o", lib, src, "-lpthread"]
+            # -mcx16/-latomic: the planner's 128-bit residency words (64
+            # workers) use 16-byte atomic RMW (cmpxchg16b)
+            cmd = ["g++", "-O3", "-std=c++17", "-mcx16", "-shared",
+                   "-fPIC", "-o", lib, src, "-lpthread", "-latomic"]
             subprocess.run(cmd, check=True, capture_output=True, text=True)
         return lib
 

@@ -176,6 +176,25 @@ class CachePlanner:
                 f"a probe pass (sched/sizing.py) or leave the defaults")
         return rc == 0
 
+    def pop_chunk(self, steps: int):
+        """Pop up to `steps` programs into freshly-allocated stacked
+        device-layout buffers. Returns (K, assign, slots, pulls,
+        flush_ids, flush_slots) with K <= steps actually filled (0 at end
+        of stream; rows beyond K are uninitialized)."""
+        nr = self.nrank
+        assign = np.empty((steps, nr * self.mbs), np.int64)
+        slots = np.empty((steps, nr * self.U_cap), np.int32)
+        pulls = np.empty((steps, nr * self.U_cap), np.uint8)
+        fids = np.empty((steps, nr * self.F_cap), np.int32)
+        fslots = np.empty((steps, nr * self.F_cap), np.int32)
+        K = 0
+        for k in range(steps):
+            if not self.pop_into(assign[k], slots[k], pulls[k], fids[k],
+                                 fslots[k]):
+                break
+            K += 1
+        return K, assign, slots, pulls, fids, fslots
+
     def pop(self) -> Optional[StepProgram]:
         assign = np.empty(self.nrank * self.mbs, np.int64)
         slots = np.empty(self.nrank * self.U_cap, np.int32)

@@ -445,19 +445,7 @@ class CachedEngine(Engine):
         """Pop `steps` micro-programs directly into stacked device-layout
         buffers (planner.pop_into: one C call per step, no Python
         pad-and-stack) and scan them on device."""
-        nr = max(self.num_shards, 1)
-        gb = self.cfg.batch_size * nr
-        assign = np.empty((steps, gb), np.int64)
-        slots = np.empty((steps, nr * planner.U_cap), np.int32)
-        pulls = np.empty((steps, nr * planner.U_cap), np.uint8)
-        fids = np.empty((steps, nr * planner.F_cap), np.int32)
-        fslots = np.empty((steps, nr * planner.F_cap), np.int32)
-        K = 0
-        for k in range(steps):
-            if not planner.pop_into(assign[k], slots[k], pulls[k],
-                                    fids[k], fslots[k]):
-                break
-            K += 1
+        K, assign, slots, pulls, fids, fslots = planner.pop_chunk(steps)
         if K == 0:
             return state, None
         self._unsynced = True

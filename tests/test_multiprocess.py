@@ -74,26 +74,41 @@ _WORKER = textwrap.dedent("""
     assert np.isfinite(float(stats2["loss"]))
     print("CKPT_OK")
 
-    # Herald scheduled path across process boundaries: every process runs
-    # an identical deterministic planner over the same ID stream, so the
-    # SPMD micro-program args agree (the multi-host planning contract)
+    # Herald scheduled path across process boundaries with ONE planner
+    # total: process 0 plans, program chunks broadcast to every process
+    # (reference analog: per-host TopkScheduler + shm fan-out,
+    # laia/src/topk_scheduler.cc:71-88)
     from herald_tpu.train.cached import CachedEngine
+    from herald_tpu.sched.service import BroadcastPlanner
     ccfg = HeraldConfig(model="wdl_criteo", batch_size=8, embedding_dim=8,
                         comm_mode="hybrid", learning_rate=0.5,
                         cache_limit_ratio=0.5, pinned_rows=8)
     ceng = CachedEngine(ccfg, table_rows=1000)
     cstate = ceng.init_cached_state(0)
-    planner = ceng.make_planner(sparse, epochs=1, n_threads=1)
-    csteps = 0
-    while csteps < 3:
-        cstate, cstats = ceng.train_step_cached(cstate, planner, dense,
-                                                sparse, labels)
+    pid = jax.process_index()
+    planner = BroadcastPlanner(
+        lambda: ceng.make_planner(sparse, epochs=1, n_threads=1),
+        num_samples=len(sparse), nrank=8, batch_size=8,
+        unique_cap=ceng.U_cap, flush_cap=ceng.F_cap,
+        cache_rows=ceng.cache_rows)
+    # exactly one native planner per job
+    assert (planner.planner is not None) == (pid == 0)
+    cstate, cstats = ceng.train_epoch_cached(cstate, planner, dense,
+                                             sparse, labels, steps=3)
+    closses = np.asarray(cstats["loss"])
+    assert len(closses) == 3 and np.isfinite(closses).all()
+    # drain the stream, then the broadcast final-sync must work on every
+    # process (followers receive the dirty dump)
+    while True:
+        cstate, cstats = ceng.train_epoch_cached(cstate, planner, dense,
+                                                 sparse, labels, steps=4)
         if cstats is None:
             break
-        assert np.isfinite(float(cstats["loss"]))
-        csteps += 1
+    cstate = ceng.sync_cache(cstate, planner)
+    perf = planner.perf()      # broadcast: identical on every process
+    print("SCHED_PERF", perf["miss_pull"], perf["update_push"])
+    print("SCHED_LOSS", " ".join(f"{{l:.6f}}" for l in closses))
     planner.close()
-    assert csteps == 3
     print("FINAL_LOSS", loss)
 """)
 
@@ -134,3 +149,9 @@ def test_two_process_hybrid_training(tmp_path):
     assert len(losses) == 2
     # both processes computed the same replicated loss
     assert abs(float(losses[0]) - float(losses[1])) < 1e-6
+    # broadcast-planner runs agree across processes: same scheduled
+    # losses, same (broadcast) planner counters
+    for tag in ("SCHED_LOSS", "SCHED_PERF"):
+        lines = [line for out in outs for line in out.splitlines()
+                 if line.startswith(tag)]
+        assert len(lines) == 2 and lines[0] == lines[1], lines

@@ -16,9 +16,49 @@ from herald_tpu.sched.planner import CachePlanner
 
 
 def test_planner_randomized_invariants():
-    rng = np.random.default_rng(123)
-    for trial in range(6):
-        nrank = int(rng.choice([1, 2, 4, 8]))
+    _randomized_invariants(np.random.default_rng(123), 6,
+                           [1, 2, 4, 8])
+
+
+def test_planner_deterministic_across_thread_counts():
+    """Programs must be identical for any n_threads: the candidate
+    collection races benignly on which chunk first-touches a key, and the
+    per-worker sort restores a deterministic order (mid-epoch resume and
+    the multi-host identical-replan contract both depend on this)."""
+    rng = np.random.default_rng(42)
+    ids = (rng.zipf(1.3, (8 * 16 * 6, 8)) - 1) % 400
+    ids += np.arange(8) * 400
+    outs = []
+    for nt in (1, 4):
+        # owner_cap binds (defers planned flushes); flush_cap stays at
+        # the default so mandatory eviction flushes always fit
+        pl = CachePlanner(ids, nrank=8, batch_size=16, cache_rows=256,
+                          num_shards=8, rows_per_shard=400, epochs=1,
+                          n_threads=nt, owner_cap=8)
+        progs = []
+        while True:
+            p = pl.pop()
+            if p is None:
+                break
+            progs.append(p)
+        assert pl.perf()["deferred_flush"] > 0   # budget actually binds
+        pl.close()
+        outs.append(progs)
+    assert len(outs[0]) == len(outs[1]) > 0
+    for a, b in zip(*outs):
+        for f in ("assign", "slots", "pulls", "flush_ids", "flush_slots"):
+            np.testing.assert_array_equal(getattr(a, f), getattr(b, f), f)
+
+
+def test_planner_invariants_wide_nrank():
+    """>32 workers: the 128-bit residency-word instantiation
+    (make_planner dispatches to unsigned __int128; 16-byte atomic RMW)."""
+    _randomized_invariants(np.random.default_rng(7), 2, [40, 64])
+
+
+def _randomized_invariants(rng, trials, nrank_choices):
+    for trial in range(trials):
+        nrank = int(rng.choice(nrank_choices))
         mbs = int(rng.choice([8, 16, 32]))
         T = int(rng.integers(2, 10))
         rows = int(rng.integers(300, 3000))
