@@ -74,6 +74,7 @@ def synthetic_ctr_data(
     zipf_a: float = 1.2,
     num_rows: Optional[int] = None,
     learnable: bool = True,
+    session_len: int = 1,
 ):
     """Generate CTR-shaped data with a skewed (Zipf) ID distribution.
 
@@ -117,6 +118,16 @@ def synthetic_ctr_data(
         raw = rng.zipf(zipf_a, size=num_samples)
         local = (raw - 1) % sizes[f]
         sparse[:, f] = offsets[f] + local
+
+    if session_len > 1:
+        # Sample-level locality: real CTR streams are user-sessionized —
+        # consecutive events share the user-side features. The first half
+        # of the fields ("user" fields) repeat the session head's values;
+        # affinity scheduling exploits exactly this structure (iid streams
+        # give it nothing to group by).
+        n_user = max(n_fields // 2, 1)
+        heads = (np.arange(num_samples) // session_len) * session_len
+        sparse[:, :n_user] = sparse[heads][:, :n_user]
 
     dense = rng.standard_normal((num_samples, max(spec.num_dense, 0))).astype(
         np.float32)

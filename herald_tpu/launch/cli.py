@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scheduled", action="store_true",
                    help="enable the lookahead scheduler + hot-row cache "
                         "(the Herald mode; reference run_laia.py)")
+    p.add_argument("--assign-only", action="store_true",
+                   help="lookahead affinity placement WITHOUT the cache "
+                        "(isolates the scheduling gain in the A/B ladder: "
+                        "baseline / assign-only / scheduled / fae)")
     p.add_argument("--fae", action="store_true",
                    help="hot/cold split training (FAE baseline; reference "
                         "run_laia_fae.py). Implied by fae_* model names.")
@@ -270,6 +274,45 @@ def run_training(args) -> dict:
             state = eng.sync_cache(state, planner)
         extra = {"cache": cache_report(planner, done,
                                        eng.ids_per_worker)}
+    elif args.assign_only:
+        eng = Engine(cfg, table_rows=rows)
+        state = eng.init_state(cfg.seed)
+        gb = cfg.batch_size * max(eng.num_shards, 1)
+        steps_per_epoch = len(trn[1]) // gb
+        from herald_tpu.sched.scheduler import NativeScheduler
+        sched = NativeScheduler(
+            trn[1], nrank=max(eng.num_shards, 1),
+            batch_size=cfg.batch_size, batch_num=steps_per_epoch,
+            epochs=args.nepoch, cache_size=cfg.cache_rows(rows),
+            top_k=cfg.sched_top_k_tables or 0,
+            n_threads=cfg.sched_threads)
+        sched.start()
+        done = 0
+        if args.resume:
+            state = load_checkpoint(args.resume, state)
+            done = int(state.step)
+            for _ in range(done):      # deterministic fast-forward
+                sched.pop()
+        total = steps_per_epoch * args.nepoch
+        target = min(total, args.max_steps) if args.max_steps else total
+        losses, overflow_total, pending = [], 0, []
+        while done < target:
+            k = min(args.scan_steps, target - done)
+            with timer:
+                state, stats = eng.train_epoch_assigned(
+                    state, sched, *trn, steps=k)
+            if stats is None:
+                break
+            pending.append(stats)
+            done += k
+            maybe_ckpt(state, done)
+        for stats in pending:
+            losses.extend(np.asarray(stats["loss"]).tolist())
+        overflow_total = sum(int(np.asarray(s["overflow"]).sum())
+                             for s in pending)
+        stopped_early = done < total
+        extra = {"sched": {**sched.perf(),
+                           "plan_time_us": sched.iter_time_us()}}
     else:
         eng = Engine(cfg, table_rows=rows)
         state = eng.init_state(cfg.seed)
@@ -343,7 +386,8 @@ def run_training(args) -> dict:
     gb = cfg.batch_size * max(eng.num_shards, 1)
     report = {
         "model": cfg.model,
-        "mode": "scheduled" if args.scheduled else "baseline",
+        "mode": ("scheduled" if args.scheduled
+                 else "assigned" if args.assign_only else "baseline"),
         "comm": cfg.comm_mode,
         "devices": max(eng.num_shards, 1),
         "steps": len(losses),

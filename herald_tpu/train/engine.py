@@ -402,6 +402,32 @@ class Engine:
         y = stack(labels, np.float32)
         return self._train_epoch(state, d, s, y)
 
+    def train_epoch_assigned(self, state: TrainState, scheduler,
+                             dense_x, sparse_ids, labels, steps: int):
+        """Assignment-only scheduled mode: the plain engine fed batches
+        composed by the lookahead scheduler's affinity placement
+        (csrc/herald_sched.cc), WITHOUT the hot-row cache — isolates the
+        scheduling gain in the A/B ladder, mirroring the reference's
+        run_hetu vs run_laia comparison at cache-limit 0
+        (`examples/ctr/run_laia.py:214-237`). Gradients are identical to
+        the baseline up to fp reordering: the global batch SET is
+        unchanged, only its split across workers moves (samples land on
+        the worker whose recent batches shared their ids, shrinking
+        per-worker uniques and exchange traffic on sessionized streams).
+        """
+        idx_rows = []
+        for _ in range(steps):
+            r = scheduler.pop()
+            if r is None:
+                break
+            assign, _plans = r
+            idx_rows.append(assign.reshape(-1))
+        if not idx_rows:
+            return state, None
+        idx = np.concatenate(idx_rows)
+        return self.train_epoch(state, dense_x[idx], sparse_ids[idx],
+                                labels[idx], steps=len(idx_rows))
+
     def predict(self, state: TrainState, dense_x, sparse_ids):
         d = self._put_batch(dense_x, np.float32)
         s = self._put_batch(sparse_ids, np.int32)

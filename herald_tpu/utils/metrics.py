@@ -36,6 +36,46 @@ def auc_score(y_true: np.ndarray, y_score: np.ndarray) -> float:
                  / (n_pos * n_neg))
 
 
+def roc_pr_curve(y_true, y_score, num_thresholds: int = 200,
+                 curve: str = "ROC"):
+    """Discretized ROC or PR curve arrays (x_axis, y_axis).
+
+    Mirrors the reference `roc_pr_curve`/`auc` pair
+    (`python/hetu/metrics.py:120-154`): `num_thresholds` evenly-spaced
+    thresholds over [0, 1] with +/- epsilon end caps; ROC returns
+    (fp_rate, recall), PR returns (recall, precision). The vectorized
+    confusion counts replace the reference's per-threshold python loop.
+    """
+    eps = 1e-7
+    y_true = np.asarray(y_true).reshape(-1) > 0.5
+    y_score = np.asarray(y_score).reshape(-1).astype(np.float64)
+    thr = np.concatenate([
+        [-eps],
+        (np.arange(1, num_thresholds - 1) / (num_thresholds - 1)),
+        [1.0 + eps]])
+    pred_pos = y_score[None, :] > thr[:, None]        # [T, N]
+    tp = (pred_pos & y_true[None, :]).sum(axis=1).astype(np.float64)
+    fp = (pred_pos & ~y_true[None, :]).sum(axis=1).astype(np.float64)
+    n_pos = float(y_true.sum())
+    n_neg = float(len(y_true) - n_pos)
+    fn = n_pos - tp
+    tn = n_neg - fp
+    rec = (tp + eps) / (tp + fn + eps)
+    if curve.upper() == "ROC":
+        return (fp + eps) / (fp + tn + eps), rec
+    prec = (tp + eps) / (tp + fp + eps)
+    return rec, prec
+
+
+def auc_riemann(y_true, y_score, num_thresholds: int = 200,
+                curve: str = "ROC") -> float:
+    """Approximate AUC via the trapezoid sum over `roc_pr_curve`
+    (reference `metrics.py auc`); `auc_score` above is the exact
+    rank-statistic ROC-AUC."""
+    x, y = roc_pr_curve(y_true, y_score, num_thresholds, curve)
+    return float(np.sum((x[:-1] - x[1:]) * (y[:-1] + y[1:]) / 2.0))
+
+
 def accuracy(y_true, y_score, threshold=0.5) -> float:
     y_true = np.asarray(y_true).reshape(-1) > 0.5
     pred = np.asarray(y_score).reshape(-1) > threshold
