@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--warmup", type=int, default=8,
                     help="cold-start steps run on the wide-capacity "
                          "program before switching to the steady one")
+    ap.add_argument("--hoist", action="store_true",
+                    help="enable planner pull smoothing (prefetch "
+                         "hoisting): pull capacity sized near the MEAN "
+                         "bucket instead of the max")
     ap.add_argument("--bytes-only", action="store_true",
                     help="skip the timed mesh runs: plan, size, compile "
                          "and report the per-step collective bytes only "
@@ -174,10 +178,26 @@ def main():
     # differ between the cold and steady programs
     widths = {"sched_unique_slots": full.unique_slots(),
               "sched_flush_slots": full.flush_slots()}
-    cfg_c = HeraldConfig(**{**cfg_s.__dict__, **widths})
+    # pull smoothing: hoist over-target pulls into earlier underfull
+    # steps, so the steady capacity can sit near the MEAN bucket instead
+    # of the max (sched/planner hoist window; value-safe by construction,
+    # tests/test_hoisting.py)
+    hoist = {}
+    if args.hoist:
+        hoist = {"sched_pull_target": steady.pull_target(),
+                 "sched_hoist_window": 8,
+                 "sched_prefetch_slots": 256}
+    cfg_c = HeraldConfig(**{**cfg_s.__dict__, **widths, **hoist})
     eng_c = CachedEngine(cfg_c, table_rows=args.rows)   # wide capacities
-    cfg_t = HeraldConfig(**{**cfg_s.__dict__, **widths,
-                            "a2a_pull_capacity": steady.pull_capacity(),
+    cap = steady.pull_capacity()
+    if args.hoist:
+        # mean-based sizing helps only when buckets are bursty (max >>
+        # mean); on flat streams the max-based cap is already tight
+        cap_t = max(-(-int(np.ceil(steady.pull_target() * 1.25)) // 8) * 8,
+                    8)
+        cap = min(cap, cap_t)
+    cfg_t = HeraldConfig(**{**cfg_s.__dict__, **widths, **hoist,
+                            "a2a_pull_capacity": cap,
                             "a2a_flush_capacity": steady.flush_capacity()})
     eng_t = CachedEngine(cfg_t, table_rows=args.rows)
     state_s = eng_c.init_cached_state(args.seed)

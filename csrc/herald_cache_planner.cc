@@ -60,6 +60,8 @@
 #include <cstring>
 #include <stdexcept>
 #include <deque>
+#include <unordered_map>
+#include <unordered_set>
 #include <mutex>
 #include <numeric>
 #include <thread>
@@ -234,6 +236,19 @@ struct MicroProgram {
     std::vector<std::vector<uint8_t>> pulls;    // [u] 1 = pull from owner
     std::vector<std::vector<key_t_>> flush_ids; // [f]
     std::vector<std::vector<int32_t>> flush_slots;
+    // pulls HOISTED here from later batches (pull smoothing): rows to
+    // fetch and insert this step that some later batch in the lookahead
+    // window reads — fills underfull all-to-all buckets so the static
+    // pull capacity can sit near the MEAN bucket size instead of the max
+    std::vector<std::vector<key_t_>> prefetch_ids;   // [p]
+    std::vector<std::vector<int32_t>> prefetch_slots;
+};
+
+// per-worker hoistable-pull metadata for the window manager
+struct HoistInfo {
+    std::vector<key_t_> keys;
+    std::vector<int32_t> slots;
+    std::vector<int32_t> qidx;     // index into mp.pulls[z]
 };
 
 struct IPlanner {
@@ -241,7 +256,7 @@ struct IPlanner {
     virtual void start() = 0;
     virtual bool pop(MicroProgram &out) = 0;
     virtual size_t queue_length() = 0;
-    virtual void perf(long out[5]) const = 0;
+    virtual void perf(long out[6]) const = 0;
     virtual long iter_time_us() const = 0;
     virtual void phase_times(long out[4]) const = 0;
     virtual bool finished() = 0;
@@ -278,7 +293,8 @@ public:
                   int num_shards, int64_t rows_per_shard, int top_k,
                   const int *table_order, int n_threads, int queue_cap,
                   int policy = 0, int assign_mode = 0, int64_t pinned = 0,
-                  int bound = 0)
+                  int bound = 0, int pull_target = 0, int hoist_window = 0,
+                  int prefetch_cap = 0)
         : ids_(ids), num_samples_(num_samples), num_tables_(num_tables),
           nrank_(nrank), mbs_(mbs), batch_num_(batch_num), epochs_(epochs),
           flush_cap_(flush_cap), owner_cap_(owner_cap),
@@ -287,6 +303,8 @@ public:
           n_threads_(std::max(1, n_threads)), queue_cap_(queue_cap),
           assign_mode_(assign_mode), pinned_(pinned),
           cache_rows_(cache_rows), bound_(bound),
+          pull_target_(pull_target), hoist_window_(hoist_window),
+          prefetch_cap_(prefetch_cap),
           pool_(std::max(1, n_threads)) {
         key_t_ max_key = 0;
         for (int64_t i = 0; i < num_samples_ * num_tables_; i++)
@@ -308,6 +326,7 @@ public:
         update_pull_.assign(nrank_, 0);
         update_push_.assign(nrank_, 0);
         deferred_flush_.assign(nrank_, 0);
+        hoisted_.assign(nrank_, 0);
 
         if (table_order) {
             order_.assign(table_order, table_order + num_tables_);
@@ -345,7 +364,7 @@ public:
         return queue_.size();
     }
 
-    void perf(long out[5]) const override {
+    void perf(long out[6]) const override {
         auto avg = [&](const std::vector<long> &v) {
             long s = 0;
             for (auto &x : v)
@@ -357,6 +376,12 @@ public:
         out[2] = avg(update_pull_);
         out[3] = avg(update_push_);
         out[4] = avg(deferred_flush_);
+        // hoisted is a global count (sums are small; an average would
+        // integer-divide early hoists to zero)
+        long hs = 0;
+        for (auto &x : hoisted_)
+            hs += __atomic_load_n(&x, __ATOMIC_RELAXED);
+        out[5] = hs;
     }
 
     long iter_time_us() const override {
@@ -434,10 +459,67 @@ private:
         return int(key % num_shards_);
     }
 
+    // window entry for pull smoothing: a planned-but-unqueued program
+    // plus its per-(worker, owner) pull-bucket usage and prefetch fill
+    struct WindowEntry {
+        MicroProgram mp;
+        int64_t seq;
+        std::vector<std::vector<int>> pull_used;   // [z][owner]
+        std::vector<int> prefetch_n;               // per worker
+    };
+
+    bool emit_program(MicroProgram &&mp) {
+        {
+            std::unique_lock<std::mutex> lk(mut_);
+            cv_push_.wait(lk, [this] {
+                return int(queue_.size()) < queue_cap_ || close_.load();
+            });
+            if (close_.load()) return false;
+            queue_.push_back(std::move(mp));
+        }
+        cv_pop_.notify_all();
+        return true;
+    }
+
+    // Move over-target pulls of the just-planned batch `e` into earlier
+    // window entries with spare bucket room. Safe by construction: the
+    // hoist candidates' values are final from `recent_flush_[key]`
+    // onward (cold-miss: never flushed; clean refresh: last flush known),
+    // the sim guarantees the cache slot stays untouched until the
+    // original batch, and the window manager runs single-threaded on the
+    // producer, so everything stays deterministic.
+    void hoist_into(std::deque<WindowEntry> &window, WindowEntry &e) {
+        for (int z = 0; z < nrank_; z++) {
+            auto &h = hoist_scratch_[z];
+            for (size_t i = 0; i < h.keys.size(); i++) {
+                key_t_ key = h.keys[i];
+                int ow = owner_of(key);
+                if (e.pull_used[z][ow] <= pull_target_) continue;
+                auto it = recent_flush_.find(key);
+                int64_t lastf = it == recent_flush_.end() ? -1 : it->second;
+                for (auto &w : window) {
+                    if (w.seq < lastf) continue;   // value not final yet
+                    if (w.pull_used[z][ow] >= pull_target_) continue;
+                    if (w.prefetch_n[z] >= prefetch_cap_) continue;
+                    w.mp.prefetch_ids[z].push_back(key);
+                    w.mp.prefetch_slots[z].push_back(h.slots[i]);
+                    w.pull_used[z][ow]++;
+                    w.prefetch_n[z]++;
+                    e.mp.pulls[z][h.qidx[i]] = 0;
+                    e.pull_used[z][ow]--;
+                    hoisted_[z]++;
+                    break;
+                }
+            }
+        }
+    }
+
     void run() {
         int64_t gbs = int64_t(nrank_) * mbs_;
         int64_t total_batches = batch_num_ * epochs_;
         std::vector<int> scores(gbs * nrank_);
+        std::deque<WindowEntry> window;
+        const bool hw = hoisting_on();
         for (int64_t b = 0; b < total_batches && !close_.load(); b++) {
             auto t0 = std::chrono::steady_clock::now();
             MicroProgram mp = plan_batch(b * gbs, scores);
@@ -450,16 +532,37 @@ private:
                     __ATOMIC_RELAXED);
                 __atomic_fetch_add(&iter_cnt_, 1L, __ATOMIC_RELAXED);
             }
-            {
-                std::unique_lock<std::mutex> lk(mut_);
-                cv_push_.wait(lk, [this] {
-                    return int(queue_.size()) < queue_cap_ || close_.load();
-                });
-                if (close_.load()) break;
-                queue_.push_back(std::move(mp));
+            if (!hw) {
+                if (!emit_program(std::move(mp))) break;
+                continue;
             }
-            cv_pop_.notify_all();
+            // record this batch's flushes FIRST: a pull may not hoist
+            // past the flush that finalized its value (including this
+            // batch's own flushes — the un-hoisted pull would have seen
+            // them applied in phase 1)
+            for (int z = 0; z < nrank_; z++)
+                for (key_t_ k : mp.flush_ids[z]) recent_flush_[k] = b;
+            WindowEntry e{std::move(mp), b,
+                          std::move(pull_used_scratch_), {}};
+            e.prefetch_n.assign(nrank_, 0);
+            hoist_into(window, e);
+            window.push_back(std::move(e));
+            if (int(window.size()) > hoist_window_) {
+                MicroProgram out = std::move(window.front().mp);
+                window.pop_front();
+                if (!emit_program(std::move(out))) break;
+            }
+            // bound the flush map: entries older than the window can
+            // never block a hoist decision again
+            if (int64_t(recent_flush_.size()) > 8 * 1024 * 1024) {
+                for (auto it2 = recent_flush_.begin();
+                     it2 != recent_flush_.end();)
+                    it2 = it2->second < b - hoist_window_
+                        ? recent_flush_.erase(it2) : std::next(it2);
+            }
         }
+        for (auto &w : window)
+            if (!emit_program(std::move(w.mp))) break;
         {
             std::lock_guard<std::mutex> lk(mut_);
             done_ = true;
@@ -514,6 +617,13 @@ private:
         mp.pulls.resize(nrank_);
         mp.flush_ids.resize(nrank_);
         mp.flush_slots.resize(nrank_);
+        mp.prefetch_ids.resize(nrank_);
+        mp.prefetch_slots.resize(nrank_);
+        if (hoisting_on()) {
+            hoist_scratch_.assign(nrank_, HoistInfo{});
+            pull_used_scratch_.assign(nrank_,
+                                      std::vector<int>(num_shards_, 0));
+        }
         batch_keys_.resize(nrank_);
         batch_predirty_.resize(nrank_);
         std::vector<int> load(nrank_, 0);
@@ -572,24 +682,31 @@ private:
         if (readers_.empty()) readers_.assign(key_space_, MaskT(0));
         if (int(cand_.size()) != n_chunks) cand_.resize(n_chunks);
         if (int(touched_.size()) != n_chunks) touched_.resize(n_chunks);
+        if (int(prezero_.size()) != n_chunks) prezero_.resize(n_chunks);
         pool_.parallel_for(n_chunks, [&](int c) {
             auto &cc = cand_[c];
             if (int(cc.size()) != nrank_) cc.resize(nrank_);
             for (auto &v : cc) v.clear();
             auto &tc = touched_[c];
             tc.clear();
+            prezero_[c].clear();
             int64_t lo = c * chunk;
             int64_t hi = std::min<int64_t>(gbs, lo + chunk);
             for (int64_t i = lo; i < hi; i++) {
                 const key_t_ *s = sample(start + i);
                 MaskT rb = cbit(worker_of_local_[i]);
+                auto &pz = prezero_[c];
                 for (int t = 0; t < num_tables_; t++) {
                     key_t_ k = s[t];
                     MaskT prev = __atomic_fetch_or(&readers_[k], rb,
                                                    __ATOMIC_RELAXED);
                     if (prev) continue;          // not the first toucher
                     tc.push_back(k);
-                    MaskT dm = MaskT(state[k] >> HALF);
+                    MaskT w = state[k];
+                    if (w == 0) pz.push_back(k);   // nobody caches: a
+                    // cold-miss pull of k is hoistable (no one can have
+                    // flushed it inside the window)
+                    MaskT dm = MaskT(w >> HALF);
                     while (dm) {
                         cc[ctz_mask(dm)].push_back(k);
                         dm &= MaskT(dm - 1);
@@ -597,6 +714,11 @@ private:
                 }
             }
         });
+        if (hoisting_on()) {
+            prezero_set_.clear();
+            for (auto &pz : prezero_)
+                prezero_set_.insert(pz.begin(), pz.end());
+        }
         lap(1);
 
         // ---- 3. per-worker cache transactions (parallel per worker) -----
@@ -618,6 +740,17 @@ private:
         // the own-batch binary_search skip already handle).
         auto plan_worker = [&](int z) {
             SlotCache &c = caches_[z];
+            const bool hw = hoisting_on();
+            auto note_pull = [&](key_t_ key, int slot, size_t q,
+                                 bool hoist_ok) {
+                if (!hw) return;
+                pull_used_scratch_[z][owner_of(key)]++;
+                if (!hoist_ok) return;
+                auto &h = hoist_scratch_[z];
+                h.keys.push_back(key);
+                h.slots.push_back(int32_t(slot));
+                h.qidx.push_back(int32_t(q));
+            };
             // per-owner routing budget covers ALL flushes of this step —
             // mandatory batch-phase ones included, otherwise a batch whose
             // evictions/refreshes pile onto one owner could exceed the
@@ -668,6 +801,7 @@ private:
                     pulls[q] = 0;
                     pre_dirty[q] = e->dirty ? 1 : 0;
                 } else if (e) {                    // too stale: refresh
+                    bool was_dirty = e->dirty;
                     if (e->dirty) {                // flush-before-refresh
                         emit_flush(e->key, e->slot);
                         e->dirty = false;
@@ -677,6 +811,10 @@ private:
                     c.touch(e->slot);
                     slots[q] = e->slot;
                     pulls[q] = 1;
+                    // a CLEAN refresh may hoist: the value became final at
+                    // the last flush; the window manager verifies that
+                    // flush predates the target batch (recent_flush_)
+                    note_pull(key, e->slot, q, !was_dirty);
                     __atomic_fetch_add(&update_pull_[z], 1, __ATOMIC_RELAXED);
                 } else {                           // miss: insert
                     bool evicted = false;
@@ -694,6 +832,11 @@ private:
                     set_bits(key, cbit(z));
                     slots[q] = slot;
                     pulls[q] = 1;
+                    // a no-eviction cold miss may hoist: the slot was free
+                    // since allocation (sim hands it to nobody else) and a
+                    // key nobody cached pre-batch cannot have been flushed
+                    note_pull(key, slot, q, !evicted
+                              && prezero_set_.count(key) != 0);
                     __atomic_fetch_add(&miss_pull_[z], 1, __ATOMIC_RELAXED);
                 }
                 // the row receives gradients this step (device phase 5
@@ -784,6 +927,8 @@ private:
                 if (e && e->stale > bound_) {
                     pulls[q] = 1;
                     e->stale = 0;
+                    if (hoisting_on())
+                        pull_used_scratch_[z][owner_of(keys[q])]++;
                     __atomic_fetch_add(&update_pull_[z], 1,
                                        __ATOMIC_RELAXED);
                 }
@@ -808,6 +953,7 @@ private:
     int top_k_, n_threads_, queue_cap_, assign_mode_;
     int64_t pinned_, cache_rows_;
     int bound_;
+    int pull_target_, hoist_window_, prefetch_cap_;
     key_t_ key_space_;
     std::vector<int> order_;
 
@@ -815,7 +961,7 @@ private:
     std::vector<SlotCache> caches_;
     std::vector<MaskT> state_;
     std::vector<long> miss_pull_, miss_push_, update_pull_, update_push_;
-    std::vector<long> deferred_flush_;
+    std::vector<long> deferred_flush_, hoisted_;
     mutable long iter_sum_ = 0, iter_cnt_ = 0;
     mutable long phase_us_[4] = {0, 0, 0, 0};
 
@@ -827,6 +973,17 @@ private:
     std::vector<MaskT> readers_;           // key -> workers reading it
                                            //   this batch (zeroed after)
     std::vector<std::vector<key_t_>> touched_;   // [chunk] first-touched
+    std::vector<std::vector<key_t_>> prezero_;   // [chunk] keys whose
+                                                 //   pre-batch word was 0
+    std::unordered_set<key_t_> prezero_set_;     // merged per batch
+    std::vector<HoistInfo> hoist_scratch_;       // per worker, per batch
+    std::vector<std::vector<int>> pull_used_scratch_;  // [z][owner]
+    std::unordered_map<key_t_, int64_t> recent_flush_; // key -> last flush
+                                                       //   batch (window)
+
+    bool hoisting_on() const {
+        return hoist_window_ > 0 && pull_target_ > 0 && prefetch_cap_ > 0;
+    }
     // [chunk][holder] -> unique keys the holder held dirty pre-batch and
     // someone reads this batch (planned-flush candidates)
     std::vector<std::vector<std::vector<key_t_>>> cand_;
@@ -849,14 +1006,15 @@ IPlanner *make_planner(const key_t_ *ids, int64_t num_samples,
                        int64_t rows_per_shard, int top_k,
                        const int *table_order, int n_threads, int queue_cap,
                        int policy, int assign_mode, int64_t pinned,
-                       int bound) {
+                       int bound, int pull_target, int hoist_window,
+                       int prefetch_cap) {
     auto build = [&](auto tag) -> IPlanner * {
         using MaskT = decltype(tag);
         return new CachePlannerT<MaskT>(
             ids, num_samples, num_tables, nrank, mbs, batch_num, epochs,
             cache_rows, flush_cap, owner_cap, num_shards, rows_per_shard,
             top_k, table_order, n_threads, queue_cap, policy, assign_mode,
-            pinned, bound);
+            pinned, bound, pull_target, hoist_window, prefetch_cap);
     };
     if (nrank <= 8) return build(uint16_t{});
     if (nrank <= 16) return build(uint32_t{});
@@ -886,14 +1044,15 @@ void *hplan_create(const int64_t *ids, int64_t num_samples, int num_tables,
                    int64_t cache_rows, int flush_cap, int owner_cap,
                    int num_shards, int64_t rows_per_shard, int top_k,
                    const int *table_order, int n_threads, int queue_cap,
-                   int policy, int assign_mode, int64_t pinned, int bound) {
+                   int policy, int assign_mode, int64_t pinned, int bound,
+                   int pull_target, int hoist_window, int prefetch_cap) {
     try {
         auto *h = new HPlanner();
         h->planner = herald::make_planner(
             ids, num_samples, num_tables, nrank, mbs, batch_num, epochs,
             cache_rows, flush_cap, owner_cap, num_shards, rows_per_shard,
             top_k, table_order, n_threads, queue_cap, policy, assign_mode,
-            pinned, bound);
+            pinned, bound, pull_target, hoist_window, prefetch_cap);
         return h;
     } catch (const std::exception &e) {
         fprintf(stderr, "hplan_create failed: %s\n", e.what());
@@ -949,9 +1108,11 @@ void hplan_pop_finish(void *h, int32_t *slots_out, uint8_t *pulls_out,
 // stream, -2 a worker's uniques/flushes exceed the given caps (caller
 // must treat as fatal: truncation would corrupt training).
 int hplan_pop_padded(void *h, int64_t *assign_out, int64_t u_cap,
-                     int64_t f_cap, int64_t cache_rows, int32_t *slots_out,
-                     uint8_t *pulls_out, int32_t *flush_ids_out,
-                     int32_t *flush_slots_out) {
+                     int64_t f_cap, int64_t p_cap, int64_t cache_rows,
+                     int32_t *slots_out, uint8_t *pulls_out,
+                     int32_t *flush_ids_out, int32_t *flush_slots_out,
+                     int32_t *prefetch_ids_out,
+                     int32_t *prefetch_slots_out) {
     auto *p = static_cast<HPlanner *>(h);
     if (!p->planner->pop(p->current)) return -1;
     std::memcpy(assign_out, p->current.assign.data(),
@@ -962,8 +1123,21 @@ int hplan_pop_padded(void *h, int64_t *assign_out, int64_t u_cap,
         auto &pu = p->current.pulls[z];
         auto &fi = p->current.flush_ids[z];
         auto &fs = p->current.flush_slots[z];
-        if (int64_t(sl.size()) > u_cap || int64_t(fi.size()) > f_cap)
+        auto &pfi = p->current.prefetch_ids[z];
+        auto &pfs = p->current.prefetch_slots[z];
+        if (int64_t(sl.size()) > u_cap || int64_t(fi.size()) > f_cap
+            || int64_t(pfi.size()) > p_cap)
             return -2;
+        int32_t *pirow = prefetch_ids_out + z * p_cap;
+        int32_t *psrow = prefetch_slots_out + z * p_cap;
+        for (size_t q = 0; q < pfi.size(); q++) {
+            pirow[q] = int32_t(pfi[q]);
+            psrow[q] = pfs[q];
+        }
+        for (int64_t q = int64_t(pfi.size()); q < p_cap; q++) {
+            pirow[q] = -1;
+            psrow[q] = int32_t(cache_rows);
+        }
         int32_t *srow = slots_out + z * u_cap;
         uint8_t *prow = pulls_out + z * u_cap;
         std::memcpy(srow, sl.data(), sl.size() * sizeof(int32_t));

@@ -73,6 +73,17 @@ class HeraldConfig:
     # this. Size from a probe (sizing.TrafficProfile.unique_slots); the
     # planner raises if a batch's uniques ever exceed it.
     sched_unique_slots: Optional[int] = None
+    # pull smoothing (cached mode): when set, the planner hoists pulls of
+    # batches whose per-(worker,owner) bucket exceeds this target into
+    # earlier underfull batches as prefetches (within sched_hoist_window
+    # batches, up to sched_prefetch_slots per worker per step). The static
+    # pull capacity can then sit near the MEAN bucket size instead of the
+    # max — size both from a probe (sizing.py). Value-safe by
+    # construction; the planner only hoists pulls whose row cannot change
+    # between the prefetch and the read.
+    sched_pull_target: Optional[int] = None
+    sched_hoist_window: int = 8
+    sched_prefetch_slots: Optional[int] = None
     # Pallas DMA gather kernel for embedding lookups (ops/pallas/kernels).
     # Measured on v5e (docs/PERF_NOTES.md): per-row DMA is issue-rate-bound
     # (~100 ns/descriptor) and LOSES to XLA's gather (~680 us vs ~154 us at

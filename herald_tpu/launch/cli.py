@@ -88,6 +88,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-prefetch", action="store_true",
                    help="disable the async host->device input pipeline "
                         "(data/prefetch.py DevicePrefetcher)")
+    p.add_argument("--autosize", action="store_true",
+                   help="scheduled mode: run a host-only probe plan first "
+                        "and size everything from measurements — program "
+                        "widths (unique/flush slots), all-to-all "
+                        "capacities, and the pull-smoothing target; the "
+                        "first --autosize-warmup steps run on a "
+                        "wide-capacity program (cold caches), the rest on "
+                        "the tight steady-state program")
+    p.add_argument("--autosize-warmup", type=int, default=8)
     p.add_argument("--ckpt", default=None, help="checkpoint dir")
     p.add_argument("--ckpt-every", type=int, default=0,
                    help="also checkpoint every N steps (elastic/failure "
@@ -218,6 +227,35 @@ def run_training(args) -> dict:
             save_checkpoint(state, args.ckpt)
 
     if args.scheduled:
+        eng_cold = None
+        warm_steps = 0
+        if args.autosize:
+            from herald_tpu.sched.sizing import (TrafficProfile,
+                                                 profile_planned_traffic)
+            probe_eng = CachedEngine(cfg, table_rows=rows)
+            probe = probe_eng.make_planner(trn[1], epochs=1,
+                                           n_threads=cfg.sched_threads)
+            nshards = max(probe_eng.num_shards, 1)
+            steps_prof, _ = profile_planned_traffic(probe, trn[1], nshards)
+            probe.close()
+            W = min(args.autosize_warmup, len(steps_prof) // 2)
+            steady = TrafficProfile.from_steps(steps_prof[W:])
+            full = TrafficProfile.from_steps(steps_prof)
+            cfg.sched_unique_slots = full.unique_slots()
+            cfg.sched_flush_slots = full.flush_slots()
+            cfg.sched_pull_target = steady.pull_target()
+            cap_t = -(-int(np.ceil(steady.pull_target() * 1.25)) // 8) * 8
+            cfg.a2a_pull_capacity = min(steady.pull_capacity(),
+                                        max(cap_t, 8))
+            cfg.a2a_flush_capacity = steady.flush_capacity()
+            # cold phase runs on a wide-capacity program (empty caches
+            # pull everything); same program widths so the planner's
+            # padded buffers fit both engines
+            cold_cfg = HeraldConfig(**{
+                **cfg.__dict__, "a2a_pull_capacity": None,
+                "a2a_flush_capacity": None})
+            eng_cold = CachedEngine(cold_cfg, table_rows=rows)
+            warm_steps = W
         eng = CachedEngine(cfg, table_rows=rows)
         make = lambda: eng.make_planner(trn[1], epochs=args.nepoch,
                                         n_threads=cfg.sched_threads)
@@ -231,7 +269,8 @@ def run_training(args) -> dict:
                 make, num_samples=len(trn[1]),
                 nrank=max(eng.num_shards, 1), batch_size=cfg.batch_size,
                 unique_cap=eng.U_cap, flush_cap=eng.F_cap,
-                cache_rows=eng.cache_rows, epochs=args.nepoch)
+                cache_rows=eng.cache_rows, epochs=args.nepoch,
+                prefetch_cap=eng.P_cap)
         else:
             planner = make()
         state = eng.init_cached_state(cfg.seed)
@@ -254,9 +293,14 @@ def run_training(args) -> dict:
         # the host pops/stages chunk t+1 while the device runs chunk t
         # (the scheduled path's input pipeline)
         while done < target:
+            # cold steps run on the wide program (autosize mode)
+            run_eng = eng_cold if (eng_cold is not None
+                                   and done < warm_steps) else eng
             k = min(args.scan_steps, target - done)
+            if run_eng is eng_cold:
+                k = min(k, warm_steps - done)
             with timer:
-                state, stats = eng.train_epoch_cached(
+                state, stats = run_eng.train_epoch_cached(
                     state, planner, *trn, steps=k)
             if stats is None:
                 break
@@ -270,8 +314,11 @@ def run_training(args) -> dict:
         stopped_early = done < steps_total
         if not stopped_early:
             # early stop leaves the stream undrained: the unflushed cache
-            # deltas live in the checkpoint; --resume continues them
-            state = eng.sync_cache(state, planner)
+            # deltas live in the checkpoint; --resume continues them.
+            # (The final drain routes whole-cache dumps — use the wide
+            # program when autosized.)
+            state = (eng_cold or eng).sync_cache(state, planner)
+            eng._unsynced = False   # synced via the wide engine
         extra = {"cache": cache_report(planner, done,
                                        eng.ids_per_worker)}
     elif args.assign_only:

@@ -28,6 +28,11 @@ class StepProgram:
     flush_ids: np.ndarray     # [nrank, F_cap] int32, -1 padding (ids are
                               #   asserted < 2^31 by the engine)
     flush_slots: np.ndarray   # [nrank, F_cap] int32, C (OOB) padding
+    prefetch_ids: np.ndarray = None    # [nrank, P_cap] int32, -1 padding:
+                              #   rows hoisted EARLIER from later batches
+                              #   (pull smoothing); fetched + inserted
+                              #   this step, read by a later batch
+    prefetch_slots: np.ndarray = None  # [nrank, P_cap] int32, C padding
 
 
 class _PlannerLib:
@@ -47,7 +52,7 @@ class _PlannerLib:
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
                 ctypes.c_int, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
-                ctypes.c_int]
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
             lib.hplan_phase_times.argtypes = [
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_long)]
             lib.hplan_start.argtypes = [ctypes.c_void_p]
@@ -58,7 +63,8 @@ class _PlannerLib:
             lib.hplan_pop_padded.restype = ctypes.c_int
             lib.hplan_pop_padded.argtypes = [
                 ctypes.c_void_p, i64p, ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_int64, i32p, u8p, i32p, i32p]
+                ctypes.c_int64, ctypes.c_int64, i32p, u8p, i32p, i32p,
+                i32p, i32p]
             lib.hplan_queue_length.restype = ctypes.c_int64
             lib.hplan_queue_length.argtypes = [ctypes.c_void_p]
             lib.hplan_perf.argtypes = [ctypes.c_void_p,
@@ -84,7 +90,9 @@ class CachePlanner:
                  n_threads: int = 8, queue_cap: int = 16,
                  drop_last: bool = True, policy: str = "lru",
                  assign_mode: str = "affinity", pinned_rows: int = 0,
-                 bound: int = 0, unique_cap: Optional[int] = None):
+                 bound: int = 0, unique_cap: Optional[int] = None,
+                 pull_target: int = 0, hoist_window: int = 0,
+                 prefetch_cap: int = 0):
         ids = np.ascontiguousarray(sparse_ids, np.int64)
         assert ids.ndim == 2
         n, num_tables = ids.shape
@@ -138,12 +146,21 @@ class CachePlanner:
         # until it missed more than `bound` remote updates,
         # ps-lite/src/PSFhandle_embedding.cc:30-64); 0 = always refresh
         self.bound = int(bound)
+        # pull smoothing: when pull_target > 0 (with a window and a
+        # prefetch cap), the planner hoists over-target pulls of batch n
+        # into earlier underfull batches as prefetches, so the static
+        # pull capacity can sit near the MEAN bucket size
+        self.pull_target = int(pull_target)
+        self.hoist_window = int(hoist_window)
+        self.P_cap = int(prefetch_cap) if (pull_target and hoist_window
+                                           and prefetch_cap) else 0
         self._h = self._lib.hplan_create(
             ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             n, num_tables, nrank, batch_size, self.batch_num, epochs,
             cache_rows, self.F_cap, self.owner_cap, num_shards,
             rows_per_shard, top_k, order_ptr, n_threads, queue_cap,
-            policy_id, mode_id, self.pinned_rows, self.bound)
+            policy_id, mode_id, self.pinned_rows, self.bound,
+            self.pull_target, self.hoist_window, self.P_cap)
         if not self._h:
             raise ValueError(
                 "native cache planner rejected the configuration "
@@ -151,49 +168,61 @@ class CachePlanner:
         self._ids_keepalive = ids
         self._lib.hplan_start(self._h)
 
-    def pop_into(self, assign, slots, pulls, flush_ids, flush_slots
-                 ) -> bool:
+    def pop_into(self, assign, slots, pulls, flush_ids, flush_slots,
+                 prefetch_ids=None, prefetch_slots=None) -> bool:
         """Pop one program directly into caller-provided PADDED buffers
         (device layout: assign [nrank*mbs] i64, slots/pulls [nrank*U_cap]
-        i32/u8, flush rows [nrank*F_cap] i32). Returns False at end of
-        stream; raises if a program exceeds the static caps (truncating
-        would corrupt training). One C call per step — the pad-and-stack
-        Python path cost as much as the device step at single-chip scale.
+        i32/u8, flush rows [nrank*F_cap] i32, prefetch rows
+        [nrank*max(P_cap,1)] i32). Returns False at end of stream; raises
+        if a program exceeds the static caps (truncating would corrupt
+        training). One C call per step — the pad-and-stack Python path
+        cost as much as the device step at single-chip scale.
         """
         i64p = ctypes.POINTER(ctypes.c_int64)
         i32p = ctypes.POINTER(ctypes.c_int32)
         u8p = ctypes.POINTER(ctypes.c_uint8)
+        P = max(self.P_cap, 1)
+        if prefetch_ids is None:
+            prefetch_ids = np.empty(self.nrank * P, np.int32)
+            prefetch_slots = np.empty(self.nrank * P, np.int32)
         rc = self._lib.hplan_pop_padded(
             self._h, assign.ctypes.data_as(i64p), self.U_cap, self.F_cap,
-            self.cache_rows,
+            P, self.cache_rows,
             slots.ctypes.data_as(i32p), pulls.ctypes.data_as(u8p),
             flush_ids.ctypes.data_as(i32p),
-            flush_slots.ctypes.data_as(i32p))
+            flush_slots.ctypes.data_as(i32p),
+            prefetch_ids.ctypes.data_as(i32p),
+            prefetch_slots.ctypes.data_as(i32p))
         if rc == -2:
             raise RuntimeError(
                 f"a program exceeds the static caps (unique_cap "
-                f"{self.U_cap} / flush_cap {self.F_cap}); size them from "
-                f"a probe pass (sched/sizing.py) or leave the defaults")
+                f"{self.U_cap} / flush_cap {self.F_cap} / prefetch_cap "
+                f"{P}); size them from a probe pass (sched/sizing.py) or "
+                f"leave the defaults")
         return rc == 0
 
     def pop_chunk(self, steps: int):
         """Pop up to `steps` programs into freshly-allocated stacked
         device-layout buffers. Returns (K, assign, slots, pulls,
-        flush_ids, flush_slots) with K <= steps actually filled (0 at end
-        of stream; rows beyond K are uninitialized)."""
+        flush_ids, flush_slots, prefetch_ids, prefetch_slots) with
+        K <= steps actually filled (0 at end of stream; rows beyond K are
+        uninitialized)."""
         nr = self.nrank
+        P = max(self.P_cap, 1)
         assign = np.empty((steps, nr * self.mbs), np.int64)
         slots = np.empty((steps, nr * self.U_cap), np.int32)
         pulls = np.empty((steps, nr * self.U_cap), np.uint8)
         fids = np.empty((steps, nr * self.F_cap), np.int32)
         fslots = np.empty((steps, nr * self.F_cap), np.int32)
+        pf_ids = np.empty((steps, nr * P), np.int32)
+        pf_slots = np.empty((steps, nr * P), np.int32)
         K = 0
         for k in range(steps):
             if not self.pop_into(assign[k], slots[k], pulls[k], fids[k],
-                                 fslots[k]):
+                                 fslots[k], pf_ids[k], pf_slots[k]):
                 break
             K += 1
-        return K, assign, slots, pulls, fids, fslots
+        return K, assign, slots, pulls, fids, fslots, pf_ids, pf_slots
 
     def pop(self) -> Optional[StepProgram]:
         assign = np.empty(self.nrank * self.mbs, np.int64)
@@ -201,7 +230,11 @@ class CachePlanner:
         pulls = np.empty(self.nrank * self.U_cap, np.uint8)
         flush_ids = np.empty(self.nrank * self.F_cap, np.int32)
         flush_slots = np.empty(self.nrank * self.F_cap, np.int32)
-        if not self.pop_into(assign, slots, pulls, flush_ids, flush_slots):
+        P = max(self.P_cap, 1)
+        pf_ids = np.empty(self.nrank * P, np.int32)
+        pf_slots = np.empty(self.nrank * P, np.int32)
+        if not self.pop_into(assign, slots, pulls, flush_ids, flush_slots,
+                             pf_ids, pf_slots):
             return None
         nr = self.nrank
         return StepProgram(assign=assign.reshape(nr, self.mbs),
@@ -209,7 +242,9 @@ class CachePlanner:
                            pulls=pulls.reshape(nr, self.U_cap)
                            .astype(bool),
                            flush_ids=flush_ids.reshape(nr, self.F_cap),
-                           flush_slots=flush_slots.reshape(nr, self.F_cap))
+                           flush_slots=flush_slots.reshape(nr, self.F_cap),
+                           prefetch_ids=pf_ids.reshape(nr, P),
+                           prefetch_slots=pf_slots.reshape(nr, P))
 
     def fast_forward(self, k: int) -> int:
         """Advance the program stream past the first `k` batches.
@@ -238,11 +273,11 @@ class CachePlanner:
         return int(self._lib.hplan_queue_length(self._h))
 
     def perf(self) -> dict:
-        out = (ctypes.c_long * 5)()
+        out = (ctypes.c_long * 6)()
         self._lib.hplan_perf(self._h, out)
         return {"miss_pull": out[0], "miss_push": out[1],
                 "update_pull": out[2], "update_push": out[3],
-                "deferred_flush": out[4]}
+                "deferred_flush": out[4], "hoisted_pull": out[5]}
 
     def iter_time_us(self) -> int:
         return int(self._lib.hplan_iter_time_us(self._h))

@@ -26,14 +26,15 @@ import numpy as np
 from herald_tpu.sched.planner import CachePlanner
 
 _PERF_KEYS = ("miss_pull", "miss_push", "update_pull", "update_push",
-              "deferred_flush")
+              "deferred_flush", "hoisted_pull")
 
 
 class BroadcastPlanner:
     def __init__(self, factory: Callable[[], CachePlanner],
                  num_samples: int, nrank: int, batch_size: int,
                  unique_cap: int, flush_cap: int, cache_rows: int,
-                 epochs: int = 1, drop_last: bool = True):
+                 epochs: int = 1, drop_last: bool = True,
+                 prefetch_cap: int = 0):
         import jax
         self._leader = jax.process_index() == 0
         self.planner: Optional[CachePlanner] = \
@@ -42,6 +43,7 @@ class BroadcastPlanner:
         self.mbs = batch_size
         self.U_cap = int(unique_cap)
         self.F_cap = int(flush_cap)
+        self.P_cap = int(prefetch_cap)
         self.cache_rows = cache_rows
         spw = num_samples // nrank
         per_epoch = (spw // batch_size if drop_last
@@ -54,6 +56,8 @@ class BroadcastPlanner:
                 self.planner.batch_num, self.batch_num)
             assert self.planner.U_cap == self.U_cap
             assert self.planner.F_cap == self.F_cap
+            assert self.planner.P_cap == self.P_cap, (
+                self.planner.P_cap, self.P_cap)
 
     # ------------------------------------------------------------------
     def _bcast(self, tree):
@@ -62,11 +66,13 @@ class BroadcastPlanner:
 
     def pop_chunk(self, steps: int):
         nr = self.nrank
+        P = max(self.P_cap, 1)
         if self._leader:
-            K, assign, slots, pulls, fids, fslots = \
-                self.planner.pop_chunk(steps)
+            (K, assign, slots, pulls, fids, fslots,
+             pfids, pfslots) = self.planner.pop_chunk(steps)
             if K < steps:   # broadcast needs fully-defined buffers
-                for a in (assign, slots, pulls, fids, fslots):
+                for a in (assign, slots, pulls, fids, fslots, pfids,
+                          pfslots):
                     a[K:] = 0
         else:
             K = 0
@@ -75,10 +81,15 @@ class BroadcastPlanner:
             pulls = np.zeros((steps, nr * self.U_cap), np.uint8)
             fids = np.zeros((steps, nr * self.F_cap), np.int32)
             fslots = np.zeros((steps, nr * self.F_cap), np.int32)
-        K, assign, slots, pulls, fids, fslots = self._bcast(
-            (np.int32(K), assign, slots, pulls, fids, fslots))
+            pfids = np.zeros((steps, nr * P), np.int32)
+            pfslots = np.zeros((steps, nr * P), np.int32)
+        (K, assign, slots, pulls, fids, fslots, pfids,
+         pfslots) = self._bcast(
+            (np.int32(K), assign, slots, pulls, fids, fslots, pfids,
+             pfslots))
         return (int(K), np.asarray(assign), np.asarray(slots),
-                np.asarray(pulls), np.asarray(fids), np.asarray(fslots))
+                np.asarray(pulls), np.asarray(fids), np.asarray(fslots),
+                np.asarray(pfids), np.asarray(pfslots))
 
     def fast_forward(self, k: int) -> int:
         n = self.planner.fast_forward(k) if self._leader else 0

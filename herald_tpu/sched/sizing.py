@@ -55,6 +55,7 @@ class TrafficProfile:
     max_pull_worker: int = 0
     max_flush_worker: int = 0
     max_uniq_worker: int = 0
+    mean_pull_bucket: float = 0.0   # mean over steps of the per-step max
 
     @classmethod
     def from_steps(cls, steps: List[StepTraffic]) -> "TrafficProfile":
@@ -67,7 +68,9 @@ class TrafficProfile:
             max_pull_worker=max((s.pull_worker for s in steps), default=0),
             max_flush_worker=max((s.flush_worker for s in steps),
                                  default=0),
-            max_uniq_worker=max((s.uniq_worker for s in steps), default=0))
+            max_uniq_worker=max((s.uniq_worker for s in steps), default=0),
+            mean_pull_bucket=float(np.mean([s.pull_bucket for s in steps]))
+            if steps else 0.0)
 
     def pull_capacity(self, align: int = 8, headroom: float = 1.25) -> int:
         """Safe per-(src,dst) pull capacity: measured max + headroom.
@@ -91,6 +94,13 @@ class TrafficProfile:
         need = int(np.ceil(self.max_flush_worker * headroom))
         return max(-(-need // align) * align, align)
 
+    def pull_target(self, headroom: float = 1.15) -> int:
+        """Hoisting target (HeraldConfig.sched_pull_target): a little
+        above the MEAN per-step max bucket — the planner hoists the
+        above-target tail into underfull steps, and pull_capacity can
+        then be sized to ~this target instead of the max."""
+        return max(int(np.ceil(self.mean_pull_bucket * headroom)), 1)
+
     def unique_slots(self, align: int = 8, headroom: float = 1.15) -> int:
         """Per-worker unique-key capacity (HeraldConfig.sched_unique_slots):
         the width of every dedup/cache pass in the compiled step. Uniques
@@ -110,6 +120,11 @@ def step_traffic(prog: StepProgram, sparse_ids: np.ndarray,
         keys = np.unique(sparse_ids[prog.assign[z]].ravel())
         uniq_w = max(uniq_w, len(keys))
         pull_keys = keys[prog.pulls[z, : len(keys)]]
+        # hoisted prefetches ride THIS step's pull route: count them in
+        # the same buckets
+        if prog.prefetch_ids is not None:
+            pf = prog.prefetch_ids[z]
+            pull_keys = np.concatenate([pull_keys, pf[pf >= 0]])
         if len(pull_keys):
             buckets = np.bincount(pull_keys % num_shards,
                                   minlength=num_shards)

@@ -81,6 +81,11 @@ class CachedEngine(Engine):
         self._unsynced = False
         self.U_cap = int(cfg.sched_unique_slots or self.ids_per_worker)
         self.F_cap = int(cfg.sched_flush_slots or self.U_cap)
+        # pull smoothing: prefetch arrays are only materialized when the
+        # planner hoists (sched_pull_target set); width 1 otherwise keeps
+        # the step signature static
+        self.P_cap = (int(cfg.sched_prefetch_slots or 128)
+                      if cfg.sched_pull_target else 0)
         # flush routing capacity = F_cap per (src, dst) pair: in the worst
         # case every flushed row belongs to one owner shard, and mandatory
         # flushes (eviction, stale-refresh) must never be dropped. The
@@ -112,7 +117,10 @@ class CachedEngine(Engine):
             policy=self.cfg.cache_policy, assign_mode=assign_mode,
             pinned_rows=self.pinned_rows,
             bound=self.cfg.staleness_bound,
-            unique_cap=self.U_cap)
+            unique_cap=self.U_cap,
+            pull_target=self.cfg.sched_pull_target or 0,
+            hoist_window=self.cfg.sched_hoist_window,
+            prefetch_cap=self.P_cap)
 
     def init_cached_state(self, seed: Optional[int] = None
                           ) -> CachedTrainState:
@@ -213,7 +221,8 @@ class CachedEngine(Engine):
         return table, new_table_slots, cache_delta, flush_overflow
 
     def _cached_step_body(self, state: CachedTrainState, dense_x, ids,
-                          labels, slots, pulls, flush_ids, flush_slots):
+                          labels, slots, pulls, flush_ids, flush_slots,
+                          pf_ids, pf_slots):
         C = self.cache_rows
         B, F = ids.shape
         step = state.step + 1
@@ -223,22 +232,29 @@ class CachedEngine(Engine):
             state.table, state.table_slots, step, state.cache_delta,
             flush_ids, flush_slots)
 
-        # phase 2: pull missed/stale rows from the updated table
+        # phase 2: pull missed/stale rows from the updated table, plus
+        # PREFETCH rows hoisted here from later batches (pull smoothing:
+        # the planner fills this step's spare all-to-all bucket room with
+        # pulls a later batch needs, so the static capacity sits near the
+        # mean bucket size)
         uniq, inv = jnp.unique(ids.reshape(-1), size=self.U_cap,
                                return_inverse=True, fill_value=-1)
         pull_ids = jnp.where(pulls & (uniq >= 0), uniq, -1)
+        all_ids = jnp.concatenate([pull_ids, pf_ids])
         if self.num_shards > 1:
-            route = ex.route_ids(self.exchange, pull_ids, pull_ids >= 0)
+            route = ex.route_ids(self.exchange, all_ids, all_ids >= 0)
             pulled = ex.gather_rows(self.exchange, table, route)
             overflow = route.overflow + flush_overflow
         else:
-            safe = jnp.where(pull_ids >= 0, pull_ids, table.shape[0] + 1)
+            safe = jnp.where(all_ids >= 0, all_ids, table.shape[0] + 1)
             pulled = table.at[safe].get(mode="fill", fill_value=0)
             overflow = jnp.zeros((), jnp.int32)
 
-        # phase 3: insert pulled rows (slots of non-pulled entries -> OOB)
+        # phase 3: insert pulled + prefetched rows (non-pulled -> OOB)
         cache_data = state.cache_data
-        write_slots = jnp.where(pulls & (uniq >= 0), slots, C + 1)
+        write_slots = jnp.concatenate([
+            jnp.where(pulls & (uniq >= 0), slots, C + 1),
+            jnp.where(pf_ids >= 0, pf_slots, C + 1)])
         cache_data = cache_data.at[write_slots].set(
             pulled.astype(cache_data.dtype), mode="drop")
 
@@ -332,14 +348,15 @@ class CachedEngine(Engine):
                               cache_delta=cache_delta)
 
     def _cached_epoch_body(self, state, dense_k, ids_k, labels_k, slots_k,
-                           pulls_k, fids_k, fslots_k):
+                           pulls_k, fids_k, fslots_k, pfids_k, pfslots_k):
         def body(state, xs):
             state, stats = self._cached_step_body(state, *xs)
             return state, (stats["loss"], stats["overflow"])
 
         state, (losses, overflows) = jax.lax.scan(
             body, state,
-            (dense_k, ids_k, labels_k, slots_k, pulls_k, fids_k, fslots_k))
+            (dense_k, ids_k, labels_k, slots_k, pulls_k, fids_k, fslots_k,
+             pfids_k, pfslots_k))
         return state, {"loss": losses, "overflow": overflows}
 
     # ------------------------------------------------------------------
@@ -372,12 +389,12 @@ class CachedEngine(Engine):
             kstats = {"loss": P(), "overflow": P()}
             self._cached_step = jax.jit(jax.shard_map(
                 self._cached_step_body, mesh=self.mesh,
-                in_specs=(specs,) + (dsp,) * 7,
+                in_specs=(specs,) + (dsp,) * 9,
                 out_specs=(specs, stats), check_vma=False),
                 donate_argnums=(0,))
             self._cached_epoch = jax.jit(jax.shard_map(
                 self._cached_epoch_body, mesh=self.mesh,
-                in_specs=(specs,) + (ksp,) * 7,
+                in_specs=(specs,) + (ksp,) * 9,
                 out_specs=(specs, kstats), check_vma=False),
                 donate_argnums=(0,))
             self._flush_step = jax.jit(jax.shard_map(
@@ -406,6 +423,7 @@ class CachedEngine(Engine):
                            raw_labels):
         """Index raw data by the planner's assignment; flatten worker axis."""
         idx = prog.assign.reshape(-1)
+        nr = max(self.num_shards, 1)
         d = self._put(raw_dense[idx], np.float32)
         s = self._put(raw_sparse[idx], np.int32)
         y = self._put(raw_labels[idx], np.float32)
@@ -413,7 +431,16 @@ class CachedEngine(Engine):
         pulls = self._put(prog.pulls.reshape(-1), bool)
         fids = self._put(prog.flush_ids.reshape(-1), np.int32)
         fslots = self._put(prog.flush_slots.reshape(-1), np.int32)
-        return d, s, y, slots, pulls, fids, fslots
+        if prog.prefetch_ids is not None:
+            pf_i = prog.prefetch_ids.reshape(-1)
+            pf_s = prog.prefetch_slots.reshape(-1)
+        else:
+            pf_i = np.full(nr * max(self.P_cap, 1), -1, np.int32)
+            pf_s = np.full(nr * max(self.P_cap, 1), self.cache_rows,
+                           np.int32)
+        pfids = self._put(pf_i, np.int32)
+        pfslots = self._put(pf_s, np.int32)
+        return d, s, y, slots, pulls, fids, fslots, pfids, pfslots
 
     def example_step_args(self):
         """Zero-filled device args of one cached step (HLO inspection)."""
@@ -428,7 +455,10 @@ class CachedEngine(Engine):
         pulls = self._put(np.zeros(nr * self.U_cap), bool)
         fids = self._put(np.full(nr * self.F_cap, -1), np.int32)
         fslots = self._put(np.full(nr * self.F_cap, C), np.int32)
-        return d, s, y, slots, pulls, fids, fslots
+        P = max(self.P_cap, 1)
+        pfids = self._put(np.full(nr * P, -1), np.int32)
+        pfslots = self._put(np.full(nr * P, C), np.int32)
+        return d, s, y, slots, pulls, fids, fslots, pfids, pfslots
 
     def train_step_cached(self, state, planner: CachePlanner, raw_dense,
                           raw_sparse, raw_labels):
@@ -445,7 +475,8 @@ class CachedEngine(Engine):
         """Pop `steps` micro-programs directly into stacked device-layout
         buffers (planner.pop_into: one C call per step, no Python
         pad-and-stack) and scan them on device."""
-        K, assign, slots, pulls, fids, fslots = planner.pop_chunk(steps)
+        (K, assign, slots, pulls, fids, fslots,
+         pfids, pfslots) = planner.pop_chunk(steps)
         if K == 0:
             return state, None
         self._unsynced = True
@@ -458,8 +489,10 @@ class CachedEngine(Engine):
         pulls_d = self._put(pulls[:K].view(bool), bool, stacked=True)
         fids_d = self._put(fids[:K], np.int32, stacked=True)
         fslots_d = self._put(fslots[:K], np.int32, stacked=True)
+        pfids_d = self._put(pfids[:K], np.int32, stacked=True)
+        pfslots_d = self._put(pfslots[:K], np.int32, stacked=True)
         return self._cached_epoch(state, d, s, y, slots_d, pulls_d,
-                                  fids_d, fslots_d)
+                                  fids_d, fslots_d, pfids_d, pfslots_d)
 
     @staticmethod
     def to_base_state(state: CachedTrainState) -> TrainState:

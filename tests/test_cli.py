@@ -39,3 +39,21 @@ def test_cli_prefetch_matches_direct_path():
     assert with_pf["overflow_rows"] == 0
     assert with_pf["val_auc"] == pytest.approx(without["val_auc"],
                                                abs=1e-12)
+
+
+def test_cli_autosize_matches_default_scheduled():
+    """--autosize (probe-sized widths/capacities + pull smoothing + cold/
+    steady program split) changes WHERE bytes move, never the math: the
+    final model equals the default scheduled run's."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    common = ["--model", "wdl_criteo", "--comm", "hybrid", "--scheduled",
+              "--batch-size", "8", "--samples", "1024", "--rows", "4000",
+              "--cache-limit-ratio", "0.5", "--lr", "0.5",
+              "--nepoch", "1", "--scan-steps", "4", "--val-ratio", "0.25",
+              "--seed", "2"]
+    plain = run_training(build_parser().parse_args(common))
+    auto = run_training(build_parser().parse_args(common + ["--autosize"]))
+    assert auto["overflow_rows"] == 0
+    assert auto["steps"] == plain["steps"]
+    assert auto["val_auc"] == pytest.approx(plain["val_auc"], abs=1e-12)
