@@ -630,9 +630,25 @@ private:
         std::vector<int64_t> order_idx(gbs);
         std::iota(order_idx.begin(), order_idx.end(), 0);
         std::vector<int> best(gbs);
-        for (int64_t i = 0; i < gbs; i++)
-            best[i] = *std::max_element(&scores[i * nrank_],
-                                        &scores[i * nrank_] + nrank_);
+        std::vector<int> best_w(gbs);   // argmax worker per sample: the
+        // greedy pick below takes it O(1) while that worker has quota
+        // (identical result to the full scan — argmax over all workers
+        // equals argmax over open workers whenever the argmax is open)
+        {
+            int64_t bchunk = (gbs + n_chunks - 1) / n_chunks;
+            pool_.parallel_for(n_chunks, [&](int c) {
+                int64_t lo = c * bchunk;
+                int64_t hi = std::min<int64_t>(gbs, lo + bchunk);
+                for (int64_t i = lo; i < hi; i++) {
+                    const int *row = &scores[i * nrank_];
+                    int bw = 0;
+                    for (int z = 1; z < nrank_; z++)
+                        if (row[z] > row[bw]) bw = z;
+                    best[i] = row[bw];
+                    best_w[i] = bw;
+                }
+            });
+        }
         std::stable_sort(order_idx.begin(), order_idx.end(),
                          [&](int64_t a, int64_t b) {
                              return best[a] > best[b];
@@ -651,12 +667,16 @@ private:
         } else {
             for (int64_t oi = 0; oi < gbs; oi++) {
                 int64_t i = order_idx[oi];
-                const int *row = &scores[i * nrank_];
-                int pick = -1, pick_score = -1;
-                for (int z = 0; z < nrank_; z++) {
-                    if (load[z] < mbs_ && row[z] > pick_score) {
-                        pick_score = row[z];
-                        pick = z;
+                int pick = best_w[i];
+                if (load[pick] >= mbs_) {   // argmax full: fall back to
+                    const int *row = &scores[i * nrank_];  // the open scan
+                    pick = -1;
+                    int pick_score = -1;
+                    for (int z = 0; z < nrank_; z++) {
+                        if (load[z] < mbs_ && row[z] > pick_score) {
+                            pick_score = row[z];
+                            pick = z;
+                        }
                     }
                 }
                 int64_t slot = int64_t(pick) * mbs_ + load[pick];
@@ -892,17 +912,25 @@ private:
         lap(2);
 
         // ---- 4. cross-worker staleness from this step's flushes ---------
-        for (int z = 0; z < nrank_; z++) {
-            for (key_t_ key : mp.flush_ids[z]) {
-                MaskT m = MaskT((state[key] & low_half()) & ~cbit(z));
-                while (m) {
-                    int j = ctz_mask(m);
-                    m &= MaskT(m - 1);
-                    auto *e = caches_[j].find(key);
+        // parallel per RECEIVER: worker j scans every flush (z, key) pair
+        // and bumps only its own entries — same increments as the serial
+        // per-flusher loop (a key flushed by two workers still ages a
+        // third holder twice), but the per-cache hash probes spread
+        // across the pool instead of serializing
+        pool_.parallel_for(nrank_, [&](int j) {
+            const MaskT me = cbit(j);
+            SlotCache &cj = caches_[j];
+            for (int z = 0; z < nrank_; z++) {
+                if (z == j) {
+                    continue;
+                }
+                for (key_t_ key : mp.flush_ids[z]) {
+                    if (!(state[key] & me)) continue;
+                    auto *e = cj.find(key);
                     if (e) e->stale++;
                 }
             }
-        }
+        });
 
         // ---- 5. same-batch refresh upgrade ------------------------------
         // The device applies ALL of this step's flushes before the pulls,
