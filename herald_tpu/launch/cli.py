@@ -97,6 +97,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "wide-capacity program (cold caches), the rest on "
                         "the tight steady-state program")
     p.add_argument("--autosize-warmup", type=int, default=8)
+    p.add_argument("--crash-after", type=int, default=0,
+                   help="FAULT INJECTION: hard-exit(17) once N steps have "
+                        "run (ignored under --resume) — exercises the "
+                        "supervisor/checkpoint/resume path "
+                        "(launch/supervise.py); the reference has no "
+                        "fault-injection harness (SURVEY §5)")
     p.add_argument("--ckpt", default=None, help="checkpoint dir")
     p.add_argument("--ckpt-every", type=int, default=0,
                    help="also checkpoint every N steps (elastic/failure "
@@ -225,6 +231,11 @@ def run_training(args) -> dict:
         if args.ckpt and args.ckpt_every and done \
                 and done % args.ckpt_every == 0:
             save_checkpoint(state, args.ckpt)
+        if args.crash_after and not args.resume \
+                and done >= args.crash_after:
+            import os as _os
+            print(json.dumps({"crashed_at": done}), flush=True)
+            _os._exit(17)
 
     if args.scheduled:
         eng_cold = None
