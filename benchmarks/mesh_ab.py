@@ -189,13 +189,8 @@ def main():
                  "sched_prefetch_slots": 256}
     cfg_c = HeraldConfig(**{**cfg_s.__dict__, **widths, **hoist})
     eng_c = CachedEngine(cfg_c, table_rows=args.rows)   # wide capacities
-    cap = steady.pull_capacity()
-    if args.hoist:
-        # mean-based sizing helps only when buckets are bursty (max >>
-        # mean); on flat streams the max-based cap is already tight
-        cap_t = max(-(-int(np.ceil(steady.pull_target() * 1.25)) // 8) * 8,
-                    8)
-        cap = min(cap, cap_t)
+    cap = (steady.hoisted_pull_capacity() if args.hoist
+           else steady.pull_capacity())
     cfg_t = HeraldConfig(**{**cfg_s.__dict__, **widths, **hoist,
                             "a2a_pull_capacity": cap,
                             "a2a_flush_capacity": steady.flush_capacity()})

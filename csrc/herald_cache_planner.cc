@@ -56,6 +56,7 @@
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
+#include <climits>
 #include <cstdio>
 #include <cstring>
 #include <stdexcept>
@@ -317,6 +318,13 @@ public:
                 "CachePlanner: id " + std::to_string(max_key)
                 + " exceeds table rows "
                 + std::to_string(int64_t(num_shards_) * rows_per_shard_));
+        // program ids travel as int32 through pop_padded; larger keys
+        // would silently wrap (the engine asserts the same bound, but
+        // the planner is also a standalone probe/sizing API)
+        if (max_key >= int64_t(INT32_MAX))
+            throw std::invalid_argument(
+                "CachePlanner: id " + std::to_string(max_key)
+                + " exceeds int32 program-id range");
         caches_.resize(nrank_);
         for (auto &c : caches_)
             c.init(int(cache_rows), static_cast<Policy>(policy));
@@ -507,7 +515,8 @@ private:
                     w.prefetch_n[z]++;
                     e.mp.pulls[z][h.qidx[i]] = 0;
                     e.pull_used[z][ow]--;
-                    hoisted_[z]++;
+                    // perf() reads concurrently with atomic loads
+                    __atomic_fetch_add(&hoisted_[z], 1L, __ATOMIC_RELAXED);
                     break;
                 }
             }

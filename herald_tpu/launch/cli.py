@@ -227,10 +227,16 @@ def run_training(args) -> dict:
         }
         return report
 
+    last_ckpt = [0]
+
     def maybe_ckpt(state, done):
-        if args.ckpt and args.ckpt_every and done \
-                and done % args.ckpt_every == 0:
+        # fire on CROSSING a multiple of ckpt_every: `done` advances in
+        # scan-chunk strides, so an exact-modulus test could miss every
+        # boundary (e.g. ckpt-every 50 with scan-steps 20)
+        if args.ckpt and args.ckpt_every \
+                and done // args.ckpt_every > last_ckpt[0] // args.ckpt_every:
             save_checkpoint(state, args.ckpt)
+            last_ckpt[0] = done
         if args.crash_after and not args.resume \
                 and done >= args.crash_after:
             import os as _os
@@ -243,22 +249,32 @@ def run_training(args) -> dict:
         if args.autosize:
             from herald_tpu.sched.sizing import (TrafficProfile,
                                                  profile_planned_traffic)
-            probe_eng = CachedEngine(cfg, table_rows=rows)
-            probe = probe_eng.make_planner(trn[1], epochs=1,
-                                           n_threads=cfg.sched_threads)
-            nshards = max(probe_eng.num_shards, 1)
-            steps_prof, _ = profile_planned_traffic(probe, trn[1], nshards)
-            probe.close()
-            W = min(args.autosize_warmup, len(steps_prof) // 2)
-            steady = TrafficProfile.from_steps(steps_prof[W:])
-            full = TrafficProfile.from_steps(steps_prof)
-            cfg.sched_unique_slots = full.unique_slots()
-            cfg.sched_flush_slots = full.flush_slots()
-            cfg.sched_pull_target = steady.pull_target()
-            cap_t = -(-int(np.ceil(steady.pull_target() * 1.25)) // 8) * 8
-            cfg.a2a_pull_capacity = min(steady.pull_capacity(),
-                                        max(cap_t, 8))
-            cfg.a2a_flush_capacity = steady.flush_capacity()
+            # the probe is a full host-side epoch plan: run it ONCE
+            # (process 0) and broadcast the six sizes — same
+            # plan-once-fan-out contract as BroadcastPlanner
+            sizes = np.zeros(6, np.int64)
+            if jax.process_index() == 0:
+                probe_eng = CachedEngine(cfg, table_rows=rows)
+                probe = probe_eng.make_planner(
+                    trn[1], epochs=1, n_threads=cfg.sched_threads)
+                nshards = max(probe_eng.num_shards, 1)
+                steps_prof, _ = profile_planned_traffic(probe, trn[1],
+                                                        nshards)
+                probe.close()
+                W = min(args.autosize_warmup, len(steps_prof) // 2)
+                steady = TrafficProfile.from_steps(steps_prof[W:])
+                full = TrafficProfile.from_steps(steps_prof)
+                sizes = np.array([
+                    full.unique_slots(), full.flush_slots(),
+                    steady.pull_target(),
+                    steady.hoisted_pull_capacity(),
+                    steady.flush_capacity(), W], np.int64)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils as mhu
+                sizes = np.asarray(mhu.broadcast_one_to_all(sizes))
+            (cfg.sched_unique_slots, cfg.sched_flush_slots,
+             cfg.sched_pull_target, cfg.a2a_pull_capacity,
+             cfg.a2a_flush_capacity, W) = (int(v) for v in sizes)
             # cold phase runs on a wide-capacity program (empty caches
             # pull everything); same program widths so the planner's
             # padded buffers fit both engines

@@ -46,7 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _has_checkpoint(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "manifest.json"))
+    # versioned layout: LATEST points at the newest complete save;
+    # legacy flat layout keeps manifest.json at the top level
+    return (os.path.exists(os.path.join(path, "LATEST"))
+            or os.path.exists(os.path.join(path, "manifest.json")))
 
 
 def supervise(argv=None) -> int:

@@ -101,6 +101,15 @@ class TrafficProfile:
         then be sized to ~this target instead of the max."""
         return max(int(np.ceil(self.mean_pull_bucket * headroom)), 1)
 
+    def hoisted_pull_capacity(self, align: int = 8,
+                              headroom: float = 1.25) -> int:
+        """Pull capacity when hoisting toward pull_target(): target +
+        headroom, but never worse than the max-based cap (mean-based
+        sizing only helps when buckets are bursty)."""
+        need = int(np.ceil(self.pull_target() * headroom))
+        cap_t = max(-(-need // align) * align, align)
+        return min(self.pull_capacity(align, headroom), cap_t)
+
     def unique_slots(self, align: int = 8, headroom: float = 1.15) -> int:
         """Per-worker unique-key capacity (HeraldConfig.sched_unique_slots):
         the width of every dedup/cache pass in the compiled step. Uniques

@@ -72,10 +72,19 @@ def _bounds(index, shape) -> List[Tuple[int, int]]:
 def save_checkpoint(state: Union[TrainState, CachedTrainState],
                     path: str) -> None:
     """Every process must call this (collectively); each writes only its
-    own addressable shards."""
-    os.makedirs(path, exist_ok=True)
+    own addressable shards.
+
+    Crash-safe by versioning: each save writes into <path>/v<step>/ and
+    process 0 atomically repoints <path>/LATEST only after every file
+    (barrier in multi-process runs) — a crash mid-save leaves the
+    previous complete checkpoint intact, which is exactly the window the
+    elastic supervisor restarts in (launch/supervise.py)."""
     pidx = jax.process_index()
     items, _ = _leaf_items(state)
+    step_leaf = next((leaf for k, leaf in items if k == "step"), None)
+    version = f"v{int(np.asarray(step_leaf)) if step_leaf is not None else 0}"
+    vdir = os.path.join(path, version)
+    os.makedirs(vdir, exist_ok=True)
 
     blocks: Dict[str, np.ndarray] = {}
     block_meta = []
@@ -108,18 +117,43 @@ def save_checkpoint(state: Union[TrainState, CachedTrainState],
             if pidx == 0:
                 replicated[key] = np.asarray(leaf)
 
-    np.savez(os.path.join(path, f"shards.p{pidx}.npz"), **blocks)
-    with open(os.path.join(path, f"blocks.p{pidx}.json"), "w") as f:
-        json.dump(block_meta, f)
+    def write_atomic(name, writer):
+        tmp = os.path.join(vdir, name + ".tmp")
+        writer(tmp)
+        os.replace(tmp, os.path.join(vdir, name))
+
+    write_atomic(f"shards.p{pidx}.npz",
+                 lambda t: np.savez(open(t, "wb"), **blocks))
+    write_atomic(f"blocks.p{pidx}.json",
+                 lambda t: json.dump(block_meta, open(t, "w")))
     if pidx == 0:
-        np.savez(os.path.join(path, "replicated.npz"), **replicated)
+        write_atomic("replicated.npz",
+                     lambda t: np.savez(open(t, "wb"), **replicated))
         manifest = {
             "state_type": type(state).__name__,
             "num_processes": jax.process_count(),
             "layout": layout, "shapes": shapes, "dtypes": dtypes,
         }
-        with open(os.path.join(path, "manifest.json"), "w") as f:
-            json.dump(manifest, f, indent=2)
+        write_atomic("manifest.json",
+                     lambda t: json.dump(manifest, open(t, "w"), indent=2))
+    if jax.process_count() > 1:
+        # all shard files must exist before LATEST flips
+        from jax.experimental import multihost_utils as mhu
+        mhu.sync_global_devices(f"herald_ckpt_{version}")
+    if pidx == 0:
+        tmp = os.path.join(path, "LATEST.tmp")
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, os.path.join(path, "LATEST"))
+        # keep only the live version + its predecessor (bounded disk;
+        # the predecessor guards against a torn CURRENT discovered late)
+        import shutil
+        versions = sorted(
+            (d for d in os.listdir(path)
+             if d.startswith("v") and d[1:].isdigit()),
+            key=lambda d: int(d[1:]))
+        for old in versions[:-2]:
+            shutil.rmtree(os.path.join(path, old), ignore_errors=True)
 
 
 class _BlockReader:
@@ -174,7 +208,13 @@ class _BlockReader:
 def load_checkpoint(path: str, like: Union[TrainState, CachedTrainState]
                     ) -> Union[TrainState, CachedTrainState]:
     """Load into the structure/shardings of `like` (an initialized state).
-    Every process calls this; each materializes only its own shards."""
+    Every process calls this; each materializes only its own shards.
+    Follows <path>/LATEST to the newest COMPLETE version directory
+    (legacy flat layouts load directly)."""
+    latest = os.path.join(path, "LATEST")
+    if os.path.exists(latest):
+        with open(latest) as f:
+            path = os.path.join(path, f.read().strip())
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
     assert manifest["state_type"] == type(like).__name__, (

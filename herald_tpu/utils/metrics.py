@@ -53,9 +53,17 @@ def roc_pr_curve(y_true, y_score, num_thresholds: int = 200,
         [-eps],
         (np.arange(1, num_thresholds - 1) / (num_thresholds - 1)),
         [1.0 + eps]])
-    pred_pos = y_score[None, :] > thr[:, None]        # [T, N]
-    tp = (pred_pos & y_true[None, :]).sum(axis=1).astype(np.float64)
-    fp = (pred_pos & ~y_true[None, :]).sum(axis=1).astype(np.float64)
+    # tp(t) = #positives with score > t, via one sort + searchsorted —
+    # O(N log N) time, O(N) memory (a [T, N] comparison matrix would be
+    # ~1 GB at Criteo validation scale)
+    pos_scores = np.sort(y_score[y_true])
+    neg_scores = np.sort(y_score[~y_true])
+    tp = (len(pos_scores)
+          - np.searchsorted(pos_scores, thr, side="right")).astype(
+        np.float64)
+    fp = (len(neg_scores)
+          - np.searchsorted(neg_scores, thr, side="right")).astype(
+        np.float64)
     n_pos = float(y_true.sum())
     n_neg = float(len(y_true) - n_pos)
     fn = n_pos - tp
