@@ -176,6 +176,12 @@ def load_dataset(
         dn, sn, ln = _NPY_LAYOUT[spec.name]
         files = [os.path.join(path, f) for f in (dn, sn, ln)]
         if all(os.path.exists(f) for f in files):
+            # memory-mapped: the preprocessing pipeline writes the exact
+            # dtypes consumed here (f32/i64/f32), so np.asarray is a
+            # zero-copy view over the mapping. Multi-host runs "replicate"
+            # the dataset only as shared page-cache pages of the touched
+            # batches, not N RAM copies (docs/deviations.md: dataset
+            # placement decision).
             dense = np.load(files[0], mmap_mode="r")
             sparse = np.load(files[1], mmap_mode="r")
             labels = np.load(files[2], mmap_mode="r").reshape(-1, 1)

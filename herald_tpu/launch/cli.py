@@ -32,6 +32,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="herald_tpu.launch",
         description="TPU-native embedding-model trainer (Herald rebuild)")
+    p.add_argument("--config", default=None,
+                   help="JSON HeraldConfig file (HeraldConfig.to_json "
+                        "output) — the reference's yaml config-file "
+                        "mechanism re-expressed; explicit flags override "
+                        "individual fields")
+    p.add_argument("--save-config", default=None,
+                   help="write the resolved HeraldConfig JSON here and "
+                        "continue (pair with --config to reproduce runs)")
     p.add_argument("--model", default="wdl_criteo")
     p.add_argument("--comm", default="local", choices=["local", "hybrid"],
                    help="local: single chip; hybrid: row-sharded table + "
@@ -158,17 +166,49 @@ def run_training(args) -> dict:
     from herald_tpu.train.checkpoint import load_checkpoint, save_checkpoint
     from herald_tpu.utils.profiler import StepTimer, cache_report
 
-    cfg = HeraldConfig(
-        model=args.model, batch_size=args.batch_size,
-        embedding_dim=args.embedding_size, comm_mode=args.comm,
-        optimizer=args.opt, learning_rate=args.lr,
-        cache_limit_ratio=args.cache_limit_ratio, seed=args.seed,
-        use_cache=args.scheduled, use_scheduler=args.scheduled,
-        pinned_rows=args.pinned_rows if args.scheduled else 0,
-        staleness_bound=args.bound,
-        a2a_capacity_factor=args.a2a_capacity_factor,
-        prefetch=not args.no_prefetch,
-        table_dtype=jnp.bfloat16 if args.bf16_table else np.float32)
+    if args.config:
+        # config-file mechanism (reference yaml analog): the JSON is the
+        # base; flags explicitly set on the command line override their
+        # fields (detected by differing from the parser default — passing
+        # a flag AT its default while the file differs keeps the file's
+        # value, documented behavior)
+        with open(args.config) as f:
+            cfg = HeraldConfig.from_json(f.read())
+        dflt = build_parser().parse_args([])
+        for ak, ck in [("model", "model"), ("batch_size", "batch_size"),
+                       ("embedding_size", "embedding_dim"),
+                       ("comm", "comm_mode"), ("opt", "optimizer"),
+                       ("lr", "learning_rate"),
+                       ("cache_limit_ratio", "cache_limit_ratio"),
+                       ("seed", "seed"), ("bound", "staleness_bound"),
+                       ("a2a_capacity_factor", "a2a_capacity_factor")]:
+            if getattr(args, ak) != getattr(dflt, ak):
+                setattr(cfg, ck, getattr(args, ak))
+        if args.scheduled:
+            cfg.use_cache = cfg.use_scheduler = True
+        if args.pinned_rows:
+            cfg.pinned_rows = args.pinned_rows
+        if args.no_prefetch:
+            cfg.prefetch = False
+        if args.bf16_table:
+            cfg.table_dtype = jnp.bfloat16
+        # branch selection below keys off args.scheduled
+        args.scheduled = bool(cfg.use_scheduler and cfg.use_cache)
+    else:
+        cfg = HeraldConfig(
+            model=args.model, batch_size=args.batch_size,
+            embedding_dim=args.embedding_size, comm_mode=args.comm,
+            optimizer=args.opt, learning_rate=args.lr,
+            cache_limit_ratio=args.cache_limit_ratio, seed=args.seed,
+            use_cache=args.scheduled, use_scheduler=args.scheduled,
+            pinned_rows=args.pinned_rows if args.scheduled else 0,
+            staleness_bound=args.bound,
+            a2a_capacity_factor=args.a2a_capacity_factor,
+            prefetch=not args.no_prefetch,
+            table_dtype=jnp.bfloat16 if args.bf16_table else np.float32)
+    if args.save_config:
+        with open(args.save_config, "w") as f:
+            f.write(cfg.to_json())
     model = get_model(cfg.model)
     spec = dataset_for_model(cfg.model)
     if args.preprocess_raw:

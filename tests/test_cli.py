@@ -57,3 +57,27 @@ def test_cli_autosize_matches_default_scheduled():
     assert auto["overflow_rows"] == 0
     assert auto["steps"] == plain["steps"]
     assert auto["val_auc"] == pytest.approx(plain["val_auc"], abs=1e-12)
+
+
+def test_cli_config_file_roundtrip(tmp_path):
+    """--save-config / --config reproduce a run from a JSON config file
+    (the reference's yaml config-file mechanism re-expressed); explicit
+    flags override individual fields."""
+    common = ["--model", "wdl_criteo", "--comm", "local",
+              "--batch-size", "16", "--samples", "1024", "--rows", "800",
+              "--lr", "0.5", "--nepoch", "1", "--scan-steps", "4",
+              "--val-ratio", "0.25", "--seed", "6"]
+    cfgf = str(tmp_path / "run.json")
+    first = run_training(build_parser().parse_args(
+        common + ["--save-config", cfgf]))
+    again = run_training(build_parser().parse_args(
+        ["--config", cfgf, "--samples", "1024", "--rows", "800",
+         "--nepoch", "1", "--scan-steps", "4", "--val-ratio", "0.25"]))
+    assert again["val_auc"] == first["val_auc"]
+    # explicit flag overrides the file's field
+    import json as _json
+    bumped = run_training(build_parser().parse_args(
+        ["--config", cfgf, "--lr", "0.9", "--samples", "1024",
+         "--rows", "800", "--nepoch", "1", "--scan-steps", "4",
+         "--val-ratio", "0.25"]))
+    assert bumped["val_auc"] != first["val_auc"]
