@@ -250,18 +250,24 @@ class CachedEngine(Engine):
             pulled = table.at[safe].get(mode="fill", fill_value=0)
             overflow = jnp.zeros((), jnp.int32)
 
-        # phase 3: insert pulled + prefetched rows (non-pulled -> OOB)
+        # phase 3: insert PREFETCHED rows only — batch-key inserts are
+        # fused into the phase-5 update write below (the forward selects
+        # pulled vs resident values directly, saving one full-width
+        # scatter pass per step)
         cache_data = state.cache_data
-        write_slots = jnp.concatenate([
-            jnp.where(pulls & (uniq >= 0), slots, C + 1),
-            jnp.where(pf_ids >= 0, pf_slots, C + 1)])
-        cache_data = cache_data.at[write_slots].set(
-            pulled.astype(cache_data.dtype), mode="drop")
+        pf_write = jnp.where(pf_ids >= 0, pf_slots, C + 1)
+        cache_data = cache_data.at[pf_write].set(
+            pulled[self.U_cap:].astype(cache_data.dtype), mode="drop")
 
-        # phase 4: forward from cache; pinned rows read from the local
-        # replica of the hot block (their planner slots are the OOB
-        # sentinel, so the cache read contributes zeros there)
-        emb_uniq = cache_data.at[slots].get(mode="fill", fill_value=0)
+        # phase 4: forward — pulled keys read the fresh wire rows, the
+        # rest read their resident cache slots (equivalent to inserting
+        # first, without the insert scatter); pinned rows read from the
+        # local replica of the hot block (their planner slots are the
+        # OOB sentinel, so the cache read contributes zeros there)
+        resident = cache_data.at[slots].get(mode="fill", fill_value=0)
+        emb_uniq = jnp.where((pulls & (uniq >= 0))[:, None],
+                             pulled[: self.U_cap].astype(resident.dtype),
+                             resident)
         if self.pinned_rows:
             Pr = self.pinned_rows
             pinned_mask = (uniq >= 0) & (uniq < Pr)
@@ -288,14 +294,21 @@ class CachedEngine(Engine):
             state.dense, dgrads, state.dense_slots, step,
             lr=self._lr_fn(step))
 
-        # phase 5: local optimistic update + delta accumulation
+        # phase 5: local optimistic update + delta accumulation. The
+        # batch keys' cache write happens HERE, once: updated value =
+        # (pulled-or-resident forward value) - lr*grad — identical to
+        # insert-then-add, one scatter cheaper. Pinned keys keep slot C
+        # (OOB, dropped); their grads ride the hot-tier path below.
         g_uniq = jax.ops.segment_sum(
             emb_grad.reshape(-1, self.width), inv.reshape(-1),
             num_segments=self.U_cap)
         upd_slots = jnp.where(uniq >= 0, slots, C + 1)
         lr = self._elr_fn(step)
-        cache_data = cache_data.at[upd_slots].add(
-            (-lr * g_uniq).astype(cache_data.dtype), mode="drop")
+        # pinned keys carry slot C (OOB) — their write drops here and
+        # their grads ride the hot-tier path below
+        cache_data = cache_data.at[upd_slots].set(
+            (emb_uniq.astype(jnp.float32)
+             - lr * g_uniq).astype(cache_data.dtype), mode="drop")
         cache_delta = cache_delta.at[upd_slots].add(
             g_uniq.astype(cache_delta.dtype), mode="drop")
 
