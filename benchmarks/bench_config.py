@@ -31,6 +31,39 @@ from herald_tpu.models import get_model
 from herald_tpu.train.engine import Engine
 
 
+def bench_scheduled(args, cfg, model):
+    """Cache-path variant (probe-sized, mirrors bench.py scheduled)."""
+    from herald_tpu.sched.sizing import (TrafficProfile,
+                                         profile_planned_traffic)
+    from herald_tpu.train.cached import CachedEngine
+    cfg.use_cache = cfg.use_scheduler = True
+    cfg.cache_limit_ratio = 0.1
+    K = args.iters
+    dense, sparse, labels = synthetic_ctr_data(
+        model.spec, args.batch_size * K, seed=0, num_rows=args.rows)
+    dense = dense.astype(np.float32)
+    labels = labels.astype(np.float32)
+    sparse32 = sparse.astype(np.int32)
+    probe_eng = CachedEngine(cfg, table_rows=args.rows)
+    probe = probe_eng.make_planner(sparse, epochs=1)
+    steps_prof, _ = profile_planned_traffic(probe, sparse, 1)
+    probe.close()
+    prof = TrafficProfile.from_steps(steps_prof)
+    cfg.sched_flush_slots = prof.flush_slots()
+    cfg.sched_unique_slots = prof.unique_slots()
+    eng = CachedEngine(cfg, table_rows=args.rows)
+    planner = eng.make_planner(sparse, epochs=3)
+    state = eng.init_cached_state(0)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, stats = eng.train_epoch_cached(state, planner, dense,
+                                              sparse32, labels, steps=K)
+        float(np.asarray(stats["loss"])[-1])
+        times.append(time.perf_counter() - t0)
+    return args.batch_size * K / min(times[1:])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="dfm_criteo")
@@ -38,12 +71,24 @@ def main():
     ap.add_argument("--embedding-size", type=int, default=512)
     ap.add_argument("--rows", type=int, default=5_000_000)
     ap.add_argument("--iters", type=int, default=64)
+    ap.add_argument("--scheduled", action="store_true",
+                    help="measure the cache path (planner micro-programs) "
+                         "instead of the plain engine")
     args = ap.parse_args()
 
     cfg = HeraldConfig(model=args.model, batch_size=args.batch_size,
                        embedding_dim=args.embedding_size,
                        comm_mode="local", table_dtype=jnp.bfloat16)
     model = get_model(cfg.model)
+    if args.scheduled:
+        eps = bench_scheduled(args, cfg, model)
+        print(json.dumps({
+            "metric": f"{args.model}_b{args.batch_size}"
+                      f"_e{args.embedding_size}_scheduled_eps_per_chip",
+            "value": round(eps, 1), "unit": "examples/s",
+            "rows": args.rows,
+        }))
+        return
     eng = Engine(cfg, table_rows=args.rows)
     state = eng.init_state(0)
     K = args.iters

@@ -125,7 +125,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "produces a resumable mid-run checkpoint (the "
                         "scheduled path skips the final cache sync — the "
                         "unflushed deltas are part of the checkpoint)")
-    p.add_argument("--log-dir", default=None, help="jax profiler trace dir")
+    p.add_argument("--log-dir", default=None,
+                   help="write run artifacts here: report.json, per-step "
+                        "losses.npy, and a jax profiler trace of the "
+                        "training loop (reference analog: run_laia.py's "
+                        "per-iteration/epoch log files)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first")
     p.add_argument("--bf16-table", action="store_true")
@@ -135,6 +139,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "for a virtual mesh). Set via jax.config because "
                         "some environments pin JAX_PLATFORMS.")
     return p
+
+
+def _dump_logs(args, report, losses) -> None:
+    """Run artifacts (reference run scripts log per-iteration times and
+    epoch stats to files, run_laia.py:70-81,290-297)."""
+    if not args.log_dir:
+        return
+    import os
+    os.makedirs(args.log_dir, exist_ok=True)
+    np.save(os.path.join(args.log_dir, "losses.npy"),
+            np.asarray(losses, np.float32))
+    with open(os.path.join(args.log_dir, "report.json"), "w") as f:
+        json.dump(report, f, indent=2, default=float)
 
 
 def _fail_on_overflow(total: int) -> None:
@@ -232,6 +249,10 @@ def run_training(args) -> dict:
 
     timer = StepTimer()
     t_start = time.perf_counter()
+    if args.log_dir:
+        import os
+        os.makedirs(args.log_dir, exist_ok=True)
+        jax.profiler.start_trace(args.log_dir)
 
     use_fae = args.fae or model.train_engine == "fae"
     if use_fae:
@@ -254,6 +275,8 @@ def run_training(args) -> dict:
                 overflow_total += int(np.asarray(stats["overflow"]).sum())
         _fail_on_overflow(overflow_total)
         train_time = time.perf_counter() - t_start
+        if args.log_dir:
+            jax.profiler.stop_trace()
         res = eng.evaluate_fae(state, lut, *val)
         report = {
             "model": cfg.model, "mode": "fae", "comm": cfg.comm_mode,
@@ -265,6 +288,7 @@ def run_training(args) -> dict:
             "num_hot": eng.num_hot,
             "timing": timer.report(),
         }
+        _dump_logs(args, report, losses)
         return report
 
     last_ckpt = [0]
@@ -489,6 +513,8 @@ def run_training(args) -> dict:
         extra = {}
 
     train_time = time.perf_counter() - t_start
+    if args.log_dir:
+        jax.profiler.stop_trace()
     _fail_on_overflow(overflow_total)
     # an early-stopped scheduled run holds unflushed deltas (resumable
     # state, not an evaluable one) — skip eval instead of warning
@@ -514,6 +540,7 @@ def run_training(args) -> dict:
         "timing": timer.report(),
         **extra,
     }
+    _dump_logs(args, report, losses)
     return report
 
 
