@@ -84,6 +84,13 @@ class HeraldConfig:
     sched_pull_target: Optional[int] = None
     sched_hoist_window: int = 8
     sched_prefetch_slots: Optional[int] = None
+    # flush gradient-delta wire dtype (cached mode). None = the delta
+    # dtype (f32, exact). jnp.bfloat16 halves the flush all-to-all bytes;
+    # accumulation at the owner stays f32, so only the per-row delta is
+    # quantized once per flush — the standard DLRM-style gradient
+    # compression trade (opt-in: breaks bit-exactness vs the plain
+    # engine, bounded relative error per flush).
+    flush_wire_dtype: Any = None
     # Pallas DMA gather kernel for embedding lookups (ops/pallas/kernels).
     # Measured on v5e (docs/PERF_NOTES.md): per-row DMA is issue-rate-bound
     # (~100 ns/descriptor) and LOSES to XLA's gather (~680 us vs ~154 us at
@@ -142,6 +149,9 @@ class HeraldConfig:
         d = dataclasses.asdict(self)
         d["dtype"] = np.dtype(self.dtype).name
         d["table_dtype"] = np.dtype(self.table_dtype).name
+        d["flush_wire_dtype"] = (np.dtype(self.flush_wire_dtype).name
+                                 if self.flush_wire_dtype is not None
+                                 else None)
         return json.dumps(d, indent=2)
 
     @classmethod
@@ -149,4 +159,6 @@ class HeraldConfig:
         d = json.loads(s)
         d["dtype"] = np.dtype(d["dtype"]).type
         d["table_dtype"] = np.dtype(d["table_dtype"]).type
+        if d.get("flush_wire_dtype"):
+            d["flush_wire_dtype"] = np.dtype(d["flush_wire_dtype"]).type
         return cls(**d)

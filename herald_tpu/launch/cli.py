@@ -133,6 +133,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first")
     p.add_argument("--bf16-table", action="store_true")
+    p.add_argument("--bf16-flush", action="store_true",
+                   help="scheduled mode: compress flush gradient deltas "
+                        "to bf16 on the wire (halves flush all-to-all "
+                        "bytes; owner-side accumulation stays f32 — one "
+                        "quantization per flush)")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. 'cpu'; combine with "
                         "XLA_FLAGS=--xla_force_host_platform_device_count=N "
@@ -209,6 +214,8 @@ def run_training(args) -> dict:
             cfg.prefetch = False
         if args.bf16_table:
             cfg.table_dtype = jnp.bfloat16
+        if args.bf16_flush:
+            cfg.flush_wire_dtype = jnp.bfloat16
         # branch selection below keys off args.scheduled
         args.scheduled = bool(cfg.use_scheduler and cfg.use_cache)
     else:
@@ -222,6 +229,7 @@ def run_training(args) -> dict:
             staleness_bound=args.bound,
             a2a_capacity_factor=args.a2a_capacity_factor,
             prefetch=not args.no_prefetch,
+            flush_wire_dtype=jnp.bfloat16 if args.bf16_flush else None,
             table_dtype=jnp.bfloat16 if args.bf16_table else np.float32)
     if args.save_config:
         with open(args.save_config, "w") as f:

@@ -177,6 +177,8 @@ def scatter_grads(
     route: Route,
     grad_uniq: jnp.ndarray,     # [U, D] summed grads per unique id
     counts_uniq: Optional[jnp.ndarray] = None,  # [U] dup counts per id
+    wire_dtype=None,            # e.g. jnp.bfloat16: compress grads on the
+                                # wire; accumulation stays in grad dtype
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
     """Reverse path: send grads to owner shards, dedup and sum locally.
 
@@ -189,9 +191,11 @@ def scatter_grads(
     """
     S, C = spec.num_shards, spec.capacity
     D = grad_uniq.shape[-1]
-    send = jnp.zeros((S * C, D), grad_uniq.dtype)
-    send = send.at[route.pos].set(grad_uniq, mode="drop")
-    recv = _all_to_all(spec, send.reshape(S, C, D)).reshape(S * C, D)
+    wd = wire_dtype or grad_uniq.dtype
+    send = jnp.zeros((S * C, D), wd)
+    send = send.at[route.pos].set(grad_uniq.astype(wd), mode="drop")
+    recv = _all_to_all(spec, send.reshape(S, C, D)).reshape(
+        S * C, D).astype(grad_uniq.dtype)
 
     flat_ids = route.recv_ids.reshape(-1)
     local = jnp.where(flat_ids >= 0, flat_ids // S, spec.rows_per_shard)

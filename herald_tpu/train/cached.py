@@ -188,7 +188,8 @@ class CachedEngine(Engine):
             route = ex.route_ids(self.flush_exchange, flush_ids,
                                  flush_ids >= 0)
             rows_idx, row_grads, _, row_mask = ex.scatter_grads(
-                self.flush_exchange, route, deltas)
+                self.flush_exchange, route, deltas,
+                wire_dtype=self.cfg.flush_wire_dtype)
             # the planner guarantees per-owner flush counts fit the
             # exchange capacity; surface any violation instead of silently
             # dropping deltas

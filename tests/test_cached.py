@@ -231,3 +231,38 @@ def test_steady_state_traffic_is_update_dominated():
     update_traffic = steady["update_pull"] + steady["update_push"]
     miss_traffic = steady["miss_pull"] + steady["miss_push"]
     assert update_traffic > miss_traffic, steady
+
+
+def test_bf16_flush_wire_close_to_exact():
+    """Compressed flush (bf16 deltas on the wire, f32 accumulation):
+    per-flush quantization only — the final table stays close to the
+    exact-f32-flush run and the plain engine."""
+    import jax
+    import jax.numpy as jnp
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    model = get_model("wdl_criteo")
+    n = 8 * 8 * 10
+    dense, sparse, labels = synthetic_ctr_data(model.spec, n, seed=13,
+                                               num_rows=ROWS)
+
+    def run(wire):
+        cfg = HeraldConfig(model="wdl_criteo", batch_size=8,
+                           embedding_dim=8, comm_mode="hybrid",
+                           learning_rate=0.5, cache_limit_ratio=0.5,
+                           flush_wire_dtype=wire)
+        eng = CachedEngine(cfg, table_rows=ROWS)
+        pl = eng.make_planner(sparse, epochs=1, n_threads=1)
+        st = eng.init_cached_state(0)
+        st, stats = eng.train_epoch_cached(st, pl, dense, sparse, labels,
+                                           steps=10)
+        assert int(np.asarray(stats["overflow"]).sum()) == 0
+        st = eng.sync_cache(st, pl)
+        pl.close()
+        return np.asarray(st.table, np.float32)
+
+    exact = run(None)
+    compressed = run(jnp.bfloat16)
+    # bf16 has ~3 decimal digits; deltas are O(lr*grad) ~ 1e-2
+    err = np.abs(exact - compressed).max()
+    assert 0 < err < 5e-3, err   # differs (compression real), but tightly
