@@ -146,6 +146,66 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def resolve_config(args) -> "HeraldConfig":
+    """Build the run's HeraldConfig from a JSON file and/or flags
+    (extracted for direct testing of the override rules)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from herald_tpu import HeraldConfig
+    if args.config:
+        # config-file mechanism (reference yaml analog): the JSON is the
+        # base; flags explicitly set on the command line override their
+        # fields (detected by differing from the parser default — passing
+        # a flag AT its default while the file differs keeps the file's
+        # value, documented behavior)
+        with open(args.config) as f:
+            cfg = HeraldConfig.from_json(f.read())
+        dflt = build_parser().parse_args([])
+        for ak, ck in [("model", "model"), ("batch_size", "batch_size"),
+                       ("embedding_size", "embedding_dim"),
+                       ("comm", "comm_mode"), ("opt", "optimizer"),
+                       ("lr", "learning_rate"),
+                       ("cache_limit_ratio", "cache_limit_ratio"),
+                       ("seed", "seed"), ("bound", "staleness_bound"),
+                       ("pinned_rows", "pinned_rows"),
+                       ("a2a_capacity_factor", "a2a_capacity_factor")]:
+            if getattr(args, ak) != getattr(dflt, ak):
+                setattr(cfg, ck, getattr(args, ak))
+        # the JSON stores the POST-resolved embed fields; a CLI override
+        # of lr/opt must re-resolve them (the flag path gets this from
+        # __post_init__)
+        if args.lr != dflt.lr:
+            cfg.embed_learning_rate = args.lr
+        if args.opt != dflt.opt:
+            cfg.embed_optimizer = args.opt
+        if args.scheduled:
+            cfg.use_cache = cfg.use_scheduler = True
+        if not (cfg.use_scheduler and cfg.use_cache):
+            cfg.pinned_rows = 0     # same gate as the flag path
+        if args.no_prefetch:
+            cfg.prefetch = False
+        if args.bf16_table:
+            cfg.table_dtype = jnp.bfloat16
+        if args.bf16_flush:
+            cfg.flush_wire_dtype = jnp.bfloat16
+        # branch selection below keys off args.scheduled
+        args.scheduled = bool(cfg.use_scheduler and cfg.use_cache)
+    else:
+        cfg = HeraldConfig(
+            model=args.model, batch_size=args.batch_size,
+            embedding_dim=args.embedding_size, comm_mode=args.comm,
+            optimizer=args.opt, learning_rate=args.lr,
+            cache_limit_ratio=args.cache_limit_ratio, seed=args.seed,
+            use_cache=args.scheduled, use_scheduler=args.scheduled,
+            pinned_rows=args.pinned_rows if args.scheduled else 0,
+            staleness_bound=args.bound,
+            a2a_capacity_factor=args.a2a_capacity_factor,
+            prefetch=not args.no_prefetch,
+            flush_wire_dtype=jnp.bfloat16 if args.bf16_flush else None,
+            table_dtype=jnp.bfloat16 if args.bf16_table else np.float32)
+    return cfg
+
+
 def _dump_logs(args, report, losses) -> None:
     """Run artifacts (reference run scripts log per-iteration times and
     epoch stats to files, run_laia.py:70-81,290-297)."""
@@ -188,49 +248,7 @@ def run_training(args) -> dict:
     from herald_tpu.train.checkpoint import load_checkpoint, save_checkpoint
     from herald_tpu.utils.profiler import StepTimer, cache_report
 
-    if args.config:
-        # config-file mechanism (reference yaml analog): the JSON is the
-        # base; flags explicitly set on the command line override their
-        # fields (detected by differing from the parser default — passing
-        # a flag AT its default while the file differs keeps the file's
-        # value, documented behavior)
-        with open(args.config) as f:
-            cfg = HeraldConfig.from_json(f.read())
-        dflt = build_parser().parse_args([])
-        for ak, ck in [("model", "model"), ("batch_size", "batch_size"),
-                       ("embedding_size", "embedding_dim"),
-                       ("comm", "comm_mode"), ("opt", "optimizer"),
-                       ("lr", "learning_rate"),
-                       ("cache_limit_ratio", "cache_limit_ratio"),
-                       ("seed", "seed"), ("bound", "staleness_bound"),
-                       ("a2a_capacity_factor", "a2a_capacity_factor")]:
-            if getattr(args, ak) != getattr(dflt, ak):
-                setattr(cfg, ck, getattr(args, ak))
-        if args.scheduled:
-            cfg.use_cache = cfg.use_scheduler = True
-        if args.pinned_rows:
-            cfg.pinned_rows = args.pinned_rows
-        if args.no_prefetch:
-            cfg.prefetch = False
-        if args.bf16_table:
-            cfg.table_dtype = jnp.bfloat16
-        if args.bf16_flush:
-            cfg.flush_wire_dtype = jnp.bfloat16
-        # branch selection below keys off args.scheduled
-        args.scheduled = bool(cfg.use_scheduler and cfg.use_cache)
-    else:
-        cfg = HeraldConfig(
-            model=args.model, batch_size=args.batch_size,
-            embedding_dim=args.embedding_size, comm_mode=args.comm,
-            optimizer=args.opt, learning_rate=args.lr,
-            cache_limit_ratio=args.cache_limit_ratio, seed=args.seed,
-            use_cache=args.scheduled, use_scheduler=args.scheduled,
-            pinned_rows=args.pinned_rows if args.scheduled else 0,
-            staleness_bound=args.bound,
-            a2a_capacity_factor=args.a2a_capacity_factor,
-            prefetch=not args.no_prefetch,
-            flush_wire_dtype=jnp.bfloat16 if args.bf16_flush else None,
-            table_dtype=jnp.bfloat16 if args.bf16_table else np.float32)
+    cfg = resolve_config(args)
     if args.save_config:
         with open(args.save_config, "w") as f:
             f.write(cfg.to_json())
@@ -281,10 +299,10 @@ def run_training(args) -> dict:
                         trn[1][lo:lo + gb], trn[2][lo:lo + gb])
                 losses.append(float(stats["loss"]))
                 overflow_total += int(np.asarray(stats["overflow"]).sum())
-        _fail_on_overflow(overflow_total)
         train_time = time.perf_counter() - t_start
         if args.log_dir:
-            jax.profiler.stop_trace()
+            jax.profiler.stop_trace()   # finalize the trace even when
+        _fail_on_overflow(overflow_total)  # the overflow abort fires
         res = eng.evaluate_fae(state, lut, *val)
         report = {
             "model": cfg.model, "mode": "fae", "comm": cfg.comm_mode,

@@ -46,7 +46,10 @@ def _leaf_items(state):
     flat, treedef = jax.tree_util.tree_flatten_with_path(state)
     items = []
     for path, leaf in flat:
-        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+        # GetAttrKey carries .name, DictKey .key, SequenceKey .idx
+        key = "/".join(str(getattr(p, "name",
+                                   getattr(p, "key",
+                                           getattr(p, "idx", p))))
                        for p in path)
         items.append((key, leaf))
     return items, treedef
@@ -81,8 +84,10 @@ def save_checkpoint(state: Union[TrainState, CachedTrainState],
     elastic supervisor restarts in (launch/supervise.py)."""
     pidx = jax.process_index()
     items, _ = _leaf_items(state)
-    step_leaf = next((leaf for k, leaf in items if k == "step"), None)
-    version = f"v{int(np.asarray(step_leaf)) if step_leaf is not None else 0}"
+    step_leaf = next((leaf for k, leaf in items
+                      if k.lstrip(".") == "step"), None)
+    assert step_leaf is not None, "state has no step counter"
+    version = f"v{int(np.asarray(step_leaf))}"
     vdir = os.path.join(path, version)
     os.makedirs(vdir, exist_ok=True)
 

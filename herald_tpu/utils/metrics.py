@@ -55,9 +55,13 @@ def roc_pr_curve(y_true, y_score, num_thresholds: int = 200,
         [1.0 + eps]])
     # tp(t) = #positives with score > t, via one sort + searchsorted —
     # O(N log N) time, O(N) memory (a [T, N] comparison matrix would be
-    # ~1 GB at Criteo validation scale)
-    pos_scores = np.sort(y_score[y_true])
-    neg_scores = np.sort(y_score[~y_true])
+    # ~1 GB at Criteo validation scale). NaN scores compare False against
+    # every threshold (predicted negative), matching the elementwise
+    # formulation — sorted NaNs land at the tail and would otherwise be
+    # counted positive, so drop them from the score arrays (they still
+    # count in n_pos/n_neg -> fn/tn, as before).
+    pos_scores = np.sort(y_score[y_true & np.isfinite(y_score)])
+    neg_scores = np.sort(y_score[~y_true & np.isfinite(y_score)])
     tp = (len(pos_scores)
           - np.searchsorted(pos_scores, thr, side="right")).astype(
         np.float64)

