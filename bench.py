@@ -20,9 +20,8 @@ import time
 
 import jax
 
-# persistent compile cache: the benchmark spawns one subprocess per
-# measurement (HBM isolation), and each would otherwise recompile the
-# same programs (~1-2 min each through the remote-compile tunnel)
+# persistent compile cache: first compile goes through the remote
+# tunnel (~1-2 min); later invocations (and the driver's rounds) reuse it
 jax.config.update("jax_compilation_cache_dir", "/tmp/herald_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -39,6 +38,25 @@ EMB_DIM = 128
 ROWS = DATASETS["criteo"].num_embed_rows    # 33,762,577 (wdl_criteo.py:9)
 WARMUP = 5
 ITERS = 256
+
+
+def _free(*objs):
+    """Synchronously release device buffers (jax.Array.delete) so the
+    next measurement starts with clean HBM — measurements now share ONE
+    process (subprocess-per-measurement left the remote terminal draining
+    a killed/exited client for minutes and wedged retries)."""
+    import gc
+    for o in objs:
+        for leaf in jax.tree.leaves(o):
+            if isinstance(leaf, jax.Array):
+                try:
+                    leaf.delete()
+                except Exception:
+                    pass
+    gc.collect()
+    time.sleep(15)   # let the remote terminal settle before the next
+    # measurement allocates its table (fairness: a neighbour mid-drain
+    # can slow the next stage by ~2x in either direction)
 
 
 def _host_batches(model, n_batches, seed=0):
@@ -86,7 +104,9 @@ def bench_engine():
         # block_until_ready before execution fully drains)
         float(np.asarray(stats["loss"])[-1])
         times.append(time.perf_counter() - t0)
-    return BATCH * ITERS / float(np.median(times))
+    eps = BATCH * ITERS / float(np.median(times))
+    _free(state, stats, chunk0, chunk1)
+    return eps
 
 
 def bench_scheduled():
@@ -137,7 +157,10 @@ def bench_scheduled():
         float(np.asarray(stats["loss"])[-1])
         times.append(time.perf_counter() - t0)
     # epoch 1 includes compile; best of the rest
-    return BATCH * ITERS / min(times[1:])
+    eps = BATCH * ITERS / min(times[1:])
+    planner.close()
+    _free(state, stats)
+    return eps
 
 
 def bench_naive():
@@ -187,17 +210,17 @@ def bench_naive():
         table, dense_params, loss = step(table, dense_params, d, s, y)
     float(np.asarray(loss))   # value readback (see bench_engine note)
     dt = time.perf_counter() - t0
-    return BATCH * ITERS / dt
+    eps = BATCH * ITERS / dt
+    _free(table, dense_params, loss, staged)
+    return eps
 
 
 def main():
-    # Each measurement runs in its own process: both paths need an 8.6GB
-    # table and the remote runtime releases HBM lazily, so sharing one
-    # process OOMs. Chip state (lazy HBM release from the predecessor)
-    # perturbs whichever process runs after another by up to ~20%, in
-    # either direction — so each side is measured twice in alternating
-    # order with a settle gap, and the ratio compares BEST vs BEST
-    # (peak throughput of each implementation, interference excluded).
+    # All measurements run IN-PROCESS: each bench fn explicitly frees its
+    # device buffers (jax.Array.delete) before returning, so the 8.6 GB
+    # tables never coexist. (The previous subprocess-per-measurement
+    # design left the remote TPU terminal draining dead clients for
+    # minutes; killed/retried subprocesses wedged it further.)
     import os
     import subprocess
     import sys
@@ -205,52 +228,47 @@ def main():
     def log(msg):
         print(msg, file=sys.stderr, flush=True)
 
-    def run(mode, timeout=180):
+    t_bench0 = time.perf_counter()
+    deadline = float(os.environ.get("HERALD_BENCH_DEADLINE_S", 480))
+
+    def time_left():
+        return deadline - (time.perf_counter() - t_bench0)
+
+    fns = {"engine": bench_engine, "naive": bench_naive,
+           "scheduled": bench_scheduled}
+    naives, engines, errors = [], [], []
+    acc = {"engine": engines, "naive": naives}
+    # alternating fairness rounds; later rounds are skippable on deadline
+    for i, mode in enumerate(("engine", "naive", "naive", "engine")):
+        if i >= 2 and time_left() < 120:
+            log("[bench] skipping second fairness round (deadline)")
+            break
         log(f"[bench] {mode} ...")
         t0 = time.perf_counter()
-        # healthy runs take 15-35s each (persistent compile cache); the
-        # remote-TPU tunnel occasionally hangs a fresh process right
-        # after its predecessor exits — time out fast and retry rather
-        # than stall the driver's capture
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), mode],
-            capture_output=True, text=True, check=True, timeout=timeout)
-        log(f"[bench] {mode} done in {time.perf_counter() - t0:.0f}s")
-        time.sleep(20)   # let the terminal release HBM
-        return float(out.stdout.strip().splitlines()[-1])
-
-    def run_retry(mode):
         try:
-            return run(mode)
-        except Exception:
-            return run(mode)
+            acc[mode].append(fns[mode]())
+            log(f"[bench] {mode} done in {time.perf_counter() - t0:.0f}s")
+        except Exception as e:
+            errors.append(f"{mode}: {str(e)[:80]}")
+            log(f"[bench] {mode} FAILED: {e}")
+    ours = max(engines) if engines else None
+    naive = max(naives) if naives else None
 
-    naives, engines = [], []
-    for first in (True, False):
-        if first:
-            naives.append(run_retry("naive"))
-            engines.append(run_retry("engine"))
-        else:
-            engines.append(run_retry("engine"))
-            naives.append(run_retry("naive"))
-    ours = max(engines)
-    naive = max(naives)
-    # the cache-path measurement is secondary — a flaky remote-TPU tunnel
-    # (rare hangs after heavy HBM churn) must not lose the headline
-    try:
-        sched = run("scheduled")
-    except Exception:
+    # the cache-path measurement is secondary
+    sched = None
+    if time_left() > 90:
+        log("[bench] scheduled ...")
         try:
-            sched = run("scheduled")   # one retry
-        except Exception:
-            sched = None
+            sched = bench_scheduled()
+            log("[bench] scheduled done")
+        except Exception as e:
+            errors.append(f"scheduled: {str(e)[:80]}")
 
-    # multi-chip communication A/B on the 8-device virtual mesh (bytes are
-    # read from the compiled HLO — deterministic; the overflow/correctness
-    # certification lives in tests/test_traffic_hlo.py). The CPU subprocess
-    # doesn't touch the chip.
-    mesh = {}
-    try:
+    # multi-chip communication A/B on the 8-device virtual mesh (bytes
+    # read from the compiled HLO — deterministic; overflow/correctness
+    # certification lives in tests/test_traffic_hlo.py). CPU subprocess;
+    # does not touch the chip.
+    def run_mesh_ab():
         ab = subprocess.run(
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -261,26 +279,38 @@ def main():
         base = next(l for l in lines if l.get("mode") == "baseline")
         schd = next(l for l in lines if l.get("mode") == "scheduled")
         summ = next(l for l in lines if "summary" in l)
-        mesh = {
+        return {
             "mesh_a2a_bytes_baseline": base["a2a_bytes_per_step"],
             "mesh_a2a_bytes_scheduled": schd["a2a_bytes_per_step"],
             "mesh_a2a_reduction": summ["a2a_bytes_reduction"],
             "mesh_total_collective_reduction":
                 summ["total_collective_bytes_reduction"],
+            "mesh_projected_bf16_a2a_reduction":
+                summ.get("projected_bf16_a2a_reduction"),
         }
-    except Exception as e:   # never lose the chip numbers to a CPU A/B
-        mesh = {"mesh_ab_error": str(e)[:200]}
 
-    print(json.dumps({
+    if time_left() < 60:
+        mesh = {"mesh_ab_error": "skipped (deadline)"}
+    else:
+        try:
+            mesh = run_mesh_ab()
+        except Exception as e:   # never lose the chip numbers to this
+            mesh = {"mesh_ab_error": str(e)[:200]}
+
+    out = {
         "metric": "wdl_criteo_b256_e128_examples_per_sec_per_chip",
-        "value": round(ours, 1),
+        "value": round(ours, 1) if ours else None,
         "unit": "examples/s",
-        "vs_baseline": round(ours / naive, 3),
+        "vs_baseline": round(ours / naive, 3) if ours and naive else None,
         "scheduled_examples_per_sec":
             round(sched, 1) if sched else None,
-        "scheduled_vs_naive": round(sched / naive, 3) if sched else None,
+        "scheduled_vs_naive":
+            round(sched / naive, 3) if sched and naive else None,
         **mesh,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

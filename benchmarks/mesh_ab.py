@@ -221,12 +221,24 @@ def main():
         print(json.dumps(out_s))
         total_b = sum(v for k, v in hlo_b.items() if k != "count")
         total_s = sum(v for k, v in hlo_s.items() if k != "count")
+        # production-dtype projection from the SAME capacity model the
+        # HLO measurement validates exactly at f32 (tests/test_traffic_hlo):
+        # bf16 table rows AND bf16 gradient wires on BOTH sides (the
+        # --bf16-flush compression applies to the baseline's grad push
+        # too — apples to apples)
+        from herald_tpu.utils.hlo_stats import exchange_a2a_bytes
+        W = model.emb_width(args.embedding_size)
+        proj_b = exchange_a2a_bytes(eng_b.exchange, 4, W * 2, 2)
+        proj_s = (exchange_a2a_bytes(eng_t.flush_exchange, 4, W * 2, 1)
+                  + exchange_a2a_bytes(eng_t.exchange, 4, W * 2, 1))
         print(json.dumps({
             "summary": "scheduled (steady-state) vs baseline, bytes only",
             "a2a_bytes_reduction": round(
                 hlo_b["all-to-all"] / max(hlo_s["all-to-all"], 1), 3),
             "total_collective_bytes_reduction": round(
                 total_b / max(total_s, 1), 3),
+            "projected_bf16_a2a_reduction": round(
+                proj_b / max(proj_s, 1), 3),
         }))
         return
 
