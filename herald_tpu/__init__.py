@@ -25,5 +25,8 @@ from herald_tpu import parallel as parallel
 from herald_tpu import utils as utils
 from herald_tpu.config import HeraldConfig
 from herald_tpu.train.engine import Engine
+from herald_tpu.train.cached import CachedEngine, CachedTrainState
+from herald_tpu.train.engine import TrainState
+from herald_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -235,6 +235,17 @@ def _fail_on_overflow(total: int) -> None:
 def run_training(args) -> dict:
     import jax
     import jax.numpy as jnp
+    # persistent compile cache: the remote-compile tunnel costs minutes
+    # per big scan program; repeated runs (and supervisor restarts)
+    # reuse compilations (override dir via HERALD_COMPILE_CACHE, empty
+    # string disables)
+    import os as _os
+    cache_dir = _os.environ.get("HERALD_COMPILE_CACHE",
+                                "/tmp/herald_jax_cache")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if args.multihost:
