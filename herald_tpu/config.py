@@ -114,7 +114,10 @@ class HeraldConfig:
 
     # --- lookahead scheduler (replaces laia/) ---
     use_scheduler: bool = False
-    sched_queue_size: int = 5            # reference laia_dataloader queue_size
+    # planner produce-ahead depth in batches (the reference's 5-deep
+    # laia_dataloader prefetch window analog; deeper absorbs planner
+    # jitter, bounded so a killed run wastes little planned-ahead work)
+    sched_queue_size: int = 16
     sched_top_k_tables: Optional[int] = None
     sched_threads: int = 8
 

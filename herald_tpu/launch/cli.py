@@ -263,6 +263,7 @@ def run_training(args) -> dict:
     if args.save_config:
         with open(args.save_config, "w") as f:
             f.write(cfg.to_json())
+    args.log_dir = args.log_dir or cfg.log_dir   # config-file fallback
     model = get_model(cfg.model)
     spec = dataset_for_model(cfg.model)
     if args.preprocess_raw:

@@ -120,7 +120,8 @@ class CachedEngine(Engine):
             unique_cap=self.U_cap,
             pull_target=self.cfg.sched_pull_target or 0,
             hoist_window=self.cfg.sched_hoist_window,
-            prefetch_cap=self.P_cap)
+            prefetch_cap=self.P_cap,
+            queue_cap=self.cfg.sched_queue_size)
 
     def init_cached_state(self, seed: Optional[int] = None
                           ) -> CachedTrainState:
