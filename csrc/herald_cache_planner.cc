@@ -295,7 +295,7 @@ public:
                   const int *table_order, int n_threads, int queue_cap,
                   int policy = 0, int assign_mode = 0, int64_t pinned = 0,
                   int bound = 0, int pull_target = 0, int hoist_window = 0,
-                  int prefetch_cap = 0)
+                  int prefetch_cap = 0, int64_t shuffle_seed = 0)
         : ids_(ids), num_samples_(num_samples), num_tables_(num_tables),
           nrank_(nrank), mbs_(mbs), batch_num_(batch_num), epochs_(epochs),
           flush_cap_(flush_cap), owner_cap_(owner_cap),
@@ -305,7 +305,7 @@ public:
           assign_mode_(assign_mode), pinned_(pinned),
           cache_rows_(cache_rows), bound_(bound),
           pull_target_(pull_target), hoist_window_(hoist_window),
-          prefetch_cap_(prefetch_cap),
+          prefetch_cap_(prefetch_cap), shuffle_seed_(shuffle_seed),
           pool_(std::max(1, n_threads)) {
         key_t_ max_key = 0;
         for (int64_t i = 0; i < num_samples_ * num_tables_; i++)
@@ -456,8 +456,39 @@ private:
                          [&](int a, int b) { return reuse[a] > reuse[b]; });
     }
 
+    // stream position -> sample row, through the per-epoch shuffle when
+    // enabled (shuffle_seed != 0): the reference's Laia path trains a
+    // fixed epoch matrix; reshuffling every epoch is standard practice
+    // and stays deterministic (seed ^ epoch Fisher-Yates), so resume
+    // replays identically.
+    int64_t sample_index(int64_t idx) const {
+        int64_t p = idx % num_samples_;
+        return shuffle_seed_ ? perm_[p] : p;
+    }
     const key_t_ *sample(int64_t idx) const {
-        return &ids_[(idx % num_samples_) * num_tables_];
+        return &ids_[sample_index(idx) * num_tables_];
+    }
+
+    static uint64_t splitmix64(uint64_t x) {
+        x += 0x9E3779B97F4A7C15ull;
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ull;
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EBull;
+        return x ^ (x >> 31);
+    }
+
+    void regen_perm(int64_t epoch) {
+        if (perm_.empty()) {
+            perm_.resize(num_samples_);
+        }
+        std::iota(perm_.begin(), perm_.end(), int64_t(0));
+        uint64_t st = splitmix64(uint64_t(shuffle_seed_)
+                                 ^ (uint64_t(epoch) * 0xD1B54A32D192ED03ull));
+        for (int64_t i = num_samples_ - 1; i > 0; i--) {
+            st = splitmix64(st);
+            int64_t j = int64_t(st % uint64_t(i + 1));
+            std::swap(perm_[i], perm_[j]);
+        }
+        perm_epoch_ = epoch;
     }
     int owner_of(key_t_ key) const {
         // strided ownership: shard = key % S (parallel/exchange.py
@@ -530,6 +561,8 @@ private:
         std::deque<WindowEntry> window;
         const bool hw = hoisting_on();
         for (int64_t b = 0; b < total_batches && !close_.load(); b++) {
+            if (shuffle_seed_ && b / batch_num_ != perm_epoch_)
+                regen_perm(b / batch_num_);
             auto t0 = std::chrono::steady_clock::now();
             MicroProgram mp = plan_batch(b * gbs, scores);
             auto t1 = std::chrono::steady_clock::now();
@@ -670,7 +703,7 @@ private:
             for (int64_t i = 0; i < gbs; i++) {
                 int w = int(i % nrank_);
                 int64_t slot = int64_t(w) * mbs_ + (i / nrank_);
-                mp.assign[slot] = (start + i) % num_samples_;
+                mp.assign[slot] = sample_index(start + i);
                 local_of_slot_[slot] = int32_t(i);
             }
         } else {
@@ -689,7 +722,7 @@ private:
                     }
                 }
                 int64_t slot = int64_t(pick) * mbs_ + load[pick];
-                mp.assign[slot] = (start + i) % num_samples_;
+                mp.assign[slot] = sample_index(start + i);
                 local_of_slot_[slot] = int32_t(i);
                 load[pick]++;
             }
@@ -991,6 +1024,9 @@ private:
     int64_t pinned_, cache_rows_;
     int bound_;
     int pull_target_, hoist_window_, prefetch_cap_;
+    int64_t shuffle_seed_;
+    std::vector<int64_t> perm_;        // per-epoch sample permutation
+    int64_t perm_epoch_ = -1;
     key_t_ key_space_;
     std::vector<int> order_;
 
@@ -1044,14 +1080,15 @@ IPlanner *make_planner(const key_t_ *ids, int64_t num_samples,
                        const int *table_order, int n_threads, int queue_cap,
                        int policy, int assign_mode, int64_t pinned,
                        int bound, int pull_target, int hoist_window,
-                       int prefetch_cap) {
+                       int prefetch_cap, int64_t shuffle_seed) {
     auto build = [&](auto tag) -> IPlanner * {
         using MaskT = decltype(tag);
         return new CachePlannerT<MaskT>(
             ids, num_samples, num_tables, nrank, mbs, batch_num, epochs,
             cache_rows, flush_cap, owner_cap, num_shards, rows_per_shard,
             top_k, table_order, n_threads, queue_cap, policy, assign_mode,
-            pinned, bound, pull_target, hoist_window, prefetch_cap);
+            pinned, bound, pull_target, hoist_window, prefetch_cap,
+            shuffle_seed);
     };
     if (nrank <= 8) return build(uint16_t{});
     if (nrank <= 16) return build(uint32_t{});
@@ -1082,14 +1119,16 @@ void *hplan_create(const int64_t *ids, int64_t num_samples, int num_tables,
                    int num_shards, int64_t rows_per_shard, int top_k,
                    const int *table_order, int n_threads, int queue_cap,
                    int policy, int assign_mode, int64_t pinned, int bound,
-                   int pull_target, int hoist_window, int prefetch_cap) {
+                   int pull_target, int hoist_window, int prefetch_cap,
+                   int64_t shuffle_seed) {
     try {
         auto *h = new HPlanner();
         h->planner = herald::make_planner(
             ids, num_samples, num_tables, nrank, mbs, batch_num, epochs,
             cache_rows, flush_cap, owner_cap, num_shards, rows_per_shard,
             top_k, table_order, n_threads, queue_cap, policy, assign_mode,
-            pinned, bound, pull_target, hoist_window, prefetch_cap);
+            pinned, bound, pull_target, hoist_window, prefetch_cap,
+            shuffle_seed);
         return h;
     } catch (const std::exception &e) {
         fprintf(stderr, "hplan_create failed: %s\n", e.what());

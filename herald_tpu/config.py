@@ -120,6 +120,10 @@ class HeraldConfig:
     sched_queue_size: int = 16
     sched_top_k_tables: Optional[int] = None
     sched_threads: int = 8
+    # per-epoch sample reshuffle (0 = fixed epoch order like the
+    # reference's Laia matrix). Deterministic (seed ^ epoch Fisher-Yates
+    # inside the planner), so mid-epoch resume replays identically.
+    sched_shuffle_seed: int = 0
 
     # --- runtime ---
     seed: int = 0

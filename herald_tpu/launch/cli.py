@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--nepoch", type=int, default=1)
     p.add_argument("--cache-limit-ratio", type=float, default=0.1)
+    p.add_argument("--shuffle-seed", type=int, default=0,
+                   help="scheduled mode: reshuffle the sample order every "
+                        "epoch with this seed (0 = fixed epoch order like "
+                        "the reference); deterministic, resume-safe")
     p.add_argument("--bound", type=int, default=0,
                    help="scheduled mode: bounded staleness — a cached row "
                         "stays usable until it missed more than BOUND "
@@ -168,6 +172,7 @@ def resolve_config(args) -> "HeraldConfig":
                        ("cache_limit_ratio", "cache_limit_ratio"),
                        ("seed", "seed"), ("bound", "staleness_bound"),
                        ("pinned_rows", "pinned_rows"),
+                       ("shuffle_seed", "sched_shuffle_seed"),
                        ("a2a_capacity_factor", "a2a_capacity_factor")]:
             if getattr(args, ak) != getattr(dflt, ak):
                 setattr(cfg, ck, getattr(args, ak))
@@ -199,6 +204,7 @@ def resolve_config(args) -> "HeraldConfig":
             use_cache=args.scheduled, use_scheduler=args.scheduled,
             pinned_rows=args.pinned_rows if args.scheduled else 0,
             staleness_bound=args.bound,
+            sched_shuffle_seed=args.shuffle_seed,
             a2a_capacity_factor=args.a2a_capacity_factor,
             prefetch=not args.no_prefetch,
             flush_wire_dtype=jnp.bfloat16 if args.bf16_flush else None,

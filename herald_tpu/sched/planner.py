@@ -52,7 +52,8 @@ class _PlannerLib:
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
                 ctypes.c_int, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
-                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int64]
             lib.hplan_phase_times.argtypes = [
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_long)]
             lib.hplan_start.argtypes = [ctypes.c_void_p]
@@ -92,7 +93,7 @@ class CachePlanner:
                  assign_mode: str = "affinity", pinned_rows: int = 0,
                  bound: int = 0, unique_cap: Optional[int] = None,
                  pull_target: int = 0, hoist_window: int = 0,
-                 prefetch_cap: int = 0):
+                 prefetch_cap: int = 0, shuffle_seed: int = 0):
         ids = np.ascontiguousarray(sparse_ids, np.int64)
         assert ids.ndim == 2
         n, num_tables = ids.shape
@@ -160,7 +161,8 @@ class CachePlanner:
             cache_rows, self.F_cap, self.owner_cap, num_shards,
             rows_per_shard, top_k, order_ptr, n_threads, queue_cap,
             policy_id, mode_id, self.pinned_rows, self.bound,
-            self.pull_target, self.hoist_window, self.P_cap)
+            self.pull_target, self.hoist_window, self.P_cap,
+            int(shuffle_seed))
         if not self._h:
             raise ValueError(
                 "native cache planner rejected the configuration "

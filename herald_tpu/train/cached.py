@@ -121,7 +121,8 @@ class CachedEngine(Engine):
             pull_target=self.cfg.sched_pull_target or 0,
             hoist_window=self.cfg.sched_hoist_window,
             prefetch_cap=self.P_cap,
-            queue_cap=self.cfg.sched_queue_size)
+            queue_cap=self.cfg.sched_queue_size,
+            shuffle_seed=self.cfg.sched_shuffle_seed)
 
     def init_cached_state(self, seed: Optional[int] = None
                           ) -> CachedTrainState:

@@ -123,3 +123,52 @@ def _randomized_invariants(rng, trials, nrank_choices):
         perf = pl.perf()
         assert all(v >= 0 for v in perf.values())
         pl.close()
+
+
+def test_planner_epoch_shuffle():
+    """Per-epoch reshuffle (shuffle_seed != 0): every epoch is a
+    permutation of a window of the sample stream, epochs differ from each
+    other, and the whole thing is deterministic across planner instances
+    (resume contract)."""
+    rng = np.random.default_rng(5)
+    N, T, nrank, mbs = 4 * 8 * 6, 5, 4, 8
+    ids = (rng.zipf(1.5, (N, T)) - 1) % 300
+
+    def run(seed):
+        pl = CachePlanner(ids, nrank=nrank, batch_size=mbs,
+                          cache_rows=200, num_shards=nrank,
+                          rows_per_shard=75, epochs=2, n_threads=2,
+                          shuffle_seed=seed)
+        epochs = [[], []]
+        b = 0
+        while True:
+            p = pl.pop()
+            if p is None:
+                break
+            epochs[b // pl.batch_num].extend(p.assign.reshape(-1).tolist())
+            b += 1
+        pl.close()
+        return epochs
+
+    e = run(7)
+    gbs = nrank * mbs
+    per_epoch = (N // nrank // mbs) * gbs
+
+    def windows(ep):
+        return [frozenset(ep[i:i + gbs]) for i in range(0, len(ep), gbs)]
+
+    for ep in e:
+        # full coverage, each sample exactly once per epoch
+        assert sorted(ep) == list(range(per_epoch))
+    # the shuffle actually changes batch composition vs stream order
+    assert windows(e[0])[0] != frozenset(range(gbs))
+    # and epochs differ from each other
+    assert windows(e[0]) != windows(e[1]), "epochs should reshuffle"
+    # deterministic across instances (resume contract)
+    assert run(7) == e
+    # seed changes the order
+    assert run(8) != e
+    # seed 0 = fixed stream order (reference Laia matrix semantics)
+    e0 = run(0)
+    assert windows(e0[0]) == [frozenset(range(i, i + gbs))
+                              for i in range(0, per_epoch, gbs)]
