@@ -266,3 +266,45 @@ def test_bf16_flush_wire_close_to_exact():
     # bf16 has ~3 decimal digits; deltas are O(lr*grad) ~ 1e-2
     err = np.abs(exact - compressed).max()
     assert 0 < err < 5e-3, err   # differs (compression real), but tightly
+
+
+def test_cached_adagrad_embed_optimizer_learns():
+    """Non-SGD embedding optimizer through the cache machinery: slots ride
+    the flush path to the owner shard (reference: server-side ApplySparse,
+    ps-lite/include/ps/server/optimizer.h), while the local optimistic
+    update stays an SGD-style preview (reference Line::accumulate). Smoke
+    + convergence, not exactness (the preview approximates)."""
+    import jax
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    model = get_model("wdl_criteo")
+    n = 8 * 16 * 12
+    dense, sparse, labels = synthetic_ctr_data(model.spec, n, seed=17,
+                                               num_rows=ROWS)
+    cfg = HeraldConfig(model="wdl_criteo", batch_size=16, embedding_dim=8,
+                       comm_mode="hybrid", learning_rate=1.0,
+                       embed_optimizer="adagrad", embed_learning_rate=0.5,
+                       cache_limit_ratio=0.5, pinned_rows=16)
+    eng = CachedEngine(cfg, table_rows=ROWS)
+    assert "accum" in eng.embed_opt.slot_names or eng.embed_opt.slot_names
+    pl = eng.make_planner(sparse, epochs=3, n_threads=1)
+    st = eng.init_cached_state(0)
+    slots0 = {k: np.asarray(v).copy()
+              for k, v in st.table_slots.items()}
+    while True:
+        st2 = eng.train_epoch_cached(st, pl, dense, sparse, labels,
+                                     steps=12)
+        if st2[1] is None:
+            break
+        st = st2[0]
+        assert int(np.asarray(st2[1]["overflow"]).sum()) == 0
+    st = eng.sync_cache(st, pl)
+    pl.close()
+    # optimizer slots actually accumulated on the owner shards
+    for k in slots0:
+        assert np.abs(np.asarray(st.table_slots[k]) - slots0[k]).max() > 0
+    # hot-tier slots too (sharded adagrad state)
+    for k in st.hot_slots:
+        assert np.abs(np.asarray(st.hot_slots[k])).max() > 0
+    res = eng.evaluate(st, dense, sparse, labels)
+    assert res["auc"] > 0.6, res
