@@ -15,12 +15,12 @@ Layout under <path>/:
     blocks.p<i>.json   block metadata: leaf key + global offsets per block
 
 Restore assembles each target shard from whichever saved blocks cover its
-global index range, so it works across process counts and (block-)sharding
-layouts, not just the topology that saved. NOTE on row semantics: the
-table's PHYSICAL layout encodes the strided logical->shard map
-(parallel/exchange.py); a checkpoint restores bit-exactly onto an engine
-with the same num_shards, while cross-shard-count restores must remap via
-`ExchangeSpec.to_logical/to_physical` (utils in exchange.py).
+global index range, so it works across process counts; a checkpoint
+restores bit-exactly onto an engine with the same num_shards. Across
+SHARD counts (pod resize), the table leaves remap automatically through
+the strided logical->physical layout (parallel/exchange.py) — elastic
+scale up/down for plain TrainStates; cached states must sync_cache and
+convert first (cache arrays are planner-topology-specific).
 
 Unlike the reference (which checkpoints only parameters), optimizer slots
 and the step counter round-trip too.
@@ -210,12 +210,38 @@ class _BlockReader:
         return out
 
 
+def _remap_rows(full_src, s_src, shape, s_dst, dtype):
+    """Cross-topology remap of a strided-layout row leaf.
+
+    The strided ownership map (parallel/exchange.py: logical row r lives
+    at physical slot (r % S) * rps + r // S; S=1 is the identity) makes a
+    pod resize a pure index permutation: recover the logical view from
+    the SOURCE topology and lay it out for the target. Host-side assembly
+    of the full leaf — a resize is an offline operation (8.6 GB for the
+    reference table; fits host RAM).
+    """
+    rps_src = full_src.shape[0] // s_src
+    rps_dst = shape[0] // s_dst
+    q = np.arange(shape[0])
+    r = (q % rps_dst) * s_dst + q // rps_dst          # target logical ids
+    p_src = (r % s_src) * rps_src + r // s_src        # source physical
+    valid = r < s_src * rps_src
+    out = np.zeros(shape, dtype)
+    out[valid] = full_src[p_src[valid]]
+    return out
+
+
 def load_checkpoint(path: str, like: Union[TrainState, CachedTrainState]
                     ) -> Union[TrainState, CachedTrainState]:
     """Load into the structure/shardings of `like` (an initialized state).
     Every process calls this; each materializes only its own shards.
     Follows <path>/LATEST to the newest COMPLETE version directory
-    (legacy flat layouts load directly)."""
+    (legacy flat layouts load directly).
+
+    Cross-topology restore: a TrainState saved under a different shard
+    count loads via a strided-layout remap of the table leaves (pod
+    resize = elastic scale up/down). Cached states must be synced and
+    converted first (the cache arrays are planner-topology-specific)."""
     latest = os.path.join(path, "LATEST")
     if os.path.exists(latest):
         with open(latest) as f:
@@ -233,11 +259,45 @@ def load_checkpoint(path: str, like: Union[TrainState, CachedTrainState]
     new_leaves = []
     for key, leaf in items:
         shape = tuple(np.shape(leaf))
-        assert list(shape) == manifest["shapes"][key], (
-            key, shape, manifest["shapes"][key])
+        saved_shape = tuple(manifest["shapes"][key])
         saved_sharded = manifest["layout"][key] == "sharded"
         dtype = np.asarray(leaf).dtype if not isinstance(leaf, jax.Array) \
             else leaf.dtype
+        # topology comparison: saved shard count from the block metadata
+        # (a non-sharded save is S=1; shape equality alone can coincide
+        # across shard counts)
+        s_src = (len({offs[0][0]
+                      for _, _, offs in reader.meta.get(key, [])})
+                 if saved_sharded else 1)
+        s_dst = (shape[0] // leaf.sharding.shard_shape(shape)[0]
+                 if _is_sharded(leaf) else 1) if np.ndim(leaf) else 1
+        table_like = key.lstrip(".") == "table" \
+            or key.lstrip(".").startswith("table_slots")
+        if table_like and (s_src != s_dst or shape != saved_shape):
+            # pod resize: remap the strided table leaves
+            if shape[1:] != saved_shape[1:]:
+                raise ValueError(
+                    f"leaf {key!r}: width changed across checkpoints "
+                    f"({saved_shape} -> {shape})")
+            if saved_sharded:
+                full_src = reader.read(
+                    key, [(0, d) for d in saved_shape], dtype)
+            else:
+                full_src = repl[key].astype(dtype)
+            arr = _remap_rows(full_src, s_src, shape, s_dst, dtype)
+            sharding = getattr(leaf, "sharding", None)
+            if sharding is not None:
+                new_leaves.append(jax.make_array_from_callback(
+                    shape, sharding, lambda idx, a=arr: a[idx]))
+            else:
+                new_leaves.append(arr)
+            continue
+        if shape != saved_shape:
+            raise ValueError(
+                f"leaf {key!r} cannot restore across topologies "
+                f"({saved_shape} -> {shape}); for cached states, "
+                f"sync_cache and checkpoint a plain TrainState "
+                f"before resizing the pod")
         if _is_sharded(leaf):
             if saved_sharded:
                 def cb(idx, key=key, shape=shape, dtype=dtype):

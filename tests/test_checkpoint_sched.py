@@ -137,3 +137,53 @@ def test_checkpoint_roundtrip_pinned_state(tmp_path):
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     pl.close()
+
+
+def test_checkpoint_cross_topology_resize():
+    """Pod resize: a TrainState saved under one shard count restores onto
+    another — the strided table layout remaps automatically (elastic
+    scale up/down; reference has no analog: PS shard counts were fixed
+    per job)."""
+    import jax
+    import tempfile
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    model = get_model("wdl_criteo")
+    rows = 1000
+    dense, sparse, labels = synthetic_ctr_data(model.spec, 8 * 8 * 4,
+                                               seed=12, num_rows=rows)
+
+    cfg8 = HeraldConfig(model="wdl_criteo", batch_size=8, embedding_dim=8,
+                        comm_mode="hybrid", learning_rate=0.5,
+                        a2a_capacity_factor=8.0)
+    e8 = Engine(cfg8, table_rows=rows)
+    s8 = e8.init_state(0)
+    for t in range(4):
+        sl = slice(t * 64, (t + 1) * 64)
+        s8, _ = e8.train_step(s8, dense[sl], sparse[sl], labels[sl])
+    logical8 = e8.exchange.to_logical(np.asarray(s8.table))
+
+    with tempfile.TemporaryDirectory() as d:
+        save_checkpoint(s8, d)
+
+        # scale DOWN to one device
+        cfg1 = HeraldConfig(model="wdl_criteo", batch_size=64,
+                            embedding_dim=8, comm_mode="local",
+                            learning_rate=0.5)
+        e1 = Engine(cfg1, table_rows=rows)
+        s1 = load_checkpoint(d, e1.init_state(3))
+        np.testing.assert_array_equal(np.asarray(s1.table)[:rows],
+                                      logical8)
+        assert int(s1.step) == 4
+
+        # and back UP: save from one device, restore onto eight (save
+        # BEFORE the continuation step donates s1's buffers)
+        with tempfile.TemporaryDirectory() as d2:
+            save_checkpoint(s1, d2)
+            # training continues on the resized topology
+            s1b, st = e1.train_step(s1, dense[:64], sparse[:64],
+                                    labels[:64])
+            assert np.isfinite(float(st["loss"]))
+            s8b = load_checkpoint(d2, e8.init_state(5))
+            np.testing.assert_array_equal(
+                e8.exchange.to_logical(np.asarray(s8b.table)), logical8)
