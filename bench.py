@@ -234,9 +234,55 @@ def main():
     def time_left():
         return deadline - (time.perf_counter() - t_bench0)
 
+    # watchdog: deadlines are only checked BETWEEN measurements; a hung
+    # jax call inside one cannot be interrupted, so a daemon thread emits
+    # whatever was measured once the budget (plus slack for one slow
+    # compile) is blown, instead of stalling the driver's capture forever
+    import threading
+    partial = {"engines": [], "naives": [], "sched": None, "mesh": {},
+               "errors": []}
+    emitted = threading.Event()
+
+    def emit(ours, naive, sched, mesh, errors):
+        if emitted.is_set():
+            return
+        emitted.set()
+        out = {
+            "metric": "wdl_criteo_b256_e128_examples_per_sec_per_chip",
+            "value": round(ours, 1) if ours else None,
+            "unit": "examples/s",
+            "vs_baseline":
+                round(ours / naive, 3) if ours and naive else None,
+            "scheduled_examples_per_sec":
+                round(sched, 1) if sched else None,
+            "scheduled_vs_naive":
+                round(sched / naive, 3) if sched and naive else None,
+            **mesh,
+        }
+        if errors:
+            out["errors"] = errors
+        print(json.dumps(out), flush=True)
+
+    def watchdog():
+        slack = 240.0
+        while not emitted.is_set():
+            if time_left() < -slack:
+                log("[bench] watchdog: deadline blown mid-measurement; "
+                    "emitting partial result")
+                emit(max(partial["engines"], default=None) or None,
+                     max(partial["naives"], default=None) or None,
+                     partial["sched"],
+                     partial["mesh"] or {"mesh_ab_error": "watchdog"},
+                     partial["errors"] + ["watchdog: measurement hung"])
+                os._exit(0)
+            time.sleep(10)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
     fns = {"engine": bench_engine, "naive": bench_naive,
            "scheduled": bench_scheduled}
-    naives, engines, errors = [], [], []
+    naives, engines, errors = partial["naives"], partial["engines"], \
+        partial["errors"]
     acc = {"engine": engines, "naive": naives}
     # alternating fairness rounds; later rounds are skippable on deadline
     for i, mode in enumerate(("engine", "naive", "naive", "engine")):
@@ -251,6 +297,10 @@ def main():
         except Exception as e:
             errors.append(f"{mode}: {str(e)[:80]}")
             log(f"[bench] {mode} FAILED: {e}")
+            # a failed measurement skipped its own _free: drop EVERY
+            # live device buffer so the next stage's 8.6 GB table
+            # doesn't land next to the leaked one
+            _free(list(jax.live_arrays()))
     ours = max(engines) if engines else None
     naive = max(naives) if naives else None
 
@@ -260,9 +310,11 @@ def main():
         log("[bench] scheduled ...")
         try:
             sched = bench_scheduled()
+            partial["sched"] = sched
             log("[bench] scheduled done")
         except Exception as e:
             errors.append(f"scheduled: {str(e)[:80]}")
+            _free(list(jax.live_arrays()))
 
     # multi-chip communication A/B on the 8-device virtual mesh (bytes
     # read from the compiled HLO — deterministic; overflow/correctness
@@ -297,20 +349,8 @@ def main():
         except Exception as e:   # never lose the chip numbers to this
             mesh = {"mesh_ab_error": str(e)[:200]}
 
-    out = {
-        "metric": "wdl_criteo_b256_e128_examples_per_sec_per_chip",
-        "value": round(ours, 1) if ours else None,
-        "unit": "examples/s",
-        "vs_baseline": round(ours / naive, 3) if ours and naive else None,
-        "scheduled_examples_per_sec":
-            round(sched, 1) if sched else None,
-        "scheduled_vs_naive":
-            round(sched / naive, 3) if sched and naive else None,
-        **mesh,
-    }
-    if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+    partial["mesh"] = mesh
+    emit(ours, naive, sched, mesh, errors)
 
 
 if __name__ == "__main__":

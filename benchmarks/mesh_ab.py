@@ -227,10 +227,10 @@ def main():
         # --bf16-flush compression applies to the baseline's grad push
         # too — apples to apples)
         from herald_tpu.utils.hlo_stats import exchange_a2a_bytes
-        W = model.emb_width(args.embedding_size)
-        proj_b = exchange_a2a_bytes(eng_b.exchange, 4, W * 2, 2)
-        proj_s = (exchange_a2a_bytes(eng_t.flush_exchange, 4, W * 2, 1)
-                  + exchange_a2a_bytes(eng_t.exchange, 4, W * 2, 1))
+        width = model.emb_width(args.embedding_size)
+        proj_b = exchange_a2a_bytes(eng_b.exchange, 4, width * 2, 2)
+        proj_s = (exchange_a2a_bytes(eng_t.flush_exchange, 4, width * 2, 1)
+                  + exchange_a2a_bytes(eng_t.exchange, 4, width * 2, 1))
         print(json.dumps({
             "summary": "scheduled (steady-state) vs baseline, bytes only",
             "a2a_bytes_reduction": round(

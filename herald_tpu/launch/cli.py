@@ -173,6 +173,7 @@ def resolve_config(args) -> "HeraldConfig":
                        ("seed", "seed"), ("bound", "staleness_bound"),
                        ("pinned_rows", "pinned_rows"),
                        ("shuffle_seed", "sched_shuffle_seed"),
+                       ("log_dir", "log_dir"),
                        ("a2a_capacity_factor", "a2a_capacity_factor")]:
             if getattr(args, ak) != getattr(dflt, ak):
                 setattr(cfg, ck, getattr(args, ak))
@@ -207,6 +208,7 @@ def resolve_config(args) -> "HeraldConfig":
             sched_shuffle_seed=args.shuffle_seed,
             a2a_capacity_factor=args.a2a_capacity_factor,
             prefetch=not args.no_prefetch,
+            log_dir=args.log_dir,
             flush_wire_dtype=jnp.bfloat16 if args.bf16_flush else None,
             table_dtype=jnp.bfloat16 if args.bf16_table else np.float32)
     return cfg
@@ -363,8 +365,14 @@ def run_training(args) -> dict:
             sizes = np.zeros(6, np.int64)
             if jax.process_index() == 0:
                 probe_eng = CachedEngine(cfg, table_rows=rows)
+                # with per-epoch reshuffling, later epochs have different
+                # batch compositions — probe across several permutations
+                # so the sized caps cover them
+                probe_epochs = (min(args.nepoch, 3)
+                                if cfg.sched_shuffle_seed else 1)
                 probe = probe_eng.make_planner(
-                    trn[1], epochs=1, n_threads=cfg.sched_threads)
+                    trn[1], epochs=probe_epochs,
+                    n_threads=cfg.sched_threads)
                 nshards = max(probe_eng.num_shards, 1)
                 steps_prof, _ = profile_planned_traffic(probe, trn[1],
                                                         nshards)

@@ -286,7 +286,8 @@ def test_cached_adagrad_embed_optimizer_learns():
                        embed_optimizer="adagrad", embed_learning_rate=0.5,
                        cache_limit_ratio=0.5, pinned_rows=16)
     eng = CachedEngine(cfg, table_rows=ROWS)
-    assert "accum" in eng.embed_opt.slot_names or eng.embed_opt.slot_names
+    assert eng.embed_opt.name == "adagrad"
+    assert "accum" in eng.embed_opt.slot_names
     pl = eng.make_planner(sparse, epochs=3, n_threads=1)
     st = eng.init_cached_state(0)
     slots0 = {k: np.asarray(v).copy()
