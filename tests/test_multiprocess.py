@@ -109,6 +109,20 @@ _WORKER = textwrap.dedent("""
     print("SCHED_PERF", perf["miss_pull"], perf["update_push"])
     print("SCHED_LOSS", " ".join(f"{{l:.6f}}" for l in closses))
     planner.close()
+
+    # multi-host RESUME path: leader fast-forwards, the skip count and
+    # the post-skip program chunks broadcast identically
+    bp2 = BroadcastPlanner(
+        lambda: ceng.make_planner(sparse, epochs=1, n_threads=1),
+        num_samples=len(sparse), nrank=8, batch_size=8,
+        unique_cap=ceng.U_cap, flush_cap=ceng.F_cap,
+        cache_rows=ceng.cache_rows)
+    skipped = bp2.fast_forward(2)
+    assert skipped == 2, skipped
+    K2, assign2, *_rest = bp2.pop_chunk(2)
+    assert K2 == 2
+    print("FFWD_SUM", int(assign2[:K2].sum()))
+    bp2.close()
     print("FINAL_LOSS", loss)
 """)
 
@@ -151,7 +165,7 @@ def test_two_process_hybrid_training(tmp_path):
     assert abs(float(losses[0]) - float(losses[1])) < 1e-6
     # broadcast-planner runs agree across processes: same scheduled
     # losses, same (broadcast) planner counters
-    for tag in ("SCHED_LOSS", "SCHED_PERF"):
+    for tag in ("SCHED_LOSS", "SCHED_PERF", "FFWD_SUM"):
         lines = [line for out in outs for line in out.splitlines()
                  if line.startswith(tag)]
         assert len(lines) == 2 and lines[0] == lines[1], lines
