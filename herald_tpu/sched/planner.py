@@ -57,10 +57,6 @@ class _PlannerLib:
             lib.hplan_phase_times.argtypes = [
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_long)]
             lib.hplan_start.argtypes = [ctypes.c_void_p]
-            lib.hplan_pop_begin.restype = ctypes.c_int
-            lib.hplan_pop_begin.argtypes = [ctypes.c_void_p, i64p, i64p]
-            lib.hplan_pop_finish.argtypes = [ctypes.c_void_p, i32p, u8p,
-                                             i64p, i32p]
             lib.hplan_pop_padded.restype = ctypes.c_int
             lib.hplan_pop_padded.argtypes = [
                 ctypes.c_void_p, i64p, ctypes.c_int64, ctypes.c_int64,

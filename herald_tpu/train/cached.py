@@ -13,13 +13,17 @@ and each step executes the planner's micro-program
                optimizer there, zero the flushed deltas
                (reference: embeddingUpdateWithPushKeys,
                src/hetu_cache/src/cache.cc:248-335 + server ApplySparse)
-    2. PULL    all-to-all gather of missed/stale rows from the *updated*
-               table (reference: syncEmbedding version-filtered pull,
+    2. PULL    all-to-all gather of missed/stale rows — plus prefetches
+               hoisted from later batches — from the *updated* table
+               (reference: syncEmbedding version-filtered pull,
                ps-lite/src/PSFhandle_embedding.cc:30-64)
-    3. INSERT  write pulled rows into their cache slots
-    4. FORWARD dense tower on rows read entirely from cache
-    5. UPDATE  local optimistic SGD into cache_data + delta accumulation
-               (reference: Line::accumulate,
+    3. INSERT  write PREFETCHED rows into their cache slots (batch-key
+               inserts are fused into phase 5's write)
+    4. FORWARD dense tower on pulled-or-resident rows (a select over the
+               route output — equivalent to insert-then-read, one scatter
+               cheaper)
+    5. UPDATE  one cache write per batch key: forward value - lr*grad,
+               plus delta accumulation (reference: Line::accumulate,
                src/hetu_cache/include/embedding.h:18-149)
 
 Everything is static-shape; the planner enforces flush capacities so the
