@@ -30,10 +30,11 @@ def _data(n, seed=5):
     return synthetic_ctr_data(model.spec, n, seed=seed, num_rows=ROWS)
 
 
-def test_cached_single_worker_exact():
+@pytest.mark.parametrize("policy", ["lru", "lfu", "lfuopt"])
+def test_cached_single_worker_exact(policy):
     cfg = HeraldConfig(model="wdl_criteo", batch_size=B, embedding_dim=8,
                        comm_mode="local", learning_rate=0.1,
-                       cache_limit_ratio=1.0)
+                       cache_limit_ratio=1.0, cache_policy=policy)
     dense, sparse, labels = _data(B * 8)
 
     ec = CachedEngine(cfg, table_rows=ROWS)

@@ -75,12 +75,19 @@ def _randomized_invariants(rng, trials, nrank_choices):
         mode = str(rng.choice(["affinity", "roundrobin"]))
         rps = (rows + nrank - 1) // nrank
 
+        # sometimes enable pull smoothing (hoisting) so the stress
+        # exercises the window manager + prefetch emission too
+        hoist = bool(rng.choice([False, True]))
         pl = CachePlanner(ids, nrank=nrank, batch_size=mbs,
                           cache_rows=cache_rows, num_shards=nrank,
                           rows_per_shard=rps, epochs=1,
                           n_threads=int(rng.choice([1, 2, 4])),
                           policy=policy, assign_mode=mode,
-                          pinned_rows=pinned, bound=bound)
+                          pinned_rows=pinned, bound=bound,
+                          pull_target=int(rng.integers(2, 12)) if hoist
+                          else 0,
+                          hoist_window=4 if hoist else 0,
+                          prefetch_cap=32 if hoist else 0)
         C = pl.cache_rows
         steps = 0
         # per-worker live model of slot -> key, mirrors the device cache
@@ -119,6 +126,18 @@ def _randomized_invariants(rng, trials, nrank_choices):
                 for key, s, p in zip(uniq, sl, pu):
                     if s < C:
                         slot_key[z][int(s)] = int(key)
+                # prefetched rows land in their reserved slots this batch
+                if prog.prefetch_ids is not None:
+                    pf_i = prog.prefetch_ids[z]
+                    pf_s = prog.prefetch_slots[z]
+                    for k2, s2 in zip(pf_i[pf_i >= 0], pf_s[pf_i >= 0]):
+                        assert 0 <= s2 < C
+                        # the reserved slot must not currently belong to a
+                        # DIFFERENT resident key (it was free in the sim)
+                        held = slot_key[z].get(int(s2))
+                        assert held is None or held == int(k2), \
+                            (trial, steps, z, k2, s2, held)
+                        slot_key[z][int(s2)] = int(k2)
         assert steps == pl.batch_num, (steps, pl.batch_num)
         perf = pl.perf()
         assert all(v >= 0 for v in perf.values())
