@@ -77,6 +77,13 @@ class Engine:
             self.num_rows, self.num_shards, self.ids_per_worker,
             axis=self.axis, capacity_factor=cfg.a2a_capacity_factor,
             capacity=cfg.a2a_pull_capacity)
+        # evaluation always pulls EVERY unique id (no cache, no planner),
+        # so it keeps worst-case factor sizing even when the train
+        # exchange is probe-sized tight (autosize) — and its overflow is
+        # surfaced rather than silently zero-filling predictions
+        self.eval_exchange = ex.make_exchange(
+            self.num_rows, self.num_shards, self.ids_per_worker,
+            axis=self.axis, capacity_factor=cfg.a2a_capacity_factor)
 
         self._fast_local_sgd = (self.num_shards == 1
                                 and self.embed_opt.name == "sgd"
@@ -145,16 +152,18 @@ class Engine:
         safe = jnp.where(valid, ids_flat, table.shape[0] + 1)
         return table.at[safe].get(mode="fill", fill_value=0)
 
-    def _forward_embeddings(self, table, ids):
-        """ids [B, F] -> (emb [B, F, W], uniq, inv, route|None, overflow)."""
+    def _forward_embeddings(self, table, ids, spec=None):
+        """ids [B, F] -> (emb [B, F, W], uniq, inv, route|None, overflow).
+        `spec` overrides the exchange (eval uses the wide one)."""
+        spec = spec or self.exchange
         B, F = ids.shape
         U = B * F
         uniq, inv = jnp.unique(ids.reshape(-1), size=U, return_inverse=True,
                                fill_value=-1)
         valid = uniq >= 0
         if self.num_shards > 1:
-            route = ex.route_ids(self.exchange, uniq, valid)
-            emb_uniq = ex.gather_rows(self.exchange, table, route)
+            route = ex.route_ids(spec, uniq, valid)
+            emb_uniq = ex.gather_rows(spec, table, route)
             overflow = route.overflow
         else:
             route = None
@@ -289,10 +298,13 @@ class Engine:
         return state, {"loss": losses, "overflow": overflows}
 
     def _eval_step_body(self, state: TrainState, dense_x, ids):
-        emb, _, _, _, _ = self._forward_embeddings(state.table, ids)
+        emb, _, _, _, overflow = self._forward_embeddings(
+            state.table, ids, spec=self.eval_exchange)
         logits = self.model.apply(state.dense, emb.astype(jnp.float32),
                                   dense_x)
-        return jax.nn.sigmoid(logits)
+        if self.num_shards > 1:
+            overflow = jax.lax.psum(overflow, self.axis)
+        return jax.nn.sigmoid(logits), overflow
 
     # ------------------------------------------------------------------
     # jit / shard_map wiring
@@ -324,7 +336,7 @@ class Engine:
             eval_sm = jax.shard_map(
                 self._eval_step_body, mesh=self.mesh,
                 in_specs=(state_specs, data_spec, data_spec),
-                out_specs=data_spec,
+                out_specs=(data_spec, P()),
                 check_vma=False)
             kdata_spec = P(None, ax)   # [K, steps] stacked batches
             epoch_sm = jax.shard_map(
@@ -431,7 +443,12 @@ class Engine:
     def predict(self, state: TrainState, dense_x, sparse_ids):
         d = self._put_batch(dense_x, np.float32)
         s = self._put_batch(sparse_ids, np.int32)
-        return self._eval_step(state, d, s)
+        probs, overflow = self._eval_step(state, d, s)
+        if int(np.asarray(overflow)) > 0:
+            raise RuntimeError(
+                "eval exchange overflow: predictions would be computed "
+                "on zero-filled embeddings; raise a2a_capacity_factor")
+        return probs
 
     def evaluate(self, state: TrainState, dense_x, sparse_ids, labels,
                  batch: Optional[int] = None) -> Dict[str, float]:

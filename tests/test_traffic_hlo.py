@@ -143,3 +143,21 @@ def test_parse_handles_async_and_tuples():
     assert out["all-reduce"] == 16 * 4 + 1
     assert out["count"]["all-to-all"] == 1
     assert out["count"]["all-reduce"] == 2
+
+
+def test_eval_uses_wide_exchange_under_tight_train_caps():
+    """Evaluation pulls EVERY unique id, so a probe-sized (tight) train
+    capacity must not apply to it — eval rides its own worst-case-sized
+    exchange and raises loudly if even that overflows."""
+    if jax.device_count() < S:
+        pytest.skip("needs 8 virtual devices")
+    model = get_model("wdl_criteo")
+    dense, sparse, labels = synthetic_ctr_data(model.spec, S * B * 4,
+                                               seed=2, num_rows=ROWS)
+    cfg = HeraldConfig(model="wdl_criteo", batch_size=B, embedding_dim=8,
+                       comm_mode="hybrid", a2a_pull_capacity=8)  # tight
+    eng = Engine(cfg, table_rows=ROWS)
+    assert eng.eval_exchange.capacity > eng.exchange.capacity
+    st = eng.init_state(0)
+    res = eng.evaluate(st, dense, sparse, labels)
+    assert 0.0 <= res["auc"] <= 1.0
