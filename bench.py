@@ -229,7 +229,10 @@ def main():
         print(msg, file=sys.stderr, flush=True)
 
     t_bench0 = time.perf_counter()
-    deadline = float(os.environ.get("HERALD_BENCH_DEADLINE_S", 480))
+    # generous by default: a degraded remote terminal can stall the FIRST
+    # big allocation for 5-12 min before succeeding (observed); a completed
+    # slow capture beats a fast null one. Healthy totals stay ~5 min.
+    deadline = float(os.environ.get("HERALD_BENCH_DEADLINE_S", 900))
 
     def time_left():
         return deadline - (time.perf_counter() - t_bench0)
@@ -264,7 +267,7 @@ def main():
         print(json.dumps(out), flush=True)
 
     def watchdog():
-        slack = 240.0
+        slack = 300.0
         while not emitted.is_set():
             if time_left() < -slack:
                 log("[bench] watchdog: deadline blown mid-measurement; "
