@@ -13,9 +13,10 @@ Multi-host pods: run the same command on every host with --multihost
 the TPU runtime, replacing the reference's DMLC_* env).
 
 Flags mirror the reference entry scripts (`examples/ctr/run_laia.py:327-356`
-argparse): model, comm mode, cache policy/limit, bsp/bound are subsumed by
-the planner (synchronous SPMD has no ASP/SSP — deviation documented in
-docs/deviations.md).
+argparse): model, comm mode, cache policy/limit, --bound (HET bounded
+staleness, rebuilt in the planner); bsp/ASP/SSP sync modes are subsumed
+by synchronous SPMD (deviation documented in docs/deviations.md). See
+docs/OPERATIONS.md for the production launch recipe.
 """
 
 from __future__ import annotations

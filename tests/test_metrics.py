@@ -57,3 +57,17 @@ def test_roc_pr_curves_and_riemann_auc():
     rec, prec = roc_pr_curve(y, p, curve="PR")
     assert 0.5 < auc_riemann(y, p, curve="PR") < 1.0
     assert (prec > 0).all() and (rec >= -1e-12).all()
+
+
+def test_roc_curve_nan_scores_predicted_negative():
+    """NaN scores (diverged runs) count as predicted-negative at every
+    threshold — matching the elementwise `score > thr` semantics the
+    searchsorted implementation replaces."""
+    from herald_tpu.utils.metrics import roc_pr_curve
+    y = np.array([1, 1, 0, 0, 1], float)
+    p = np.array([0.9, np.nan, 0.1, np.nan, 0.8])
+    x, r = roc_pr_curve(y, p, num_thresholds=5)
+    # at threshold -eps: only FINITE scores predict positive
+    # tp = 2 (0.9, 0.8 of 3 positives), fp = 1 (0.1 of 2 negatives)
+    np.testing.assert_allclose(r[0], 2 / 3, rtol=1e-5)
+    np.testing.assert_allclose(x[0], 1 / 2, rtol=1e-5)
