@@ -123,3 +123,23 @@ def test_scatter_grads_matches_dense_scatter_add():
     # `out` is the stacked physical shard blocks (strided layout)
     np.testing.assert_allclose(out, spec.to_physical(expect),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_strided_index_maps_roundtrip():
+    """phys_index/logical_index/to_physical/to_logical are mutually
+    consistent (the layout contract checkpoint resize and the pinned
+    hot tier depend on)."""
+    spec = ex.ExchangeSpec(axis="dp", num_shards=8, rows_per_shard=16,
+                           num_rows=120, capacity=4)
+    r = np.arange(spec.num_rows)
+    p = spec.phys_index(r)
+    # bijective into the padded space, inverse recovers logical ids
+    assert len(np.unique(p)) == spec.num_rows
+    assert (p < spec.padded_rows).all()
+    np.testing.assert_array_equal(spec.logical_index(p), r)
+    # owner/local decomposition matches the physical position
+    np.testing.assert_array_equal(
+        p, spec.owner_of(r) * spec.rows_per_shard + spec.local_of(r))
+    # host helpers round-trip a table
+    t = np.random.default_rng(0).standard_normal((spec.num_rows, 3))
+    np.testing.assert_array_equal(spec.to_logical(spec.to_physical(t)), t)

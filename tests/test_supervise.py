@@ -59,3 +59,18 @@ def test_supervisor_recovers_crashed_run(tmp_path):
     # deterministic SGD: the recovered model equals the uninterrupted one
     assert rep["val_auc"] == ref_rep["val_auc"]
     assert rep["val_acc"] == ref_rep["val_acc"]
+
+
+def test_supervisor_gives_up_after_max_restarts(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo
+    out = subprocess.run(
+        [sys.executable, "-m", "herald_tpu.launch.supervise",
+         "--ckpt-dir", str(tmp_path / "ck"), "--max-restarts", "2",
+         "--backoff", "0.05", "--", "--model", "no_such_model",
+         "--platform", "cpu"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert out.returncode != 0
+    assert out.stderr.count("launch (attempt") == 3   # 1 + 2 restarts
+    assert "giving up" in out.stderr
