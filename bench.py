@@ -144,22 +144,28 @@ def bench_scheduled():
     cfg.sched_unique_slots = prof.unique_slots()
     eng = CachedEngine(cfg, table_rows=ROWS)
     epochs = 3
+    chunk = 32   # chunked dispatch: jax dispatch is async, so the host
+    # pops/stages chunk t+1 (planner C call + device_put) while the
+    # device executes chunk t — the same depth-1 pipeline the CLI
+    # training loop runs (launch/cli.py scheduled branch)
     planner = eng.make_planner(sparse, epochs=epochs)
     state = eng.init_cached_state(0)
     times = []
     for _ in range(epochs):
         t0 = time.perf_counter()
-        state, stats = eng.train_epoch_cached(state, planner, dense,
-                                              sparse32, labels,
-                                              steps=ITERS)
+        last = None
+        for _c in range(ITERS // chunk):
+            state, stats = eng.train_epoch_cached(
+                state, planner, dense, sparse32, labels, steps=chunk)
+            last = stats
         # host readback of a value depending on every step (see
         # bench_engine note on block_until_ready)
-        float(np.asarray(stats["loss"])[-1])
+        float(np.asarray(last["loss"])[-1])
         times.append(time.perf_counter() - t0)
     # epoch 1 includes compile; best of the rest
     eps = BATCH * ITERS / min(times[1:])
     planner.close()
-    _free(state, stats)
+    _free(state, last)
     return eps
 
 
@@ -324,12 +330,19 @@ def main():
     # certification lives in tests/test_traffic_hlo.py). CPU subprocess;
     # does not touch the chip.
     def run_mesh_ab():
+        # full timed A/B (no --bytes-only): wall-clock per step of the
+        # jitted shard_map programs on the 8-device mesh next to the
+        # compiled-HLO byte counts — the reference logs wall time in the
+        # same comparison (examples/ctr/run_laia.py:70-81). CPU-mesh
+        # wall-clock reflects FLOPs, not comm (collectives are memcpys
+        # there); the byte ratio is the transferable result, the
+        # ICI-projected times translate it to pod step-time terms.
         ab = subprocess.run(
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "benchmarks", "mesh_ab.py"),
-             "--batches", "24", "--pinned-rows", "1024", "--bytes-only"],
-            capture_output=True, text=True, check=True, timeout=480)
+             "--batches", "40", "--pinned-rows", "1024"],
+            capture_output=True, text=True, check=True, timeout=600)
         lines = [json.loads(l) for l in ab.stdout.strip().splitlines()]
         base = next(l for l in lines if l.get("mode") == "baseline")
         schd = next(l for l in lines if l.get("mode") == "scheduled")
@@ -342,6 +355,15 @@ def main():
                 summ["total_collective_bytes_reduction"],
             "mesh_projected_bf16_a2a_reduction":
                 summ.get("projected_bf16_a2a_reduction"),
+            "mesh_step_ms_baseline":
+                round(base["wall_s_per_step"] * 1e3, 3),
+            "mesh_step_ms_scheduled":
+                round(schd["wall_s_per_step"] * 1e3, 3),
+            "mesh_wallclock_speedup": summ.get("wallclock_speedup"),
+            "mesh_projected_ici_us_baseline":
+                summ.get("projected_ici_us_baseline"),
+            "mesh_projected_ici_us_scheduled":
+                summ.get("projected_ici_us_scheduled"),
         }
 
     if time_left() < 60:

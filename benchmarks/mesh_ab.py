@@ -201,6 +201,27 @@ def main():
     hlo_s = collective_bytes(eng_t._cached_step, state_s,
                              *eng_t.example_step_args())
 
+    # production-dtype projection from the SAME capacity model the HLO
+    # measurement validates exactly at f32 (tests/test_traffic_hlo): bf16
+    # table rows AND bf16 gradient wires on BOTH sides (the --bf16-flush
+    # compression applies to the baseline's grad push too — apples to
+    # apples). Per-chip bytes; ICI time at HERALD_ICI_GBPS effective
+    # per-chip all-to-all bandwidth (default 90 GB/s: v5e ICI is 1600
+    # Gbps/chip bidirectional => ~100 GB/s per direction, x0.9 link
+    # efficiency). The RATIO is the transferable claim — both modes ride
+    # identical links — the absolute µs just place it on a pod timescale.
+    from herald_tpu.utils.hlo_stats import exchange_a2a_bytes
+    width = model.emb_width(args.embedding_size)
+    proj_b = exchange_a2a_bytes(eng_b.exchange, 4, width * 2, 2)
+    proj_s = (exchange_a2a_bytes(eng_t.flush_exchange, 4, width * 2, 1)
+              + exchange_a2a_bytes(eng_t.exchange, 4, width * 2, 1))
+    ici_gbps = float(os.environ.get("HERALD_ICI_GBPS", 90))
+    proj_fields = {
+        "projected_bf16_a2a_reduction": round(proj_b / max(proj_s, 1), 3),
+        "projected_ici_us_baseline": round(proj_b / (ici_gbps * 1e3), 2),
+        "projected_ici_us_scheduled": round(proj_s / (ici_gbps * 1e3), 2),
+    }
+
     if args.bytes_only:
         out_s = {
             "mode": "scheduled", "devices": S,
@@ -221,24 +242,13 @@ def main():
         print(json.dumps(out_s))
         total_b = sum(v for k, v in hlo_b.items() if k != "count")
         total_s = sum(v for k, v in hlo_s.items() if k != "count")
-        # production-dtype projection from the SAME capacity model the
-        # HLO measurement validates exactly at f32 (tests/test_traffic_hlo):
-        # bf16 table rows AND bf16 gradient wires on BOTH sides (the
-        # --bf16-flush compression applies to the baseline's grad push
-        # too — apples to apples)
-        from herald_tpu.utils.hlo_stats import exchange_a2a_bytes
-        width = model.emb_width(args.embedding_size)
-        proj_b = exchange_a2a_bytes(eng_b.exchange, 4, width * 2, 2)
-        proj_s = (exchange_a2a_bytes(eng_t.flush_exchange, 4, width * 2, 1)
-                  + exchange_a2a_bytes(eng_t.exchange, 4, width * 2, 1))
         print(json.dumps({
             "summary": "scheduled (steady-state) vs baseline, bytes only",
             "a2a_bytes_reduction": round(
                 hlo_b["all-to-all"] / max(hlo_s["all-to-all"], 1), 3),
             "total_collective_bytes_reduction": round(
                 total_b / max(total_s, 1), 3),
-            "projected_bf16_a2a_reduction": round(
-                proj_b / max(proj_s, 1), 3),
+            **proj_fields,
         }))
         return
 
@@ -311,6 +321,7 @@ def main():
         "wallclock_speedup": round(wall_b / max(wall_s, 1e-9), 3),
         "baseline_overflow": overflow_b,
         "scheduled_overflow": overflow_s,
+        **proj_fields,
     }))
 
 

@@ -125,6 +125,21 @@ public:
         return n < 0 ? nullptr : &entries_[n];
     }
 
+    Entry *entry_at(int slot) { return &entries_[slot]; }
+
+    // two-stage software prefetch for the per-key transaction loop: the
+    // table spans ~40 MB of hash slots + ~130 MB of entries at reference
+    // scale, so every find() is a DRAM round trip; issuing the hash-line
+    // fetch ~16 keys ahead and the entry fetch ~4 keys ahead overlaps
+    // those latencies with useful work
+    void prefetch_hash(key_t_ key) const {
+        __builtin_prefetch(&hslots_[hash64(uint64_t(key)) & hmask_]);
+    }
+    void prefetch_entry(key_t_ key) const {
+        int32_t n = hslots_[hash64(uint64_t(key)) & hmask_];
+        if (n >= 0) __builtin_prefetch(&entries_[n]);
+    }
+
     // Insert `key`; returns the slot. If eviction was needed, *evicted is
     // filled with the victim entry (pre-overwrite copy).
     int insert(key_t_ key, bool *had_evict, Entry *evicted) {
@@ -227,6 +242,39 @@ private:
     size_t hmask_ = 0;
     std::vector<int> heads_, tails_;
 };
+
+// LSD radix sort for program keys (non-negative, < 2^31 by the planner's
+// id checks): 4 byte-passes with counting. The per-batch key sort is on
+// the single-chip critical path (plan_batch phase 3) and std::sort's
+// branchy comparisons lose to counting passes at the ~10^4-element sizes
+// batches produce. Skipped passes (all keys share a byte) cost one
+// counting scan only.
+static void radix_sort_keys(std::vector<key_t_> &v,
+                            std::vector<key_t_> &tmp) {
+    size_t n = v.size();
+    if (n < 64) {            // tiny batches: std::sort wins
+        std::sort(v.begin(), v.end());
+        return;
+    }
+    tmp.resize(n);
+    key_t_ *a = v.data(), *b = tmp.data();
+    uint32_t cnt[256];
+    for (int pass = 0; pass < 4; pass++) {
+        int sh = pass * 8;
+        std::memset(cnt, 0, sizeof cnt);
+        for (size_t i = 0; i < n; i++) cnt[(a[i] >> sh) & 255]++;
+        if (cnt[(a[0] >> sh) & 255] == n) continue;   // single bucket
+        uint32_t sum = 0;
+        for (int j = 0; j < 256; j++) {
+            uint32_t c2 = cnt[j];
+            cnt[j] = sum;
+            sum += c2;
+        }
+        for (size_t i = 0; i < n; i++) b[cnt[(a[i] >> sh) & 255]++] = a[i];
+        std::swap(a, b);
+    }
+    if (a != v.data()) std::memcpy(v.data(), a, n * sizeof(key_t_));
+}
 
 // ---------------------------------------------------------------------
 struct MicroProgram {
@@ -626,14 +674,27 @@ private:
             tick = now;
         };
 
+        // Solo fast path (nrank == 1): scoring, load balancing, the
+        // readers/planned-flush machinery, cross-worker staleness and the
+        // same-batch upgrade are all no-ops with one worker — every
+        // sample lands on worker 0 and no other holder exists to flush
+        // to or from. Skipping them (identity assignment in stream
+        // order) leaves only the cache transaction itself, which is the
+        // single-chip scheduled path's host budget. The batch KEY SET is
+        // unchanged, so slots/pulls/flushes are identical to the general
+        // path; only the within-batch sample order differs (the general
+        // path emits score-sorted order, which with one worker is an
+        // arbitrary permutation).
+        const bool solo = (nrank_ == 1);
+
         // ---- 1. affinity scoring (parallel over sample chunks) ----------
         // one random probe per (sample, scored table). Round-robin mode
         // (reference naive_scheduler, python/hetu/laia/laia.pyx:163-189)
         // skips scoring entirely.
-        std::fill(scores.begin(), scores.end(), 0);
         int n_chunks = n_threads_;
         int64_t chunk = (gbs + n_chunks - 1) / n_chunks;
-        if (assign_mode_ != 1) {
+        if (assign_mode_ != 1 && !solo) {
+            std::fill(scores.begin(), scores.end(), 0);
             pool_.parallel_for(n_chunks, [&](int c) {
                 int64_t lo = c * chunk;
                 int64_t hi = std::min<int64_t>(gbs, lo + chunk);
@@ -668,36 +729,16 @@ private:
         }
         batch_keys_.resize(nrank_);
         batch_predirty_.resize(nrank_);
-        std::vector<int> load(nrank_, 0);
-        std::vector<int64_t> order_idx(gbs);
-        std::iota(order_idx.begin(), order_idx.end(), 0);
-        std::vector<int> best(gbs);
-        std::vector<int> best_w(gbs);   // argmax worker per sample: the
-        // greedy pick below takes it O(1) while that worker has quota
-        // (identical result to the full scan — argmax over all workers
-        // equals argmax over open workers whenever the argmax is open)
-        {
-            int64_t bchunk = (gbs + n_chunks - 1) / n_chunks;
-            pool_.parallel_for(n_chunks, [&](int c) {
-                int64_t lo = c * bchunk;
-                int64_t hi = std::min<int64_t>(gbs, lo + bchunk);
-                for (int64_t i = lo; i < hi; i++) {
-                    const int *row = &scores[i * nrank_];
-                    int bw = 0;
-                    for (int z = 1; z < nrank_; z++)
-                        if (row[z] > row[bw]) bw = z;
-                    best[i] = row[bw];
-                    best_w[i] = bw;
-                }
-            });
-        }
-        std::stable_sort(order_idx.begin(), order_idx.end(),
-                         [&](int64_t a, int64_t b) {
-                             return best[a] > best[b];
-                         });
         local_of_slot_.resize(gbs);
         worker_of_local_.resize(gbs);
-        if (assign_mode_ == 1) {
+        if (solo) {
+            // identity: worker 0 takes the batch in stream order
+            for (int64_t i = 0; i < gbs; i++) {
+                mp.assign[i] = sample_index(start + i);
+                local_of_slot_[i] = int32_t(i);
+                worker_of_local_[i] = 0;
+            }
+        } else if (assign_mode_ == 1) {
             // round-robin: sample i -> worker i % nrank (reference
             // dataloader strided shard, python/hetu/dataloader.py:26)
             for (int64_t i = 0; i < gbs; i++) {
@@ -707,6 +748,34 @@ private:
                 local_of_slot_[slot] = int32_t(i);
             }
         } else {
+            std::vector<int> load(nrank_, 0);
+            std::vector<int64_t> order_idx(gbs);
+            std::iota(order_idx.begin(), order_idx.end(), 0);
+            std::vector<int> best(gbs);
+            std::vector<int> best_w(gbs);   // argmax worker per sample:
+            // the greedy pick below takes it O(1) while that worker has
+            // quota (identical result to the full scan — argmax over all
+            // workers equals argmax over open workers whenever the
+            // argmax is open)
+            {
+                int64_t bchunk = (gbs + n_chunks - 1) / n_chunks;
+                pool_.parallel_for(n_chunks, [&](int c) {
+                    int64_t lo = c * bchunk;
+                    int64_t hi = std::min<int64_t>(gbs, lo + bchunk);
+                    for (int64_t i = lo; i < hi; i++) {
+                        const int *row = &scores[i * nrank_];
+                        int bw = 0;
+                        for (int z = 1; z < nrank_; z++)
+                            if (row[z] > row[bw]) bw = z;
+                        best[i] = row[bw];
+                        best_w[i] = bw;
+                    }
+                });
+            }
+            std::stable_sort(order_idx.begin(), order_idx.end(),
+                             [&](int64_t a, int64_t b) {
+                                 return best[a] > best[b];
+                             });
             for (int64_t oi = 0; oi < gbs; oi++) {
                 int64_t i = order_idx[oi];
                 int pick = best_w[i];
@@ -741,6 +810,13 @@ private:
         // Candidate CONTENT is deterministic (exactly one first-toucher
         // wins the atomic OR); ORDER is made deterministic by a per-
         // worker sort in phase 3.
+        // solo: no other worker can read this worker's dirty rows, so
+        // the candidate/readers machinery has nothing to feed; the
+        // cold-miss hoist test below degenerates to !evicted (no other
+        // holder exists whose unflushed delta could make the value
+        // non-final; eviction-flush recency is checked by recent_flush_
+        // in hoist_into, as in the general path)
+        if (!solo) {
         if (readers_.empty()) readers_.assign(key_space_, MaskT(0));
         if (int(cand_.size()) != n_chunks) cand_.resize(n_chunks);
         if (int(touched_.size()) != n_chunks) touched_.resize(n_chunks);
@@ -781,6 +857,7 @@ private:
             for (auto &pz : prezero_)
                 prezero_set_.insert(pz.begin(), pz.end());
         }
+        }   // !solo
         lap(1);
 
         // ---- 3. per-worker cache transactions (parallel per worker) -----
@@ -833,7 +910,8 @@ private:
                 const key_t_ *s = &ids_[base[j] * num_tables_];
                 keys.insert(keys.end(), s, s + num_tables_);
             }
-            std::sort(keys.begin(), keys.end());
+            std::vector<key_t_> sort_tmp;
+            radix_sort_keys(keys, sort_tmp);
             keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
             batch_keys_[z] = keys;          // phase 5 re-reads them
 
@@ -843,8 +921,17 @@ private:
             slots.resize(keys.size());
             pulls.resize(keys.size());
             pre_dirty.assign(keys.size(), 1);
-            for (size_t q = 0; q < keys.size(); q++) {
+            const size_t nk = keys.size();
+            for (size_t q = 0; q < nk; q++) {
+                // overlap the DRAM latency of upcoming lookups (hash
+                // line ~16 ahead, entry + state word ~4 ahead)
+                if (q + 16 < nk) c.prefetch_hash(keys[q + 16]);
+                if (q + 4 < nk) {
+                    c.prefetch_entry(keys[q + 4]);
+                    __builtin_prefetch(&state_[keys[q + 4]]);
+                }
                 key_t_ key = keys[q];
+                SlotCache::Entry *ent;
                 if (key < pinned_) {
                     // pinned tier: rows [0, pinned) are replicated dense
                     // parameters updated by psum — no cache slot, no
@@ -855,6 +942,7 @@ private:
                     continue;
                 }
                 auto *e = c.find(key);
+                ent = e;
                 if (e && e->stale <= bound_) {
                     // fresh, or stale within the allowed version bound
                     // (reference bound>0 semantics: use the cached value)
@@ -894,17 +982,23 @@ private:
                     set_bits(key, cbit(z));
                     slots[q] = slot;
                     pulls[q] = 1;
+                    ent = c.entry_at(slot);
                     // a no-eviction cold miss may hoist: the slot was free
                     // since allocation (sim hands it to nobody else) and a
                     // key nobody cached pre-batch cannot have been flushed
+                    // (solo: the prezero set degenerates to the miss test
+                    // itself — see the phase-2.5 skip above)
                     note_pull(key, slot, q, !evicted
-                              && prezero_set_.count(key) != 0);
+                              && (solo || prezero_set_.count(key) != 0));
                     __atomic_fetch_add(&miss_pull_[z], 1, __ATOMIC_RELAXED);
                 }
                 // the row receives gradients this step (device phase 5
                 // runs after the flush phase, so flushing above and
-                // re-dirtying here matches the device exactly)
-                c.find(key)->dirty = true;
+                // re-dirtying here matches the device exactly). `ent` is
+                // the entry for `key` from whichever branch ran — the
+                // old re-probe (c.find) here was a second DRAM round
+                // trip per key.
+                ent->dirty = true;
                 set_bits(key, dbit(z));
             }
 
@@ -913,6 +1007,8 @@ private:
             // stashed pre-batch dirty bit is a fast filter; the live cache
             // verifies (covers evictions/flushes from the batch phase).
             long planned = 0;
+            if (solo) return;   // no other worker reads these rows: the
+            // planned-flush pass has no candidates by construction
             const MaskT dz = dbit(z);
             const MaskT me = cbit(z);
             // candidates are unique keys z held dirty pre-batch that
@@ -952,6 +1048,11 @@ private:
         };
         pool_.parallel_for(nrank_, plan_worker);
         lap(2);
+
+        if (solo) {   // phases 4-6 are cross-worker: nothing to do
+            lap(3);
+            return mp;
+        }
 
         // ---- 4. cross-worker staleness from this step's flushes ---------
         // parallel per RECEIVER: worker j scans every flush (z, key) pair
@@ -1183,24 +1284,22 @@ void hplan_pop_finish(void *h, int32_t *slots_out, uint8_t *pulls_out,
 // much as the device step at single-chip scale. Returns 0 ok, -1 end of
 // stream, -2 a worker's uniques/flushes exceed the given caps (caller
 // must treat as fatal: truncation would corrupt training).
-int hplan_pop_padded(void *h, int64_t *assign_out, int64_t u_cap,
-                     int64_t f_cap, int64_t p_cap, int64_t cache_rows,
-                     int32_t *slots_out, uint8_t *pulls_out,
-                     int32_t *flush_ids_out, int32_t *flush_slots_out,
-                     int32_t *prefetch_ids_out,
-                     int32_t *prefetch_slots_out) {
-    auto *p = static_cast<HPlanner *>(h);
-    if (!p->planner->pop(p->current)) return -1;
-    std::memcpy(assign_out, p->current.assign.data(),
-                p->current.assign.size() * sizeof(int64_t));
-    size_t nr = p->current.slots.size();
+static int pad_program(const herald::MicroProgram &cur, int64_t *assign_out,
+                       int64_t u_cap, int64_t f_cap, int64_t p_cap,
+                       int64_t cache_rows, int32_t *slots_out,
+                       uint8_t *pulls_out, int32_t *flush_ids_out,
+                       int32_t *flush_slots_out, int32_t *prefetch_ids_out,
+                       int32_t *prefetch_slots_out) {
+    std::memcpy(assign_out, cur.assign.data(),
+                cur.assign.size() * sizeof(int64_t));
+    size_t nr = cur.slots.size();
     for (size_t z = 0; z < nr; z++) {
-        auto &sl = p->current.slots[z];
-        auto &pu = p->current.pulls[z];
-        auto &fi = p->current.flush_ids[z];
-        auto &fs = p->current.flush_slots[z];
-        auto &pfi = p->current.prefetch_ids[z];
-        auto &pfs = p->current.prefetch_slots[z];
+        auto &sl = cur.slots[z];
+        auto &pu = cur.pulls[z];
+        auto &fi = cur.flush_ids[z];
+        auto &fs = cur.flush_slots[z];
+        auto &pfi = cur.prefetch_ids[z];
+        auto &pfs = cur.prefetch_slots[z];
         if (int64_t(sl.size()) > u_cap || int64_t(fi.size()) > f_cap
             || int64_t(pfi.size()) > p_cap)
             return -2;
@@ -1234,6 +1333,55 @@ int hplan_pop_padded(void *h, int64_t *assign_out, int64_t u_cap,
         }
     }
     return 0;
+}
+
+int hplan_pop_padded(void *h, int64_t *assign_out, int64_t u_cap,
+                     int64_t f_cap, int64_t p_cap, int64_t cache_rows,
+                     int32_t *slots_out, uint8_t *pulls_out,
+                     int32_t *flush_ids_out, int32_t *flush_slots_out,
+                     int32_t *prefetch_ids_out,
+                     int32_t *prefetch_slots_out) {
+    auto *p = static_cast<HPlanner *>(h);
+    if (!p->planner->pop(p->current)) return -1;
+    return pad_program(p->current, assign_out, u_cap, f_cap, p_cap,
+                       cache_rows, slots_out, pulls_out, flush_ids_out,
+                       flush_slots_out, prefetch_ids_out,
+                       prefetch_slots_out);
+}
+
+// Pop up to `steps` programs in ONE call into STACKED padded buffers
+// (row k of each buffer is program k's device layout; row strides are
+// the single-program sizes: assign nrank*mbs, slots/pulls nrank*u_cap,
+// flush nrank*f_cap, prefetch nrank*p_cap). Blocks on the producer as
+// needed — one GIL release and one ctypes call per chunk instead of per
+// step, which on a single-core host removes a per-pop Python/ctypes/
+// condvar round trip comparable to the planning work itself.
+// Returns K >= 0 programs written (0 = end of stream), or -2 if a
+// program exceeded the caps (fatal: truncation would corrupt training).
+int64_t hplan_pop_chunk_padded(void *h, int64_t steps, int64_t nrank_mbs,
+                               int64_t *assign_out, int64_t u_cap,
+                               int64_t f_cap, int64_t p_cap,
+                               int64_t cache_rows, int32_t *slots_out,
+                               uint8_t *pulls_out, int32_t *flush_ids_out,
+                               int32_t *flush_slots_out,
+                               int32_t *prefetch_ids_out,
+                               int32_t *prefetch_slots_out) {
+    auto *p = static_cast<HPlanner *>(h);
+    size_t nr = 0;
+    for (int64_t k = 0; k < steps; k++) {
+        if (!p->planner->pop(p->current)) return k;
+        nr = p->current.slots.size();
+        int rc = pad_program(
+            p->current, assign_out + k * nrank_mbs, u_cap, f_cap, p_cap,
+            cache_rows, slots_out + k * int64_t(nr) * u_cap,
+            pulls_out + k * int64_t(nr) * u_cap,
+            flush_ids_out + k * int64_t(nr) * f_cap,
+            flush_slots_out + k * int64_t(nr) * f_cap,
+            prefetch_ids_out + k * int64_t(nr) * p_cap,
+            prefetch_slots_out + k * int64_t(nr) * p_cap);
+        if (rc != 0) return -2;
+    }
+    return steps;
 }
 
 int64_t hplan_queue_length(void *h) {

@@ -115,9 +115,11 @@ class HeraldConfig:
     # --- lookahead scheduler (replaces laia/) ---
     use_scheduler: bool = False
     # planner produce-ahead depth in batches (the reference's 5-deep
-    # laia_dataloader prefetch window analog; deeper absorbs planner
-    # jitter, bounded so a killed run wastes little planned-ahead work)
-    sched_queue_size: int = 16
+    # laia_dataloader prefetch window analog). Sized to cover at least
+    # one scan chunk of lookahead so popping chunk t+1 while the device
+    # runs chunk t never stalls on the producer; bounded so a killed run
+    # wastes little planned-ahead work (~40 KB/program at default caps)
+    sched_queue_size: int = 64
     sched_top_k_tables: Optional[int] = None
     sched_threads: int = 8
     # per-epoch sample reshuffle (0 = fixed epoch order like the

@@ -62,6 +62,11 @@ class _PlannerLib:
                 ctypes.c_void_p, i64p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64, i32p, u8p, i32p, i32p,
                 i32p, i32p]
+            lib.hplan_pop_chunk_padded.restype = ctypes.c_int64
+            lib.hplan_pop_chunk_padded.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, i64p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, i32p, u8p, i32p, i32p, i32p, i32p]
             lib.hplan_queue_length.restype = ctypes.c_int64
             lib.hplan_queue_length.argtypes = [ctypes.c_void_p]
             lib.hplan_perf.argtypes = [ctypes.c_void_p,
@@ -201,10 +206,12 @@ class CachePlanner:
 
     def pop_chunk(self, steps: int):
         """Pop up to `steps` programs into freshly-allocated stacked
-        device-layout buffers. Returns (K, assign, slots, pulls,
-        flush_ids, flush_slots, prefetch_ids, prefetch_slots) with
-        K <= steps actually filled (0 at end of stream; rows beyond K are
-        uninitialized)."""
+        device-layout buffers — ONE C call (hplan_pop_chunk_padded),
+        which blocks on the producer inside C instead of bouncing a
+        Python/ctypes/condvar round trip per step. Returns (K, assign,
+        slots, pulls, flush_ids, flush_slots, prefetch_ids,
+        prefetch_slots) with K <= steps actually filled (0 at end of
+        stream; rows beyond K are uninitialized)."""
         nr = self.nrank
         P = max(self.P_cap, 1)
         assign = np.empty((steps, nr * self.mbs), np.int64)
@@ -214,12 +221,22 @@ class CachePlanner:
         fslots = np.empty((steps, nr * self.F_cap), np.int32)
         pf_ids = np.empty((steps, nr * P), np.int32)
         pf_slots = np.empty((steps, nr * P), np.int32)
-        K = 0
-        for k in range(steps):
-            if not self.pop_into(assign[k], slots[k], pulls[k], fids[k],
-                                 fslots[k], pf_ids[k], pf_slots[k]):
-                break
-            K += 1
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        K = int(self._lib.hplan_pop_chunk_padded(
+            self._h, steps, nr * self.mbs,
+            assign.ctypes.data_as(i64p), self.U_cap, self.F_cap, P,
+            self.cache_rows, slots.ctypes.data_as(i32p),
+            pulls.ctypes.data_as(u8p), fids.ctypes.data_as(i32p),
+            fslots.ctypes.data_as(i32p), pf_ids.ctypes.data_as(i32p),
+            pf_slots.ctypes.data_as(i32p)))
+        if K == -2:
+            raise RuntimeError(
+                f"a program exceeds the static caps (unique_cap "
+                f"{self.U_cap} / flush_cap {self.F_cap} / prefetch_cap "
+                f"{P}); size them from a probe pass (sched/sizing.py) or "
+                f"leave the defaults")
         return K, assign, slots, pulls, fids, fslots, pf_ids, pf_slots
 
     def pop(self) -> Optional[StepProgram]:

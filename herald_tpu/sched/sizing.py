@@ -178,13 +178,16 @@ def profile_planned_traffic(planner: CachePlanner, sparse_ids: np.ndarray,
 
 def profile_baseline_traffic(sparse_ids: np.ndarray, batch_size: int,
                              nrank: int,
-                             max_steps: Optional[int] = None
+                             max_steps: Optional[int] = None,
+                             num_shards: Optional[int] = None
                              ) -> TrafficProfile:
     """Same bucketing for the un-cached baseline engine: every unique key
     of a worker's batch is pulled AND its gradient pushed every step
     (contiguous global batches split across workers, Engine.train_epoch
-    order)."""
+    order). `num_shards` is the owner-shard count for bucketing (defaults
+    to nrank, the usual worker==shard SPMD layout)."""
     gb = batch_size * nrank
+    S = num_shards or nrank
     n_steps = len(sparse_ids) // gb
     if max_steps is not None:
         n_steps = min(n_steps, max_steps)
@@ -194,7 +197,7 @@ def profile_baseline_traffic(sparse_ids: np.ndarray, batch_size: int,
         for z in range(nrank):
             keys = np.unique(batch[z * batch_size:(z + 1) * batch_size]
                              .ravel())
-            buckets = np.bincount(keys % nrank, minlength=nrank)
+            buckets = np.bincount(keys % S, minlength=S)
             max_b = max(max_b, int(buckets.max()))
             total += len(keys)
     return TrafficProfile(

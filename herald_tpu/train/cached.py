@@ -86,10 +86,16 @@ class CachedEngine(Engine):
         self.U_cap = int(cfg.sched_unique_slots or self.ids_per_worker)
         self.F_cap = int(cfg.sched_flush_slots or self.U_cap)
         # pull smoothing: prefetch arrays are only materialized when the
-        # planner hoists (sched_pull_target set); width 1 otherwise keeps
-        # the step signature static
+        # planner will actually hoist — same three-way gate as
+        # CachePlanner (pull_target AND hoist_window AND prefetch cap);
+        # width 1 otherwise keeps the step signature static. A mismatch
+        # here (e.g. pull_target set with hoist_window=0) used to compile
+        # 128-wide prefetch buffers against a planner padding width 1 —
+        # a shape mismatch at dispatch instead of a consistent program.
         self.P_cap = (int(cfg.sched_prefetch_slots or 128)
-                      if cfg.sched_pull_target else 0)
+                      if (cfg.sched_pull_target and cfg.sched_hoist_window
+                          and int(cfg.sched_prefetch_slots or 128))
+                      else 0)
         # flush routing capacity = F_cap per (src, dst) pair: in the worst
         # case every flushed row belongs to one owner shard, and mandatory
         # flushes (eviction, stale-refresh) must never be dropped. The
@@ -502,17 +508,21 @@ class CachedEngine(Engine):
         self._unsynced = True
         idx = assign[:K]
 
-        d = self._put(raw_dense[idx], np.float32, stacked=True)
-        s = self._put(raw_sparse[idx], np.int32, stacked=True)
-        y = self._put(raw_labels[idx], np.float32, stacked=True)
-        slots_d = self._put(slots[:K], np.int32, stacked=True)
-        pulls_d = self._put(pulls[:K].view(bool), bool, stacked=True)
-        fids_d = self._put(fids[:K], np.int32, stacked=True)
-        fslots_d = self._put(fslots[:K], np.int32, stacked=True)
-        pfids_d = self._put(pfids[:K], np.int32, stacked=True)
-        pfslots_d = self._put(pfslots[:K], np.int32, stacked=True)
-        return self._cached_epoch(state, d, s, y, slots_d, pulls_d,
-                                  fids_d, fslots_d, pfids_d, pfslots_d)
+        host = (
+            raw_dense[idx].astype(np.float32, copy=False),
+            raw_sparse[idx].astype(np.int32, copy=False),
+            raw_labels[idx].astype(np.float32, copy=False),
+            slots[:K], pulls[:K].view(bool), fids[:K], fslots[:K],
+            pfids[:K], pfslots[:K])
+        # ONE batched transfer for all nine arrays: each individual
+        # device_put carries a fixed dispatch overhead comparable to the
+        # 2 MB payload itself on this transport, and the chunk staging
+        # runs on the training loop's critical path
+        if self.num_shards > 1:
+            args = jax.device_put(host, (self._kdata_sharding,) * 9)
+        else:
+            args = jax.device_put(host)
+        return self._cached_epoch(state, *args)
 
     @staticmethod
     def to_base_state(state: CachedTrainState) -> TrainState:

@@ -253,7 +253,17 @@ def load_checkpoint(path: str, like: Union[TrainState, CachedTrainState]
         f"expected {type(like).__name__}")
     reader = _BlockReader(path, int(manifest["num_processes"]))
     repl_path = os.path.join(path, "replicated.npz")
-    repl = np.load(repl_path) if os.path.exists(repl_path) else {}
+    if not os.path.exists(repl_path):
+        # a manifest without its replicated leaves means this process can
+        # only see part of the checkpoint (per-host local disks instead of
+        # shared storage): fail with the cause, not a KeyError on the
+        # first dense-param leaf much later
+        raise FileNotFoundError(
+            f"checkpoint {path!r} has a manifest but no replicated.npz — "
+            f"multi-host checkpoints must live on storage shared by every "
+            f"process (each process writes its own shard blocks and the "
+            f"leader writes replicated.npz; all must be readable here)")
+    repl = np.load(repl_path)
 
     items, treedef = _leaf_items(like)
     new_leaves = []
