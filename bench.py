@@ -164,6 +164,8 @@ def bench_scheduled():
         times.append(time.perf_counter() - t0)
     # epoch 1 includes compile; best of the rest
     eps = BATCH * ITERS / min(times[1:])
+    # per-epoch throughputs for the noise annotation (main() reads this)
+    bench_scheduled.epoch_eps = [BATCH * ITERS / t for t in times[1:]]
     planner.close()
     _free(state, last)
     return eps
@@ -256,6 +258,7 @@ def main():
         if emitted.is_set():
             return
         emitted.set()
+        spread = lambda v: [round(x, 1) for x in sorted(v)] if v else None
         out = {
             "metric": "wdl_criteo_b256_e128_examples_per_sec_per_chip",
             "value": round(ours, 1) if ours else None,
@@ -266,6 +269,14 @@ def main():
                 round(sched, 1) if sched else None,
             "scheduled_vs_naive":
                 round(sched / naive, 3) if sched and naive else None,
+            # noise annotation: every fairness-round measurement, sorted —
+            # the chip band moves +/-10% run to run (remote terminal
+            # state), so round-over-round deltas inside the spread are
+            # weather, not regressions
+            "value_spread": spread(partial["engines"]),
+            "naive_spread": spread(partial["naives"]),
+            "scheduled_spread":
+                spread(getattr(bench_scheduled, "epoch_eps", None)),
             **mesh,
         }
         if errors:
