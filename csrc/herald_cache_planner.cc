@@ -700,6 +700,11 @@ private:
                 int64_t hi = std::min<int64_t>(gbs, lo + chunk);
                 for (int64_t i = lo; i < hi; i++) {
                     const key_t_ *s = sample(start + i);
+                    if (i + 1 < hi) {     // hide the random state_ loads
+                        const key_t_ *sn = sample(start + i + 1);
+                        for (int k = 0; k < top_k_; k++)
+                            __builtin_prefetch(&state[sn[order_[k]]]);
+                    }
                     int *row = &scores[i * nrank_];
                     for (int k = 0; k < top_k_; k++) {
                         MaskT m = MaskT(state[s[order_[k]]] & low_half());
@@ -748,15 +753,32 @@ private:
                 local_of_slot_[slot] = int32_t(i);
             }
         } else {
-            std::vector<int> load(nrank_, 0);
-            std::vector<int64_t> order_idx(gbs);
-            std::iota(order_idx.begin(), order_idx.end(), 0);
-            std::vector<int> best(gbs);
+            // Quota-partitioned greedy (the reference's thread-parallel
+            // assignment, laia/src/topk_scheduler.cc:393-456, made
+            // thread-count-independent): the batch is split into a FIXED
+            // number of virtual chunks V; chunk v holds nrank * quota_v
+            // samples and may place at most quota_v of them on each
+            // worker, writing each worker's disjoint slot range
+            // [qoff_v, qoff_v + quota_v). Chunks are independent —
+            // parallel over the pool with no locks — and V is a
+            // compile-time constant, so the result is identical at any
+            // n_threads (the determinism property the stress tests pin).
+            // Within a chunk, samples greedily pick their open argmax in
+            // affinity-score order, the same rule the old global greedy
+            // applied batch-wide.
+            constexpr int V = 16;
+            int quota[V], qoff[V + 1];
+            qoff[0] = 0;
+            for (int v = 0; v < V; v++) {
+                quota[v] = mbs_ / V + (v < mbs_ % V ? 1 : 0);
+                qoff[v + 1] = qoff[v] + quota[v];
+            }
             std::vector<int> best_w(gbs);   // argmax worker per sample:
-            // the greedy pick below takes it O(1) while that worker has
-            // quota (identical result to the full scan — argmax over all
+            // the greedy pick takes it O(1) while that worker has quota
+            // (identical result to the full scan — argmax over all
             // workers equals argmax over open workers whenever the
             // argmax is open)
+            std::vector<int> best(gbs);
             {
                 int64_t bchunk = (gbs + n_chunks - 1) / n_chunks;
                 pool_.parallel_for(n_chunks, [&](int c) {
@@ -772,29 +794,37 @@ private:
                     }
                 });
             }
-            std::stable_sort(order_idx.begin(), order_idx.end(),
-                             [&](int64_t a, int64_t b) {
-                                 return best[a] > best[b];
-                             });
-            for (int64_t oi = 0; oi < gbs; oi++) {
-                int64_t i = order_idx[oi];
-                int pick = best_w[i];
-                if (load[pick] >= mbs_) {   // argmax full: fall back to
-                    const int *row = &scores[i * nrank_];  // the open scan
-                    pick = -1;
-                    int pick_score = -1;
-                    for (int z = 0; z < nrank_; z++) {
-                        if (load[z] < mbs_ && row[z] > pick_score) {
-                            pick_score = row[z];
-                            pick = z;
+            pool_.parallel_for(V, [&](int v) {
+                int64_t lo = int64_t(nrank_) * qoff[v];
+                int64_t hi = int64_t(nrank_) * qoff[v + 1];
+                const int cap = quota[v];
+                std::vector<int64_t> order_idx(hi - lo);
+                std::iota(order_idx.begin(), order_idx.end(), lo);
+                std::stable_sort(order_idx.begin(), order_idx.end(),
+                                 [&](int64_t a, int64_t b) {
+                                     return best[a] > best[b];
+                                 });
+                std::vector<int> load(nrank_, 0);
+                for (int64_t i : order_idx) {
+                    int pick = best_w[i];
+                    if (load[pick] >= cap) {   // argmax full: open scan
+                        const int *row = &scores[i * nrank_];
+                        pick = -1;
+                        int pick_score = -1;
+                        for (int z = 0; z < nrank_; z++) {
+                            if (load[z] < cap && row[z] > pick_score) {
+                                pick_score = row[z];
+                                pick = z;
+                            }
                         }
                     }
+                    int64_t slot = int64_t(pick) * mbs_ + qoff[v]
+                        + load[pick];
+                    mp.assign[slot] = sample_index(start + i);
+                    local_of_slot_[slot] = int32_t(i);
+                    load[pick]++;
                 }
-                int64_t slot = int64_t(pick) * mbs_ + load[pick];
-                mp.assign[slot] = sample_index(start + i);
-                local_of_slot_[slot] = int32_t(i);
-                load[pick]++;
-            }
+            });
         }
         for (int64_t slot = 0; slot < gbs; slot++)
             worker_of_local_[local_of_slot_[slot]] = int(slot / mbs_);
@@ -832,6 +862,11 @@ private:
             int64_t hi = std::min<int64_t>(gbs, lo + chunk);
             for (int64_t i = lo; i < hi; i++) {
                 const key_t_ *s = sample(start + i);
+                if (i + 1 < hi) {     // hide the random readers_ RMWs
+                    const key_t_ *sn = sample(start + i + 1);
+                    for (int t = 0; t < num_tables_; t++)
+                        __builtin_prefetch(&readers_[sn[t]], 1);
+                }
                 MaskT rb = cbit(worker_of_local_[i]);
                 auto &pz = prezero_[c];
                 for (int t = 0; t < num_tables_; t++) {
@@ -1019,7 +1054,7 @@ private:
             std::vector<key_t_> cand;
             for (auto &cc : cand_)
                 cand.insert(cand.end(), cc[z].begin(), cc[z].end());
-            std::sort(cand.begin(), cand.end());
+            radix_sort_keys(cand, sort_tmp);
             for (key_t_ key : cand) {
                 MaskT rm = readers_[key];
                 // my own batch keys were already flushed (refresh) or
@@ -1055,23 +1090,38 @@ private:
         }
 
         // ---- 4. cross-worker staleness from this step's flushes ---------
-        // parallel per RECEIVER: worker j scans every flush (z, key) pair
-        // and bumps only its own entries — same increments as the serial
-        // per-flusher loop (a key flushed by two workers still ages a
-        // third holder twice), but the per-cache hash probes spread
-        // across the pool instead of serializing
+        // One pass over the flush lists reads each flushed key's state
+        // word ONCE and fans the key out to every holder's candidate
+        // list (the old shape had all nrank receivers scan all flushes —
+        // nrank redundant state loads per flush); receivers then age
+        // their own entries in parallel. A key flushed by two workers is
+        // pushed twice to a third holder and still ages it twice; the
+        // flusher's own bit is masked out, as before.
+        if (int(stale_cand_.size()) != nrank_) stale_cand_.resize(nrank_);
+        for (auto &v : stale_cand_) v.clear();
+        for (int z = 0; z < nrank_; z++) {
+            auto &fl = mp.flush_ids[z];
+            const size_t nf = fl.size();
+            const MaskT not_me = MaskT(~cbit(z));
+            for (size_t x = 0; x < nf; x++) {
+                if (x + 8 < nf) __builtin_prefetch(&state[fl[x + 8]]);
+                key_t_ key = fl[x];
+                MaskT m = MaskT(state[key] & low_half() & not_me);
+                while (m) {
+                    stale_cand_[ctz_mask(m)].push_back(key);
+                    m &= MaskT(m - 1);
+                }
+            }
+        }
         pool_.parallel_for(nrank_, [&](int j) {
-            const MaskT me = cbit(j);
             SlotCache &cj = caches_[j];
-            for (int z = 0; z < nrank_; z++) {
-                if (z == j) {
-                    continue;
-                }
-                for (key_t_ key : mp.flush_ids[z]) {
-                    if (!(state[key] & me)) continue;
-                    auto *e = cj.find(key);
-                    if (e) e->stale++;
-                }
+            auto &v = stale_cand_[j];
+            const size_t n = v.size();
+            for (size_t x = 0; x < n; x++) {
+                if (x + 16 < n) cj.prefetch_hash(v[x + 16]);
+                if (x + 4 < n) cj.prefetch_entry(v[x + 4]);
+                auto *e = cj.find(v[x]);
+                if (e) e->stale++;
             }
         });
 
@@ -1086,22 +1136,52 @@ private:
         // stale-refresh path; reference cache.cc flushes dirty rows before
         // re-pulling them). Dirty or unread rows stay stale and refresh at
         // their next read, as before.
+        //
+        // Candidate set: after the batch phase every pulls[q]==0 key has
+        // stale <= bound_, and phase 4 bumps staleness only for keys in
+        // THIS batch's flush lists — so only flushed keys can cross the
+        // bound here. Iterating the flush lists (O(flushes x holders),
+        // like phase 4) instead of every batch unique per worker
+        // (O(nrank x uniques), the old loop) reproduces the exact same
+        // upgrades: phase 4 fully precedes this pass, so the first
+        // occurrence of a crossed key upgrades it (stale -> 0) and later
+        // occurrences see stale <= bound_ and skip, matching the
+        // old single-visit check against the final staleness.
         pool_.parallel_for(nrank_, [&](int z) {
             SlotCache &c = caches_[z];
             auto &keys = batch_keys_[z];
             auto &pulls = mp.pulls[z];
             auto &pre_dirty = batch_predirty_[z];
-            for (size_t q = 0; q < keys.size(); q++) {
-                if (pulls[q] || pre_dirty[q] || keys[q] < pinned_)
-                    continue;
-                auto *e = c.find(keys[q]);
+            auto try_upgrade = [&](key_t_ key, size_t q) {
+                if (pulls[q] || pre_dirty[q] || key < pinned_) return;
+                auto *e = c.find(key);
                 if (e && e->stale > bound_) {
                     pulls[q] = 1;
                     e->stale = 0;
                     if (hoisting_on())
-                        pull_used_scratch_[z][owner_of(keys[q])]++;
+                        pull_used_scratch_[z][owner_of(key)]++;
                     __atomic_fetch_add(&update_pull_[z], 1,
                                        __ATOMIC_RELAXED);
+                }
+            };
+            // identical outcomes either way; pick the cheaper scan
+            // deterministically from the (deterministic) sizes: few aged
+            // entries -> search each (phase-4 candidate = exactly the
+            // keys whose staleness moved here this batch) in my sorted
+            // batch keys; heavy batches -> one pass over my uniques
+            if (stale_cand_[z].size() < keys.size() / 4) {
+                for (key_t_ key : stale_cand_[z]) {
+                    auto it = std::lower_bound(keys.begin(),
+                                               keys.end(), key);
+                    if (it == keys.end() || *it != key) continue;
+                    try_upgrade(key, size_t(it - keys.begin()));
+                }
+            } else {
+                const size_t nk = keys.size();
+                for (size_t q = 0; q < nk; q++) {
+                    if (q + 16 < nk) c.prefetch_hash(keys[q + 16]);
+                    if (q + 4 < nk) c.prefetch_entry(keys[q + 4]);
+                    try_upgrade(keys[q], q);
                 }
             }
         });
@@ -1150,6 +1230,9 @@ private:
     std::vector<std::vector<key_t_>> prezero_;   // [chunk] keys whose
                                                  //   pre-batch word was 0
     std::unordered_set<key_t_> prezero_set_;     // merged per batch
+    std::vector<std::vector<key_t_>> stale_cand_;  // [holder] keys whose
+                                                   //   staleness moves
+                                                   //   this batch
     std::vector<HoistInfo> hoist_scratch_;       // per worker, per batch
     std::vector<std::vector<int>> pull_used_scratch_;  // [z][owner]
     std::unordered_map<key_t_, int64_t> recent_flush_; // key -> last flush

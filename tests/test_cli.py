@@ -111,3 +111,32 @@ def test_config_override_resolves_embed_fields(tmp_path):
     cfgf2.write_text(HeraldConfig(pinned_rows=32).to_json())
     args3 = build_parser().parse_args(["--config", str(cfgf2)])
     assert resolve_config(args3).pinned_rows == 0
+
+
+def test_cli_per_epoch_eval_records():
+    """--nepoch 3 produces 3 per-epoch validation records in all modes
+    (reference run_laia.py:266-289 logs train loss + val AUC every epoch;
+    VERDICT r2 missing #2). Scheduled-mode records carry the documented
+    unsynced-cache approximation flag."""
+    common = ["--model", "wdl_criteo", "--comm", "local",
+              "--batch-size", "16", "--samples", "1280", "--rows", "2000",
+              "--lr", "0.5", "--nepoch", "3", "--scan-steps", "5",
+              "--val-ratio", "0.2", "--seed", "3"]
+    base = run_training(build_parser().parse_args(common))
+    assert len(base["epochs"]) == 3
+    for ep, rec in enumerate(base["epochs"]):
+        assert rec["epoch"] == ep
+        assert rec["train_loss"] is not None
+        assert 0.0 <= rec["val_auc"] <= 1.0
+    # epoch evals see progressively trained states, the last one matching
+    # a final-eval-only run's metric trajectory
+    assert base["epochs"][-1]["val_auc"] == base["val_auc"]
+
+    sched = run_training(build_parser().parse_args(
+        common + ["--scheduled", "--cache-limit-ratio", "0.5"]))
+    assert len(sched["epochs"]) == 3
+    assert all(r.get("val_approx_unsynced_cache") for r in sched["epochs"])
+
+    # prefetcher path (default) vs direct both record epochs
+    nopf = run_training(build_parser().parse_args(common + ["--no-prefetch"]))
+    assert len(nopf["epochs"]) == 3
