@@ -541,14 +541,23 @@ def run_training(args) -> dict:
         state = eng.init_state(cfg.seed)
         gb = cfg.batch_size * max(eng.num_shards, 1)
         steps_per_epoch = len(trn[1]) // gb
-        from herald_tpu.sched.scheduler import NativeScheduler
-        sched = NativeScheduler(
+        # the window-protocol consumer (reference laia_dataloader) over
+        # the native scheduler; multi-process runs plan ONCE on the
+        # leader and broadcast assignments (same fan-out contract as the
+        # cached path's BroadcastPlanner)
+        from herald_tpu.sched.scheduler import LookaheadScheduler
+        make_sched = lambda: LookaheadScheduler(
             trn[1], nrank=max(eng.num_shards, 1),
-            batch_size=cfg.batch_size, batch_num=steps_per_epoch,
-            epochs=args.nepoch, cache_size=cfg.cache_rows(rows),
-            top_k=cfg.sched_top_k_tables or 0,
+            batch_size=cfg.batch_size, cache_size=cfg.cache_rows(rows),
+            epochs=args.nepoch, top_k=cfg.sched_top_k_tables or 0,
             n_threads=cfg.sched_threads)
-        sched.start()
+        if jax.process_count() > 1:
+            from herald_tpu.sched.service import BroadcastScheduler
+            sched = BroadcastScheduler(make_sched,
+                                       nrank=max(eng.num_shards, 1),
+                                       batch_size=cfg.batch_size)
+        else:
+            sched = make_sched()
         done = 0
         if args.resume:
             state = load_checkpoint(args.resume, state)

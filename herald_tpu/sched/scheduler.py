@@ -159,12 +159,14 @@ class LookaheadScheduler:
                  drop_last: bool = True):
         n = len(sparse_ids)
         self.samples_per_worker = n // nrank
-        self.batch_size = min(batch_size,
-                              max(1, self.samples_per_worker // queue_size))
+        # keep the REQUESTED batch size (the CLI's compiled step shapes
+        # depend on it) and narrow the window on tiny streams instead
+        self.batch_size = min(batch_size, max(1, self.samples_per_worker))
         self.batch_num = (self.samples_per_worker // self.batch_size
                           if drop_last else int(np.ceil(
                               self.samples_per_worker / self.batch_size)))
         self.nrank = nrank
+        self.epochs = epochs
         self.queue_size = min(queue_size, self.batch_num)
         self.native = NativeScheduler(
             sparse_ids, nrank, self.batch_size, self.batch_num, epochs,
@@ -215,5 +217,24 @@ class LookaheadScheduler:
             self._arr_map[new_batch] = slot
             self._min_served += 1
 
+    def pop(self):
+        """Sequential-consumer facade over the window (the CLI's
+        assign-only loop and the reference's training loop both walk
+        batches in order): returns (assignment [nrank, mbs],
+        plans-of-next-batch) and advances the window; None at end of
+        stream. get_batch/step_forward remain for random-access
+        consumers."""
+        if self._step >= self.batch_num * self.epochs:
+            return None
+        out = self.get_batch(self._step % self.batch_num)
+        self.step_forward()
+        return out
+
+    def iter_time_us(self) -> int:
+        return self.native.iter_time_us()
+
     def perf(self):
         return self.native.perf()
+
+    def close(self):
+        self.native.close()
