@@ -103,9 +103,12 @@ public:
     void init(int capacity, Policy policy = Policy::LRU) {
         cap_ = capacity;
         policy_ = policy;
-        // LFUOPT: reference kUseCntMax = 10 (lfuopt_cache.h:19)
-        freq_cap_ = policy == Policy::LRU ? 0
-                    : policy == Policy::LFUOPT ? 10 : 255;
+        // LFUOPT: reference kUseCntMax = 10 (lfuopt_cache.h:19). LFU
+        // keeps EXACT unbounded counts via the sparse bucket pool below
+        // (the reference LFUCache's 2-D frequency list,
+        // src/hetu_cache/src/lfu_cache.cc:43-71); freq_cap_ only gates
+        // the array-bucket policies.
+        freq_cap_ = policy == Policy::LFUOPT ? 10 : 0;
         entries_.assign(capacity,
                         Entry{0, false, 0, 0, -1, -1, -1, false});
         for (int s = 0; s < capacity; s++) {
@@ -118,6 +121,9 @@ public:
         hmask_ = want - 1;
         heads_.assign(freq_cap_ + 1, -1);
         tails_.assign(freq_cap_ + 1, -1);
+        fpool_.clear();
+        ffree_.clear();
+        fb_low_ = -1;
     }
 
     Entry *find(key_t_ key) {
@@ -161,14 +167,40 @@ public:
         e.stale = 0;
         e.freq = 0;
         e.used = true;
-        attach_front(slot);
+        if (policy_ == Policy::LFU) {
+            // reference _create (lfu_cache.cc:43-48): join the use=1
+            // bucket, creating it as the new lowest if absent
+            if (fb_low_ < 0 || fpool_[fb_low_].use > 1)
+                fb_insert_after(fb_alloc(1), -1);
+            fb_push_front(fb_low_, slot);
+        } else {
+            attach_front(slot);
+        }
         hslots_[probe(key)] = int32_t(slot);
         return slot;
     }
 
     void touch(int slot) {
-        detach(slot);
         Entry &e = entries_[slot];
+        if (policy_ == Policy::LFU) {
+            // reference _increase (lfu_cache.cc:52-71): move to the
+            // use+1 bucket, creating it in place if absent; drop the
+            // old bucket when it empties. Exact unbounded counts.
+            int b = e.freq;
+            long use = fpool_[b].use;
+            int nb = fpool_[b].next;
+            fb_detach(b, slot);
+            if (nb >= 0 && fpool_[nb].use == use + 1) {
+                fb_push_front(nb, slot);
+            } else {
+                int t = fb_alloc(use + 1);
+                fb_insert_after(t, b);
+                fb_push_front(t, slot);
+            }
+            if (fpool_[b].head < 0) fb_remove(b);
+            return;
+        }
+        detach(slot);
         if (policy_ != Policy::LRU && e.freq < freq_cap_) e.freq++;
         attach_front(slot);
     }
@@ -206,6 +238,8 @@ private:
     }
 
     int victim() const {
+        if (policy_ == Policy::LFU)
+            return fpool_[fb_low_].tail;   // lowest use, LRU within it
         // lowest non-empty frequency bucket, LRU within it. Under LFUOPT
         // the top (permanent) bucket is exempt unless it is all there is.
         int top = policy_ == Policy::LFUOPT ? freq_cap_ - 1 : freq_cap_;
@@ -216,11 +250,69 @@ private:
 
     void detach(int s) {
         Entry &e = entries_[s];
+        if (policy_ == Policy::LFU) {
+            int b = e.freq;
+            fb_detach(b, s);
+            if (fpool_[b].head < 0) fb_remove(b);
+            return;
+        }
         int f = e.freq;
         if (e.lru_prev >= 0) entries_[e.lru_prev].lru_next = e.lru_next;
         else heads_[f] = e.lru_next;
         if (e.lru_next >= 0) entries_[e.lru_next].lru_prev = e.lru_prev;
         else tails_[f] = e.lru_prev;
+        e.lru_prev = e.lru_next = -1;
+    }
+
+    // ---- exact-LFU bucket pool: occupied use-counts form an intrusive
+    // list of buckets ordered by use, each an LRU list of slots (the
+    // reference LFUCache's list<CountList>, lfu_cache.h:20-31) — index-
+    // based so steady state allocates nothing. For LFU entries, e.freq
+    // holds the entry's BUCKET index; the bucket holds the use count.
+    int fb_alloc(long use) {
+        int b;
+        if (!ffree_.empty()) {
+            b = ffree_.back();
+            ffree_.pop_back();
+        } else {
+            b = int(fpool_.size());
+            fpool_.push_back(FBucket{});
+        }
+        fpool_[b] = FBucket{use, -1, -1, -1, -1};
+        return b;
+    }
+    void fb_insert_after(int b, int prev) {   // prev -1 => new lowest
+        FBucket &B = fpool_[b];
+        B.prev = prev;
+        B.next = prev < 0 ? fb_low_ : fpool_[prev].next;
+        if (B.next >= 0) fpool_[B.next].prev = b;
+        if (prev < 0) fb_low_ = b;
+        else fpool_[prev].next = b;
+    }
+    void fb_remove(int b) {
+        FBucket &B = fpool_[b];
+        if (B.prev >= 0) fpool_[B.prev].next = B.next;
+        else fb_low_ = B.next;
+        if (B.next >= 0) fpool_[B.next].prev = B.prev;
+        ffree_.push_back(b);
+    }
+    void fb_push_front(int b, int s) {
+        FBucket &B = fpool_[b];
+        Entry &e = entries_[s];
+        e.freq = b;
+        e.lru_prev = -1;
+        e.lru_next = B.head;
+        if (B.head >= 0) entries_[B.head].lru_prev = s;
+        else B.tail = s;
+        B.head = s;
+    }
+    void fb_detach(int b, int s) {
+        FBucket &B = fpool_[b];
+        Entry &e = entries_[s];
+        if (e.lru_prev >= 0) entries_[e.lru_prev].lru_next = e.lru_next;
+        else B.head = e.lru_next;
+        if (e.lru_next >= 0) entries_[e.lru_next].lru_prev = e.lru_prev;
+        else B.tail = e.lru_prev;
         e.lru_prev = e.lru_next = -1;
     }
     void attach_front(int s) {
@@ -233,6 +325,8 @@ private:
         if (tails_[f] < 0) tails_[f] = s;
     }
 
+    struct FBucket { long use; int head; int tail; int prev; int next; };
+
     int cap_ = 0;
     Policy policy_ = Policy::LRU;
     int freq_cap_ = 0;
@@ -241,6 +335,9 @@ private:
     std::vector<int32_t> hslots_;
     size_t hmask_ = 0;
     std::vector<int> heads_, tails_;
+    std::vector<FBucket> fpool_;   // exact-LFU buckets
+    std::vector<int> ffree_;
+    int fb_low_ = -1;
 };
 
 // LSD radix sort for program keys (non-negative, < 2^31 by the planner's
