@@ -42,3 +42,8 @@ def lib_path(rebuild: bool = False) -> str:
 def planner_lib_path(rebuild: bool = False) -> str:
     """Compile (if needed) and return the cache-planner shared library."""
     return _build("herald_cache_planner.cc", "libherald_planner.so", rebuild)
+
+
+def preproc_lib_path(rebuild: bool = False) -> str:
+    """Compile (if needed) and return the raw-data preprocessor library."""
+    return _build("herald_preproc.cc", "libherald_preproc.so", rebuild)

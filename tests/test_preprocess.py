@@ -128,3 +128,40 @@ def test_movie_npz_layout(tmp_path):
     np.testing.assert_array_equal(s[:, 0], users)
     np.testing.assert_array_equal(s[:, 1], items)
     np.testing.assert_array_equal(y.reshape(-1), labels)
+
+
+def test_fast_preprocessor_bit_identical(tmp_path):
+    """The native parser (csrc/herald_preproc.cc, used automatically for
+    production-size files) produces BIT-IDENTICAL .npy outputs to the
+    pure-Python path: same sorted-unique label encoding, same dense
+    transform bits (both sides strtod-parse), same seeded split."""
+    from herald_tpu.data.preprocess import (fast_preprocess_table,
+                                            preprocess_table, _read_delim)
+    rng = np.random.default_rng(11)
+    rows = []
+    for _ in range(400):
+        r = [str(int(rng.integers(0, 2)))]
+        # ints, floats, negatives, and missing dense cells
+        r += ["" if rng.random() < 0.2
+              else str(round(float(rng.normal()) * 10, 3))
+              for _ in range(13)]
+        r += ["" if rng.random() < 0.15
+              else f"{int(rng.integers(0, 40)):08x}" for _ in range(26)]
+        rows.append(r)
+    raw = tmp_path / "train.txt"
+    raw.write_text("\n".join("\t".join(r) for r in rows) + "\n")
+
+    slow_dir, fast_dir = tmp_path / "slow", tmp_path / "fast"
+    preprocess_table(_read_delim(str(raw), "\t", False), label_col=0,
+                     dense_cols=list(range(1, 14)),
+                     sparse_cols=list(range(14, 40)),
+                     out_dir=str(slow_dir), seed=9)
+    fast_preprocess_table(str(raw), "\t", False, 0, list(range(1, 14)),
+                          list(range(14, 40)), str(fast_dir), seed=9)
+    for name in ("train_dense_feats.npy", "train_sparse_feats.npy",
+                 "train_labels.npy", "test_dense_feats.npy",
+                 "test_sparse_feats.npy", "test_labels.npy"):
+        a = np.load(slow_dir / name)
+        b = np.load(fast_dir / name)
+        assert a.dtype == b.dtype and a.shape == b.shape, name
+        np.testing.assert_array_equal(a, b, err_msg=name)
