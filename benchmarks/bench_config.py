@@ -74,7 +74,12 @@ def main():
     ap.add_argument("--scheduled", action="store_true",
                     help="measure the cache path (planner micro-programs) "
                          "instead of the plain engine")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (the smoke test pins the "
+                         "script on cpu; default: the real chip)")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     cfg = HeraldConfig(model=args.model, batch_size=args.batch_size,
                        embedding_dim=args.embedding_size,
