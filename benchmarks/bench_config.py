@@ -52,13 +52,21 @@ def bench_scheduled(args, cfg, model):
     cfg.sched_flush_slots = prof.flush_slots()
     cfg.sched_unique_slots = prof.unique_slots()
     eng = CachedEngine(cfg, table_rows=args.rows)
-    planner = eng.make_planner(sparse, epochs=3)
+    epochs = 4
+    planner = eng.make_planner(sparse, epochs=epochs)
     state = eng.init_cached_state(0)
+    # chunked dispatch (depth-1 pipeline, same as bench.py/the CLI): the
+    # host pops/stages chunk t+1 while the device runs chunk t
+    chunk = max(1, min(32, K // 4))
     times = []
-    for _ in range(3):
+    for _ in range(epochs):
         t0 = time.perf_counter()
-        state, stats = eng.train_epoch_cached(state, planner, dense,
-                                              sparse32, labels, steps=K)
+        done, stats = 0, None
+        while done < K:
+            k = min(chunk, K - done)
+            state, stats = eng.train_epoch_cached(
+                state, planner, dense, sparse32, labels, steps=k)
+            done += k
         float(np.asarray(stats["loss"])[-1])
         times.append(time.perf_counter() - t0)
     return args.batch_size * K / min(times[1:])
