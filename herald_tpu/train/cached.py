@@ -3,8 +3,10 @@
 The device half of the Herald design. State adds two per-worker arrays to
 the base engine (sharded so each mesh shard holds its own block):
 
-    cache_data  [nrank*C, W]  cached row values (locally updated)
-    cache_delta [nrank*C, W]  accumulated unflushed gradients
+    cache [nrank*C, 2W] f32: columns [0,W) = cached row values (locally
+    updated, quantized through table_dtype), columns [W,2W) = accumulated
+    unflushed gradient deltas — fused so the per-step cache update is
+    one scatter (see CachedTrainState)
 
 and each step executes the planner's micro-program
 (herald_tpu/sched/planner.py) in a fixed phase order:
@@ -52,8 +54,17 @@ class CachedTrainState(NamedTuple):
     dense: Dict[str, jnp.ndarray]
     dense_slots: Dict[str, Dict[str, jnp.ndarray]]
     step: jnp.ndarray
-    cache_data: jnp.ndarray    # [nrank*C, W]
-    cache_delta: jnp.ndarray   # [nrank*C, W] fp32
+    # FUSED cache: [nrank*C, 2*W] f32 — columns [0, W) = cached row
+    # values (quantized through table_dtype so storage precision matches
+    # a separate table_dtype array bit-for-bit), columns [W, 2W) =
+    # accumulated unflushed gradient deltas. One array so each step's
+    # cache update is ONE scatter over [U, 2W] rows instead of two
+    # U-wide scatters — scatter cost is per-index on v5e
+    # (docs/PERF_NOTES.md), and the two separate scatters were 2/3 of
+    # the cached step's device time. Kept 2-D (flat columns, not a
+    # [C, 2, W] plane axis): CPU-backend gathers on 3-D arrays lower
+    # ~5x slower, and the virtual-CPU-mesh tests/AB ride that path.
+    cache: jnp.ndarray
     # pinned hot tier (cfg.pinned_rows > 0): replicated [P, W] block of the
     # hottest rows + its optimizer slots, updated via psum every step.
     # [1, W] placeholder when the tier is off (NamedTuple keeps the field).
@@ -138,17 +149,13 @@ class CachedEngine(Engine):
                           ) -> CachedTrainState:
         base = super().init_state(seed)
         nr = max(self.num_shards, 1)
-        shape = (nr * self.cache_rows, self.width)
+        shape = (nr * self.cache_rows, 2 * self.width)
         if self.num_shards > 1:
             sh = NamedSharding(self.mesh, P(self.axis, None))
-            cache_data = jax.jit(
-                lambda: jnp.zeros(shape, self.cfg.table_dtype),
-                out_shardings=sh)()
-            cache_delta = jax.jit(lambda: jnp.zeros(shape, jnp.float32),
-                                  out_shardings=sh)()
+            cache = jax.jit(lambda: jnp.zeros(shape, jnp.float32),
+                            out_shardings=sh)()
         else:
-            cache_data = jnp.zeros(shape, self.cfg.table_dtype)
-            cache_delta = jnp.zeros(shape, jnp.float32)
+            cache = jnp.zeros(shape, jnp.float32)
         # pinned tier: hot block initialized FROM the owner table rows so
         # the table's logical rows [0, P) and hot_table agree at step 0.
         # Under the strided layout their physical positions are scattered
@@ -184,17 +191,25 @@ class CachedEngine(Engine):
         else:
             hot_slots = {k: jnp.zeros((prows, self.width), jnp.float32)
                          for k in self.embed_opt.slot_names}
-        return CachedTrainState(*base, cache_data=cache_data,
-                                cache_delta=cache_delta, hot_table=hot,
+        return CachedTrainState(*base, cache=cache, hot_table=hot,
                                 hot_slots=hot_slots)
 
     # ------------------------------------------------------------------
     # per-device bodies
     # ------------------------------------------------------------------
-    def _flush_phase(self, table, table_slots, step, cache_delta,
+    def _flush_phase(self, table, table_slots, step, cache,
                      flush_ids, flush_slots):
         C = self.cache_rows
-        deltas = cache_delta.at[flush_slots].get(mode="fill", fill_value=0)
+        W = self.width
+        # FULL-ROW gather/scatter at the flush slots: the deltas live in
+        # columns [W, 2W), but a column-offset scatter into the fused
+        # cache loses XLA's in-place row-scatter lowering (measured ~8x
+        # whole-step regression — it materializes cache-sized copies);
+        # gathering the whole [F, 2W] rows, zeroing the delta half and
+        # writing the rows back keeps the value columns bit-identical
+        # and stays on the aliased scatter path. F is tiny (flush_cap).
+        frows = cache.at[flush_slots].get(mode="fill", fill_value=0)
+        deltas = frows[:, W:]
         flush_overflow = jnp.zeros((), jnp.int32)
         if self.num_shards > 1:
             route = ex.route_ids(self.flush_exchange, flush_ids,
@@ -227,11 +242,13 @@ class CachedEngine(Engine):
         for k in table_slots:
             new_table_slots[k] = table_slots[k].at[drop_idx].set(
                 new_slots[k].astype(table_slots[k].dtype), mode="drop")
-        # zero flushed deltas (positive-OOB sentinel C is dropped)
-        zero = jnp.zeros((flush_slots.shape[0], cache_delta.shape[-1]),
-                         cache_delta.dtype)
-        cache_delta = cache_delta.at[flush_slots].set(zero, mode="drop")
-        return table, new_table_slots, cache_delta, flush_overflow
+        # zero flushed deltas: write the gathered rows back with the
+        # delta half zeroed (positive-OOB sentinel C is dropped; value
+        # columns round-trip unchanged)
+        zeroed = jnp.concatenate(
+            [frows[:, :W], jnp.zeros_like(deltas)], axis=1)
+        cache = cache.at[flush_slots].set(zeroed, mode="drop")
+        return table, new_table_slots, cache, flush_overflow
 
     def _cached_step_body(self, state: CachedTrainState, dense_x, ids,
                           labels, slots, pulls, flush_ids, flush_slots,
@@ -241,8 +258,8 @@ class CachedEngine(Engine):
         step = state.step + 1
 
         # phase 1: flush
-        table, table_slots, cache_delta, flush_overflow = self._flush_phase(
-            state.table, state.table_slots, step, state.cache_delta,
+        table, table_slots, cache, flush_overflow = self._flush_phase(
+            state.table, state.table_slots, step, state.cache,
             flush_ids, flush_slots)
 
         # phase 2: pull missed/stale rows from the updated table, plus
@@ -266,18 +283,27 @@ class CachedEngine(Engine):
         # phase 3: insert PREFETCHED rows only — batch-key inserts are
         # fused into the phase-5 update write below (the forward selects
         # pulled vs resident values directly, saving one full-width
-        # scatter pass per step)
-        cache_data = state.cache_data
+        # scatter pass per step). Prefetch slots are VIRGIN by the
+        # planner's hoist contract (no-eviction free slots), so their
+        # delta plane is already 0 and writing both planes is exact.
         pf_write = jnp.where(pf_ids >= 0, pf_slots, C + 1)
-        cache_data = cache_data.at[pf_write].set(
-            pulled[self.U_cap:].astype(cache_data.dtype), mode="drop")
+        pf_rows = jnp.concatenate(
+            [pulled[self.U_cap:].astype(jnp.float32),
+             jnp.zeros((pf_ids.shape[0], self.width), jnp.float32)],
+            axis=1)
+        cache = cache.at[pf_write].set(pf_rows, mode="drop")
 
         # phase 4: forward — pulled keys read the fresh wire rows, the
         # rest read their resident cache slots (equivalent to inserting
         # first, without the insert scatter); pinned rows read from the
         # local replica of the hot block (their planner slots are the
-        # OOB sentinel, so the cache read contributes zeros there)
-        resident = cache_data.at[slots].get(mode="fill", fill_value=0)
+        # OOB sentinel, so the cache read contributes zeros there).
+        # ONE fused gather fetches value + delta planes together; the
+        # delta plane feeds phase 5's set-write (reading it HERE, after
+        # the flush-phase zeroing, is what makes set semantics exact).
+        res2 = cache.at[slots].get(mode="fill", fill_value=0)
+        resident = res2[:, : self.width]
+        delta_old = res2[:, self.width:]
         emb_uniq = jnp.where((pulls & (uniq >= 0))[:, None],
                              pulled[: self.U_cap].astype(resident.dtype),
                              resident)
@@ -307,23 +333,25 @@ class CachedEngine(Engine):
             state.dense, dgrads, state.dense_slots, step,
             lr=self._lr_fn(step))
 
-        # phase 5: local optimistic update + delta accumulation. The
-        # batch keys' cache write happens HERE, once: updated value =
-        # (pulled-or-resident forward value) - lr*grad — identical to
-        # insert-then-add, one scatter cheaper. Pinned keys keep slot C
-        # (OOB, dropped); their grads ride the hot-tier path below.
+        # phase 5: local optimistic update + delta accumulation in ONE
+        # scatter. The batch keys' cache write happens HERE, once:
+        # value plane = (pulled-or-resident forward value) - lr*grad,
+        # quantized through table_dtype so stored precision matches the
+        # old separate table_dtype array bit-for-bit; delta plane =
+        # delta_old + grad, where delta_old came from the POST-FLUSH
+        # fused gather (phase 4), making a set-write identical to the
+        # old read-modify-write add (flushed/evicted/virgin slots all
+        # gathered 0). Pinned keys carry slot C (OOB) — their write
+        # drops and their grads ride the hot-tier path below.
         g_uniq = jax.ops.segment_sum(
             emb_grad.reshape(-1, self.width), inv.reshape(-1),
             num_segments=self.U_cap)
         upd_slots = jnp.where(uniq >= 0, slots, C + 1)
         lr = self._elr_fn(step)
-        # pinned keys carry slot C (OOB) — their write drops here and
-        # their grads ride the hot-tier path below
-        cache_data = cache_data.at[upd_slots].set(
-            (emb_uniq.astype(jnp.float32)
-             - lr * g_uniq).astype(cache_data.dtype), mode="drop")
-        cache_delta = cache_delta.at[upd_slots].add(
-            g_uniq.astype(cache_delta.dtype), mode="drop")
+        new_data = (emb_uniq.astype(jnp.float32) - lr * g_uniq).astype(
+            self.cfg.table_dtype).astype(jnp.float32)
+        upd_rows = jnp.concatenate([new_data, delta_old + g_uniq], axis=1)
+        cache = cache.at[upd_slots].set(upd_rows, mode="drop")
 
         # pinned tier update: exact synchronous SGD on the replicated hot
         # block. Multi-shard: reduce-scatter the touched-row grads, each
@@ -360,18 +388,17 @@ class CachedEngine(Engine):
 
         new_state = CachedTrainState(
             table=table, table_slots=table_slots, dense=dense,
-            dense_slots=dense_slots, step=step, cache_data=cache_data,
-            cache_delta=cache_delta, hot_table=hot_table,
-            hot_slots=hot_slots)
+            dense_slots=dense_slots, step=step, cache=cache,
+            hot_table=hot_table, hot_slots=hot_slots)
         return new_state, {"loss": loss, "overflow": overflow}
 
     def _flush_only_body(self, state: CachedTrainState, flush_ids,
                          flush_slots):
-        table, table_slots, cache_delta, _ = self._flush_phase(
+        table, table_slots, cache, _ = self._flush_phase(
             state.table, state.table_slots, state.step + 1,
-            state.cache_delta, flush_ids, flush_slots)
+            state.cache, flush_ids, flush_slots)
         return state._replace(table=table, table_slots=table_slots,
-                              cache_delta=cache_delta)
+                              cache=cache)
 
     def _cached_epoch_body(self, state, dense_k, ids_k, labels_k, slots_k,
                            pulls_k, fids_k, fslots_k, pfids_k, pfslots_k):
@@ -401,8 +428,7 @@ class CachedEngine(Engine):
                     lambda _: {k: P() for k in self.dense_opt.slot_names},
                     dense_tree),
                 step=P(),
-                cache_data=P(ax, None),
-                cache_delta=P(ax, None),
+                cache=P(ax, None),
                 hot_table=P(),
                 # hot optimizer slots are row-sharded: each shard applies
                 # the optimizer to its reduce-scattered block
