@@ -45,8 +45,12 @@ def main():
                          "program before switching to the steady one")
     ap.add_argument("--hoist", action="store_true",
                     help="enable planner pull smoothing (prefetch "
-                         "hoisting): pull capacity sized near the MEAN "
-                         "bucket instead of the max")
+                         "hoisting): sweep pull targets, size the pull "
+                         "capacity from the measured post-hoist maxima")
+    ap.add_argument("--hoist-window", type=int, default=16,
+                    help="planner smoothing lookahead (batches); 16 "
+                         "saturates the leveling win on the A/B stream "
+                         "(8 -> 1.83x, 16/32 -> 1.90x)")
     ap.add_argument("--bytes-only", action="store_true",
                     help="skip the timed mesh runs: plan, size, compile "
                          "and report the per-step collective bytes only "
@@ -184,13 +188,22 @@ def main():
     # tests/test_hoisting.py)
     hoist = {}
     if args.hoist:
-        hoist = {"sched_pull_target": steady.pull_target(),
-                 "sched_hoist_window": 8,
-                 "sched_prefetch_slots": 256}
+        # sweep pull targets and size the tight capacities from the
+        # measured POST-hoist maxima of the best stream (honest sizing —
+        # the planner is deterministic, so the profiled stream IS the
+        # execution stream and the overflow counter certifies the fit)
+        from herald_tpu.sched.sizing import (hoist_target_candidates,
+                                             sweep_hoist_sizing)
+        base_hoist = {"sched_hoist_window": args.hoist_window,
+                      "sched_prefetch_slots": 256}
+        cands = hoist_target_candidates(steady, S, S)
+        target, steady = sweep_hoist_sizing(
+            HeraldConfig(**{**cfg_s.__dict__, **base_hoist}),
+            args.rows, sparse, S, W, cands, epochs=1)
+        hoist = {**base_hoist, "sched_pull_target": target}
     cfg_c = HeraldConfig(**{**cfg_s.__dict__, **widths, **hoist})
     eng_c = CachedEngine(cfg_c, table_rows=args.rows)   # wide capacities
-    cap = (steady.hoisted_pull_capacity() if args.hoist
-           else steady.pull_capacity())
+    cap = steady.pull_capacity()
     cfg_t = HeraldConfig(**{**cfg_s.__dict__, **widths, **hoist,
                             "a2a_pull_capacity": cap,
                             "a2a_flush_capacity": steady.flush_capacity()})

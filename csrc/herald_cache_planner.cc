@@ -672,6 +672,17 @@ private:
     // the sim guarantees the cache slot stays untouched until the
     // original batch, and the window manager runs single-threaded on the
     // producer, so everything stays deterministic.
+    //
+    // LEVELING rule: a pull hoists into the LEAST-FILLED eligible window
+    // entry w, and only when that strictly helps the stream max:
+    //     w.bucket < max(pull_target_, e.bucket - 1)
+    // The first arm is the classic fill-to-target move; the second keeps
+    // smoothing when the target is unattainable (a peak taller than the
+    // window can absorb at target level) — moving a pull from a bucket
+    // of X to one of <= X-2 lowers (or at worst preserves) the stream
+    // max, since both end <= X-1 < X. The static capacity is sized by
+    // the stream MAX (sizing.py TrafficProfile), so leveling above
+    // target still cuts wire width where fill-to-target alone cannot.
     void hoist_into(std::deque<WindowEntry> &window, WindowEntry &e) {
         for (int z = 0; z < nrank_; z++) {
             auto &h = hoist_scratch_[z];
@@ -681,20 +692,32 @@ private:
                 if (e.pull_used[z][ow] <= pull_target_) continue;
                 auto it = recent_flush_.find(key);
                 int64_t lastf = it == recent_flush_.end() ? -1 : it->second;
+                // least-filled eligible entry (earliest wins ties —
+                // deterministic, and earlier entries leave the window
+                // first so their room is the scarcest)
+                WindowEntry *best = nullptr;
+                int best_used = INT_MAX;
                 for (auto &w : window) {
                     if (w.seq < lastf) continue;   // value not final yet
-                    if (w.pull_used[z][ow] >= pull_target_) continue;
                     if (w.prefetch_n[z] >= prefetch_cap_) continue;
-                    w.mp.prefetch_ids[z].push_back(key);
-                    w.mp.prefetch_slots[z].push_back(h.slots[i]);
-                    w.pull_used[z][ow]++;
-                    w.prefetch_n[z]++;
-                    e.mp.pulls[z][h.qidx[i]] = 0;
-                    e.pull_used[z][ow]--;
-                    // perf() reads concurrently with atomic loads
-                    __atomic_fetch_add(&hoisted_[z], 1L, __ATOMIC_RELAXED);
-                    break;
+                    int used = w.pull_used[z][ow];
+                    if (used < best_used) {
+                        best = &w;
+                        best_used = used;
+                        if (used == 0) break;      // can't do better
+                    }
                 }
+                int lim = std::max(pull_target_, e.pull_used[z][ow] - 1);
+                if (!best || best_used >= lim) continue;
+                WindowEntry &w = *best;
+                w.mp.prefetch_ids[z].push_back(key);
+                w.mp.prefetch_slots[z].push_back(h.slots[i]);
+                w.pull_used[z][ow]++;
+                w.prefetch_n[z]++;
+                e.mp.pulls[z][h.qidx[i]] = 0;
+                e.pull_used[z][ow]--;
+                // perf() reads concurrently with atomic loads
+                __atomic_fetch_add(&hoisted_[z], 1L, __ATOMIC_RELAXED);
             }
         }
     }

@@ -444,11 +444,25 @@ def run_training(args) -> dict:
                 W = min(args.autosize_warmup, len(steps_prof) // 2)
                 steady = TrafficProfile.from_steps(steps_prof[W:])
                 full = TrafficProfile.from_steps(steps_prof)
+                # sweep pass: replan WITH hoisting at a few candidate
+                # targets and size the pull capacity from the measured
+                # POST-hoist bucket maxima of the best — the planner is
+                # deterministic, so the profiled stream is the execution
+                # stream and the cap is exact (guess-based
+                # target*headroom sizing under-covers when a peak is
+                # taller than the window can absorb)
+                from herald_tpu.sched.sizing import (
+                    hoist_target_candidates, sweep_hoist_sizing)
+                nrank = max(probe_eng.num_shards, 1)
+                target, steady_h = sweep_hoist_sizing(
+                    cfg, rows, trn[1], nshards, W,
+                    hoist_target_candidates(steady, nrank, nshards),
+                    epochs=probe_epochs, n_threads=cfg.sched_threads)
                 sizes = np.array([
                     full.unique_slots(), full.flush_slots(),
-                    steady.pull_target(),
-                    steady.hoisted_pull_capacity(),
-                    steady.flush_capacity(), W], np.int64)
+                    target,
+                    steady_h.pull_capacity(),
+                    steady_h.flush_capacity(), W], np.int64)
             if jax.process_count() > 1:
                 from jax.experimental import multihost_utils as mhu
                 sizes = np.asarray(mhu.broadcast_one_to_all(sizes))

@@ -154,6 +154,58 @@ def step_traffic(prog: StepProgram, sparse_ids: np.ndarray,
                        uniq_worker=uniq_w)
 
 
+def hoist_target_candidates(steady: TrafficProfile, nrank: int,
+                            num_shards: int) -> List[int]:
+    """Sweep points for `sweep_hoist_sizing`: the per-bucket MEAN load
+    (the leveling floor — with the planner's leveling rule a low target
+    just means "keep leveling until buckets are balanced"), the classic
+    mean-of-step-max target, and their midpoint."""
+    t_hi = steady.pull_target()
+    denom = max(steady.steps * nrank * num_shards, 1)
+    t_lo = max(1, int(np.ceil(steady.total_pulls / denom)))
+    t_lo = min(t_lo, t_hi)
+    return sorted({t_lo, (t_lo + t_hi) // 2, t_hi})
+
+
+def sweep_hoist_sizing(cfg, table_rows: int, sparse_ids: np.ndarray,
+                       num_shards: int, warmup: int,
+                       targets: List[int], epochs: int = 1,
+                       n_threads: Optional[int] = None
+                       ) -> Tuple[int, TrafficProfile]:
+    """Probe-plan the HOISTED stream at each candidate pull target and
+    return (best_target, its steady TrafficProfile), minimizing the
+    certified post-hoist pull capacity (ties -> the larger target: fewer
+    hoists, less prefetch churn, same wire width).
+
+    Honest by construction: the planner is deterministic, so each probe
+    stream IS the stream the training run will execute at that target —
+    the returned profile's `pull_capacity()` cannot overflow. This
+    replaces the guess-based `hoisted_pull_capacity` (target*headroom),
+    which under-covers whenever a peak is taller than the hoist window
+    can absorb.
+    """
+    from herald_tpu.config import HeraldConfig       # lazy: avoid cycle
+    from herald_tpu.train.cached import CachedEngine
+
+    best: Optional[Tuple[int, int, TrafficProfile]] = None
+    for t in sorted(set(int(t) for t in targets), reverse=True):
+        probe_cfg = HeraldConfig(**{**cfg.__dict__,
+                                    "sched_pull_target": t,
+                                    "a2a_pull_capacity": None,
+                                    "a2a_flush_capacity": None})
+        eng = CachedEngine(probe_cfg, table_rows=table_rows)
+        kw = {} if n_threads is None else {"n_threads": n_threads}
+        pl = eng.make_planner(sparse_ids, epochs=epochs, **kw)
+        steps, _ = profile_planned_traffic(pl, sparse_ids, num_shards)
+        pl.close()
+        prof = TrafficProfile.from_steps(steps[warmup:])
+        cap = prof.pull_capacity()
+        if best is None or cap < best[1]:
+            best = (t, cap, prof)
+    assert best is not None, "sweep_hoist_sizing needs >=1 target"
+    return best[0], best[2]
+
+
 def profile_planned_traffic(planner: CachePlanner, sparse_ids: np.ndarray,
                             num_shards: int,
                             keep_programs: bool = False

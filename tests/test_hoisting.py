@@ -107,3 +107,47 @@ def test_hoisting_flattens_bucket_maxima():
     # the steady-state max bucket collapses toward the target
     assert on.max_pull_bucket < 0.9 * off.max_pull_bucket, (on, off)
     assert on.max_pull_bucket <= target + 8, (on.max_pull_bucket, target)
+
+
+def test_leveling_smooths_below_unattainable_target():
+    """When the target is set BELOW what the window can absorb, the
+    fill-to-target rule alone stalls (every window entry is instantly
+    'full'), but the leveling arm — hoist into the least-filled entry
+    whenever it strictly lowers the donor's bucket by 2+ — keeps
+    flattening peaks. Pin that the max bucket still drops, and that
+    value safety is preserved (bit-identical training states)."""
+    data = _data()
+    gb = S * B
+    sparse = data[1]
+    for seg in range(STEPS):             # same bursty stream as above
+        if seg % 4 == 3:
+            continue
+        lo = seg * gb
+        sparse[lo:lo + gb] = sparse[lo:lo + gb] % 500
+    data = (data[0], sparse, data[2])
+
+    def steady_profile(cfg):
+        eng = CachedEngine(cfg, table_rows=ROWS)
+        pl = eng.make_planner(data[1], epochs=1, n_threads=1)
+        steps, _ = profile_planned_traffic(pl, data[1], S)
+        perf = pl.perf()
+        pl.close()
+        return TrafficProfile.from_steps(steps[WARM:]), perf
+
+    off, _ = steady_profile(_cfg())
+    # target=1 is unattainable on this stream; only leveling can act
+    on, perf_on = steady_profile(
+        _cfg(sched_pull_target=1, sched_hoist_window=6,
+             sched_prefetch_slots=256))
+    assert perf_on["hoisted_pull"] > 0
+    assert on.max_pull_bucket < off.max_pull_bucket, (on, off)
+
+    if jax.device_count() >= S:
+        st_off, _ = _run(_cfg(), data)
+        st_on, _ = _run(_cfg(sched_pull_target=1, sched_hoist_window=6,
+                             sched_prefetch_slots=256), data)
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_flatten_with_path(st_off)[0],
+                jax.tree_util.tree_flatten_with_path(st_on)[0]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=str(pa))
