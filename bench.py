@@ -353,7 +353,8 @@ def main():
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "benchmarks", "mesh_ab.py"),
-             "--batches", "40", "--pinned-rows", "1024", "--hoist"],
+             "--batches", "40", "--pinned-rows", "1024", "--hoist",
+             "--flush-budget-sweep"],
             capture_output=True, text=True, check=True, timeout=600)
         lines = [json.loads(l) for l in ab.stdout.strip().splitlines()]
         base = next(l for l in lines if l.get("mode") == "baseline")

@@ -51,6 +51,11 @@ def main():
                     help="planner smoothing lookahead (batches); 16 "
                          "saturates the leveling win on the A/B stream "
                          "(8 -> 1.83x, 16/32 -> 1.90x)")
+    ap.add_argument("--flush-budget-sweep", action="store_true",
+                    help="with --hoist: also sweep the planned-flush "
+                         "budget (bounded-staleness deferral, reference "
+                         "--bound spirit) and size the flush wire from "
+                         "the measured post-deferral maxima")
     ap.add_argument("--bytes-only", action="store_true",
                     help="skip the timed mesh runs: plan, size, compile "
                          "and report the per-step collective bytes only "
@@ -193,6 +198,7 @@ def main():
         # the planner is deterministic, so the profiled stream IS the
         # execution stream and the overflow counter certifies the fit)
         from herald_tpu.sched.sizing import (hoist_target_candidates,
+                                             sweep_flush_budget,
                                              sweep_hoist_sizing)
         base_hoist = {"sched_hoist_window": args.hoist_window,
                       "sched_prefetch_slots": 256}
@@ -201,6 +207,15 @@ def main():
             HeraldConfig(**{**cfg_s.__dict__, **base_hoist}),
             args.rows, sparse, S, W, cands, epochs=1)
         hoist = {**base_hoist, "sched_pull_target": target}
+        if args.flush_budget_sweep:
+            # coordinate descent, second axis: tighten the planned-flush
+            # budget at the chosen hoist target (bounded-staleness trade,
+            # reference --bound spirit; oldest-first deferral)
+            budget, steady = sweep_flush_budget(
+                HeraldConfig(**{**cfg_s.__dict__, **hoist}),
+                args.rows, sparse, S, W, steady, epochs=1)
+            if budget is not None:
+                hoist["sched_flush_budget"] = budget
     cfg_c = HeraldConfig(**{**cfg_s.__dict__, **widths, **hoist})
     eng_c = CachedEngine(cfg_c, table_rows=args.rows)   # wide capacities
     cap = steady.pull_capacity()

@@ -98,6 +98,10 @@ public:
         int lru_prev, lru_next;   // intrusive list within the freq bucket
         key_t_ key;
         bool used;
+        int32_t dirty_batch = -1;   // batch seq of the oldest unflushed
+                                    // delta (-1 = clean): planned flushes
+                                    // emit oldest-first under the owner
+                                    // budget so no candidate starves
     };
 
     void init(int capacity, Policy policy = Policy::LRU) {
@@ -164,6 +168,7 @@ public:
         Entry &e = entries_[slot];
         e.key = key;
         e.dirty = false;
+        e.dirty_batch = -1;
         e.stale = 0;
         e.freq = 0;
         e.used = true;
@@ -782,6 +787,7 @@ private:
 
     MicroProgram plan_batch(int64_t start, std::vector<int> &scores) {
         int64_t gbs = int64_t(nrank_) * mbs_;
+        const int32_t bseq = int32_t(start / gbs);   // dirty-age stamp
         const MaskT *state = state_.data();
         auto tick = std::chrono::steady_clock::now();
         auto lap = [&](int phase) {
@@ -1156,6 +1162,7 @@ private:
                 // the entry for `key` from whichever branch ran — the
                 // old re-probe (c.find) here was a second DRAM round
                 // trip per key.
+                if (!ent->dirty) ent->dirty_batch = bseq;
                 ent->dirty = true;
                 set_bits(key, dbit(z));
             }
@@ -1170,14 +1177,21 @@ private:
             const MaskT dz = dbit(z);
             const MaskT me = cbit(z);
             // candidates are unique keys z held dirty pre-batch that
-            // someone reads this step (phase 2.5). Sort for a
-            // deterministic deferral order (which chunk first-touched a
-            // key is a benign race); then verify against the live cache
-            // and the final readers mask.
+            // someone reads this step (phase 2.5). Verify against the
+            // live cache and the final readers mask, then emit OLDEST
+            // DELTA FIRST within the budget (deterministic: age then
+            // key). Key-sorted emission let low-numbered keys win the
+            // owner budget every batch, starving hot high keys into
+            // unbounded staleness when the budget is tight
+            // (sched_flush_budget); oldest-first bounds every deferred
+            // candidate's age by ~backlog/budget batches.
             std::vector<key_t_> cand;
             for (auto &cc : cand_)
                 cand.insert(cand.end(), cc[z].begin(), cc[z].end());
             radix_sort_keys(cand, sort_tmp);
+            struct PFlush { int32_t age; key_t_ key; int slot; };
+            std::vector<PFlush> elig;
+            elig.reserve(cand.size());
             for (key_t_ key : cand) {
                 MaskT rm = readers_[key];
                 // my own batch keys were already flushed (refresh) or
@@ -1186,20 +1200,32 @@ private:
                 if (rm & me) continue;
                 auto *e = c.find(key);
                 if (!e || !e->dirty) continue;
+                elig.push_back(PFlush{e->dirty_batch, key, e->slot});
+            }
+            std::sort(elig.begin(), elig.end(),
+                      [](const PFlush &a, const PFlush &b) {
+                          return a.age != b.age ? a.age < b.age
+                                                : a.key < b.key;
+                      });
+            for (const PFlush &pf : elig) {
                 if (int(mp.flush_ids[z].size()) >= flush_cap_) {
                     __atomic_fetch_add(&deferred_flush_[z], 1,
                                        __ATOMIC_RELAXED);
                     continue;
                 }
-                int ow = owner_of(e->key);
+                int ow = owner_of(pf.key);
                 if (owner_used[ow] >= owner_cap_) {
                     __atomic_fetch_add(&deferred_flush_[z], 1,
                                        __ATOMIC_RELAXED);
                     continue;
                 }
-                emit_flush(e->key, e->slot);   // counts owner_used
+                // entries_ is slot-indexed and nothing mutates the cache
+                // between the verify pass above and here (same thread)
+                auto *e = c.entry_at(pf.slot);
+                emit_flush(pf.key, pf.slot);   // counts owner_used
                 e->dirty = false;
-                clear_bits(e->key, dz);
+                e->dirty_batch = -1;
+                clear_bits(pf.key, dz);
                 planned++;
             }
             __atomic_fetch_add(&update_push_[z], planned, __ATOMIC_RELAXED);

@@ -84,6 +84,16 @@ class HeraldConfig:
     sched_pull_target: Optional[int] = None
     sched_hoist_window: int = 8
     sched_prefetch_slots: Optional[int] = None
+    # planner per-(owner) planned-flush budget per step (cached mode).
+    # None = the flush exchange's wire capacity (classic behavior: fill
+    # the wire). Setting it BELOW the wire capacity makes the planner
+    # defer more planned flushes (rows stay dirty longer — bounded
+    # staleness in the reference's --bound spirit, run_laia.py:351
+    # defaults bound=100), which shrinks the measured flush-bucket
+    # maxima and therefore the flush wire itself. Deferral emits oldest
+    # delta first, so no candidate starves. Size with
+    # sizing.sweep_flush_budget; the overflow counter certifies the fit.
+    sched_flush_budget: Optional[int] = None
     # flush gradient-delta wire dtype (cached mode). None = the delta
     # dtype (f32, exact). jnp.bfloat16 halves the flush all-to-all bytes;
     # accumulation at the owner stays f32, so only the per-row delta is

@@ -206,6 +206,51 @@ def sweep_hoist_sizing(cfg, table_rows: int, sparse_ids: np.ndarray,
     return best[0], best[2]
 
 
+def sweep_flush_budget(cfg, table_rows: int, sparse_ids: np.ndarray,
+                       num_shards: int, warmup: int,
+                       wide_profile: TrafficProfile, epochs: int = 1,
+                       n_threads: Optional[int] = None
+                       ) -> Tuple[Optional[int], TrafficProfile]:
+    """Probe-plan at a few planned-flush budgets (cfg.sched_flush_budget)
+    and return (best_budget, its steady TrafficProfile), minimizing the
+    summed pull+flush wire capacity (both exchanges ship ~the same bytes
+    per row, so the cap sum is the byte proxy; ties -> the larger budget:
+    less deferral, fresher rows).
+
+    A tighter budget defers planned flushes (rows stay dirty longer —
+    the reference's bounded-staleness trade, run_laia.py --bound), which
+    cuts the flush-bucket maxima AND, measured, the pull totals (a later
+    flush carries more coalesced updates). Mandatory flushes (eviction +
+    stale-refresh) ignore the budget, so the measured max — which sizes
+    the wire — can sit above it. Honest like sweep_hoist_sizing: the
+    probed stream IS the execution stream at that budget.
+    """
+    from herald_tpu.config import HeraldConfig       # lazy: avoid cycle
+    from herald_tpu.train.cached import CachedEngine
+
+    wide_max = max(wide_profile.max_flush_bucket, 1)
+    cands = sorted({max(1, int(np.ceil(wide_max * f)))
+                    for f in (0.2, 0.35, 0.5)})
+    best: Optional[Tuple[Optional[int], int, TrafficProfile]] = \
+        (None, wide_profile.pull_capacity() + wide_profile.flush_capacity(),
+         wide_profile)
+    for budget in sorted(cands, reverse=True):
+        probe_cfg = HeraldConfig(**{**cfg.__dict__,
+                                    "sched_flush_budget": int(budget),
+                                    "a2a_pull_capacity": None,
+                                    "a2a_flush_capacity": None})
+        eng = CachedEngine(probe_cfg, table_rows=table_rows)
+        kw = {} if n_threads is None else {"n_threads": n_threads}
+        pl = eng.make_planner(sparse_ids, epochs=epochs, **kw)
+        steps, _ = profile_planned_traffic(pl, sparse_ids, num_shards)
+        pl.close()
+        prof = TrafficProfile.from_steps(steps[warmup:])
+        cost = prof.pull_capacity() + prof.flush_capacity()
+        if cost < best[1]:
+            best = (int(budget), cost, prof)
+    return best[0], best[2]
+
+
 def profile_planned_traffic(planner: CachePlanner, sparse_ids: np.ndarray,
                             num_shards: int,
                             keep_programs: bool = False

@@ -133,7 +133,12 @@ class CachedEngine(Engine):
             num_shards=max(self.num_shards, 1),
             rows_per_shard=self.exchange.rows_per_shard, epochs=epochs,
             flush_cap=self.F_cap,
-            owner_cap=self.flush_exchange.capacity,
+            # planned-flush budget: the wire capacity, or a tighter
+            # explicit budget (cfg.sched_flush_budget) — never above the
+            # wire, which the device exchange could not carry
+            owner_cap=min(self.cfg.sched_flush_budget
+                          or self.flush_exchange.capacity,
+                          self.flush_exchange.capacity),
             top_k=self.cfg.sched_top_k_tables or 0, n_threads=n_threads,
             policy=self.cfg.cache_policy, assign_mode=assign_mode,
             pinned_rows=self.pinned_rows,

@@ -89,9 +89,16 @@ def test_cached_small_cache_still_exact_single_worker():
                                rtol=1e-4, atol=1e-6)
 
 
-@pytest.mark.parametrize("cache_rows", [250, 2000])
-def test_program_replay_invariants_and_conservation(cache_rows):
-    """Replay planner micro-programs on a host simulator (4 workers)."""
+@pytest.mark.parametrize("cache_rows,owner_cap", [(250, None), (2000, None),
+                                                  (2000, 2)])
+def test_program_replay_invariants_and_conservation(cache_rows, owner_cap):
+    """Replay planner micro-programs on a host simulator (4 workers).
+
+    owner_cap=2 runs the tight planned-flush budget (sched_flush_budget):
+    deferral is active, so additionally pin that conservation still
+    holds — a deferred delta is never lost, it just flushes later (fair
+    rotation under the budget is pinned separately by
+    test_tight_budget_rotates_planned_flushes)."""
     nrank, mbs = 4, 8
     model = get_model("wdl_criteo")
     _, sparse, _ = synthetic_ctr_data(model.spec, nrank * mbs * 10, seed=7,
@@ -101,9 +108,10 @@ def test_program_replay_invariants_and_conservation(cache_rows):
     eng = CachedEngine(cfg, table_rows=ROWS)
     # planner as the 4-worker scheduler regardless of local engine
     from herald_tpu.sched.planner import CachePlanner
+    kw = {} if owner_cap is None else {"owner_cap": owner_cap}
     pl = CachePlanner(sparse, nrank=nrank, batch_size=mbs,
                       cache_rows=cache_rows, num_shards=1,
-                      rows_per_shard=ROWS, epochs=1, n_threads=1)
+                      rows_per_shard=ROWS, epochs=1, n_threads=1, **kw)
 
     C = cache_rows
     slot_key = [dict() for _ in range(nrank)]       # slot -> resident key
@@ -143,7 +151,16 @@ def test_program_replay_invariants_and_conservation(cache_rows):
                 delta[z][s] = delta[z].get(s, 0) + 1
                 reads[int(key)] = reads.get(int(key), 0) + 1
     assert n_steps == pl.batch_num
-    assert pl.perf()["deferred_flush"] == 0
+    perf = pl.perf()
+    if owner_cap is None:
+        assert perf["deferred_flush"] == 0
+    else:
+        # deferral active: every invariant above (slot/key agreement,
+        # distinct slots, padding) held, and conservation below closes
+        # the loop — a deferred delta is never lost, it flushes later.
+        # (Fair rotation under the budget is pinned separately by
+        # test_tight_budget_rotates_planned_flushes.)
+        assert perf["deferred_flush"] > 0, "budget never bound: test inert"
     # final sync
     for z in range(nrank):
         ids_z, slots_z = pl.dirty_rows(z)
@@ -310,3 +327,53 @@ def test_cached_adagrad_embed_optimizer_learns():
         assert np.abs(np.asarray(st.hot_slots[k])).max() > 0
     res = eng.evaluate(st, dense, sparse, labels)
     assert res["auc"] > 0.6, res
+
+
+def test_tight_budget_rotates_planned_flushes():
+    """Oldest-first deferral is fair: under a planned-flush budget of 1
+    per owner per step, a crafted stream where two workers alternately
+    write/read the same 26-key block must see the flushes ROTATE through
+    the block (each flushed key re-dirties youngest and goes to the back
+    of the queue). Key-ordered emission — the old rule — would emit the
+    lowest key every time and starve the rest into unbounded staleness."""
+    from herald_tpu.sched.planner import CachePlanner
+    nrank, mbs, T = 2, 4, 26              # wdl_criteo has 26 sparse tables
+    batches = 40
+    gb = nrank * mbs
+    A = np.arange(10, 10 + T)             # w0's home block
+    B = np.arange(50, 50 + T)             # w1's home block
+    C_blk = np.arange(90, 90 + T)         # w0's off-batch filler
+    sparse = np.zeros((gb * batches, T), np.int64)
+    for t in range(batches):
+        for j in range(gb):
+            z = j % nrank                 # round-robin assignment
+            if z == 0:
+                row = A if t % 2 == 0 else C_blk
+            else:
+                row = B if t % 2 == 0 else A
+            sparse[t * gb + j] = row
+    # odd batches: w1 reads A while A is dirty at w0 and absent from
+    # w0's batch -> planned-flush candidates are exactly w0's A block
+    pl = CachePlanner(sparse, nrank=nrank, batch_size=mbs, cache_rows=512,
+                      num_shards=1, rows_per_shard=1024, epochs=1,
+                      n_threads=1, owner_cap=1, assign_mode="roundrobin")
+    flushed_A = set()
+    w0_flush_events = 0
+    n = 0
+    while True:
+        prog = pl.pop()
+        if prog is None:
+            break
+        n += 1
+        fids = prog.flush_ids[0]
+        for fid in fids[fids >= 0]:
+            if int(fid) in set(A.tolist()):
+                flushed_A.add(int(fid))
+                w0_flush_events += 1
+    assert n == batches
+    assert pl.perf()["deferred_flush"] > 0, "budget never bound"
+    # ~one w0 flush per odd batch; rotation must cover most of the block
+    # (key-order coverage would be ~1-3 keys)
+    assert w0_flush_events >= 10, w0_flush_events
+    assert len(flushed_A) >= min(w0_flush_events, 15), \
+        (len(flushed_A), w0_flush_events)
