@@ -110,6 +110,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "wide-capacity program (cold caches), the rest on "
                         "the tight steady-state program")
     p.add_argument("--autosize-warmup", type=int, default=8)
+    p.add_argument("--autosize-flush-budget", action="store_true",
+                   help="with --autosize: also sweep the planned-flush "
+                        "budget (sizing.sweep_flush_budget) and size the "
+                        "flush wire from the measured post-deferral "
+                        "maxima. Opt-in because deferral trades row "
+                        "freshness for traffic (bounded-staleness, the "
+                        "reference's --bound spirit): rows a remote "
+                        "worker reads may miss deltas the holder has "
+                        "not flushed yet")
     p.add_argument("--crash-after", type=int, default=0,
                    help="FAULT INJECTION: hard-exit(17) once N steps have "
                         "run (ignored under --resume) — exercises the "
@@ -424,9 +433,9 @@ def run_training(args) -> dict:
             from herald_tpu.sched.sizing import (TrafficProfile,
                                                  profile_planned_traffic)
             # the probe is a full host-side epoch plan: run it ONCE
-            # (process 0) and broadcast the six sizes — same
+            # (process 0) and broadcast the seven sizes — same
             # plan-once-fan-out contract as BroadcastPlanner
-            sizes = np.zeros(6, np.int64)
+            sizes = np.zeros(7, np.int64)
             if jax.process_index() == 0:
                 probe_eng = CachedEngine(cfg, table_rows=rows)
                 # with per-epoch reshuffling, later epochs have different
@@ -458,17 +467,30 @@ def run_training(args) -> dict:
                     cfg, rows, trn[1], nshards, W,
                     hoist_target_candidates(steady, nrank, nshards),
                     epochs=probe_epochs, n_threads=cfg.sched_threads)
+                budget = 0
+                if args.autosize_flush_budget:
+                    # opt-in second axis: tighten the planned-flush
+                    # budget (bounded-staleness deferral) and size both
+                    # wires from the best post-deferral stream
+                    from herald_tpu.sched.sizing import sweep_flush_budget
+                    hoist_cfg = HeraldConfig(**{
+                        **cfg.__dict__, "sched_pull_target": int(target)})
+                    budget, steady_h = sweep_flush_budget(
+                        hoist_cfg, rows, trn[1], nshards, W, steady_h,
+                        epochs=probe_epochs, n_threads=cfg.sched_threads)
+                    budget = budget or 0
                 sizes = np.array([
                     full.unique_slots(), full.flush_slots(),
                     target,
                     steady_h.pull_capacity(),
-                    steady_h.flush_capacity(), W], np.int64)
+                    steady_h.flush_capacity(), W, budget], np.int64)
             if jax.process_count() > 1:
                 from jax.experimental import multihost_utils as mhu
                 sizes = np.asarray(mhu.broadcast_one_to_all(sizes))
             (cfg.sched_unique_slots, cfg.sched_flush_slots,
              cfg.sched_pull_target, cfg.a2a_pull_capacity,
-             cfg.a2a_flush_capacity, W) = (int(v) for v in sizes)
+             cfg.a2a_flush_capacity, W, budget) = (int(v) for v in sizes)
+            cfg.sched_flush_budget = budget or None
             # cold phase runs on a wide-capacity program (empty caches
             # pull everything); same program widths so the planner's
             # padded buffers fit both engines

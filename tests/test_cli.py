@@ -59,6 +59,27 @@ def test_cli_autosize_matches_default_scheduled():
     assert auto["val_auc"] == pytest.approx(plain["val_auc"], abs=1e-12)
 
 
+def test_cli_autosize_flush_budget_runs_clean():
+    """--autosize-flush-budget (opt-in bounded-staleness deferral) sizes
+    the flush wire from the post-deferral probe stream; the run must
+    certify overflow 0 (the probed stream IS the executed stream) and
+    still learn. Unlike plain --autosize it may legitimately diverge
+    from the default run's exact values (rows read by a remote worker
+    can miss not-yet-flushed deltas), so only sanity is pinned here —
+    the exact-conservation story lives in test_cached.py."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    common = ["--model", "wdl_criteo", "--comm", "hybrid", "--scheduled",
+              "--batch-size", "8", "--samples", "1024", "--rows", "4000",
+              "--cache-limit-ratio", "0.5", "--lr", "0.5",
+              "--nepoch", "1", "--scan-steps", "4", "--val-ratio", "0.25",
+              "--seed", "2"]
+    out = run_training(build_parser().parse_args(
+        common + ["--autosize", "--autosize-flush-budget"]))
+    assert out["overflow_rows"] == 0
+    assert out["val_auc"] > 0.5
+
+
 def test_cli_config_file_roundtrip(tmp_path):
     """--save-config / --config reproduce a run from a JSON config file
     (the reference's yaml config-file mechanism re-expressed); explicit
