@@ -354,7 +354,7 @@ def main():
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "benchmarks", "mesh_ab.py"),
              "--batches", "40", "--pinned-rows", "1024", "--hoist",
-             "--flush-budget-sweep"],
+             "--flush-budget-sweep", "--cached-baseline"],
             capture_output=True, text=True, check=True, timeout=600)
         lines = [json.loads(l) for l in ab.stdout.strip().splitlines()]
         base = next(l for l in lines if l.get("mode") == "baseline")
@@ -364,6 +364,10 @@ def main():
             "mesh_a2a_bytes_baseline": base["a2a_bytes_per_step"],
             "mesh_a2a_bytes_scheduled": schd["a2a_bytes_per_step"],
             "mesh_a2a_reduction": summ["a2a_bytes_reduction"],
+            # the reference A/B's exact shape (run_hetu runs WITH --cache
+            # lru): Laia increment over a cached naive-scheduler baseline
+            "mesh_a2a_reduction_vs_cached_naive":
+                summ.get("a2a_reduction_vs_cached_naive"),
             "mesh_total_collective_reduction":
                 summ["total_collective_bytes_reduction"],
             "mesh_projected_bf16_a2a_reduction":

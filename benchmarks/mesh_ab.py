@@ -56,6 +56,22 @@ def main():
                          "budget (bounded-staleness deferral, reference "
                          "--bound spirit) and size the flush wire from "
                          "the measured post-deferral maxima")
+    ap.add_argument("--cached-baseline", action="store_true",
+                    help="also measure a cached-but-naively-scheduled "
+                         "middle mode (round-robin sample placement, the "
+                         "reference's naive_scheduler): this reproduces "
+                         "the reference A/B's exact shape — run_hetu runs "
+                         "WITH --cache lru (tests/hybrid_wdl_criteo.sh), "
+                         "so its A/B isolates the Laia increment over a "
+                         "cached baseline, while the plain baseline above "
+                         "shows the cache+scheduler combined win")
+    ap.add_argument("--bound", type=int, default=0,
+                    help="HET bounded staleness for the scheduled side "
+                         "(reference --bound; run_hetu.py argparse default "
+                         "is 100, but the canonical A/B script "
+                         "examples/ctr/tests/hybrid_wdl_criteo*.sh pins 0 "
+                         "on both sides — so 0 is the parity headline and "
+                         ">0 is the reference's bounded mode)")
     ap.add_argument("--bytes-only", action="store_true",
                     help="skip the timed mesh runs: plan, size, compile "
                          "and report the per-step collective bytes only "
@@ -162,7 +178,8 @@ def main():
                          comm_mode="hybrid", learning_rate=0.01,
                          use_cache=True, use_scheduler=True,
                          cache_limit_ratio=args.cache_limit_ratio,
-                         pinned_rows=args.pinned_rows)
+                         pinned_rows=args.pinned_rows,
+                         staleness_bound=args.bound)
     cfg_s.cache_limit = max(cfg_s.cache_rows(args.rows),
                             args.batch_size * model.spec.num_sparse)
 
@@ -250,6 +267,53 @@ def main():
         "projected_ici_us_scheduled": round(proj_s / (ici_gbps * 1e3), 2),
     }
 
+    # optional middle mode: cache + the reference's naive scheduler
+    # (strided round-robin sample placement, laia.pyx:163-189) — the
+    # reference baseline run_hetu runs with --cache lru, so THIS vs the
+    # scheduled mode is the reference A/B's exact comparison; plain vs
+    # scheduled (above) is the combined cache+scheduler win. Bytes-only:
+    # both cached modes execute the same device program shapes, so CPU
+    # wall-clock would only echo the FLOPs identity.
+    naive_fields = {}
+    if args.cached_baseline:
+        pl_n = eng_w.make_planner(sparse, epochs=1,
+                                  assign_mode="roundrobin")
+        steps_n, _ = profile_planned_traffic(pl_n, sparse, S)
+        perf_n = pl_n.perf()
+        pl_n.close()
+        steady_n = TrafficProfile.from_steps(steps_n[W:])
+        full_n = TrafficProfile.from_steps(steps_n)
+        cfg_n = HeraldConfig(**{
+            **cfg_s.__dict__,
+            "sched_unique_slots": full_n.unique_slots(),
+            "sched_flush_slots": full_n.flush_slots(),
+            "a2a_pull_capacity": steady_n.pull_capacity(),
+            "a2a_flush_capacity": steady_n.flush_capacity()})
+        eng_n = CachedEngine(cfg_n, table_rows=args.rows)
+        state_n = eng_n.init_cached_state(args.seed)
+        hlo_n = collective_bytes(eng_n._cached_step, state_n,
+                                 *eng_n.example_step_args())
+        proj_n = (exchange_a2a_bytes(eng_n.flush_exchange, 4, width * 2, 1)
+                  + exchange_a2a_bytes(eng_n.exchange, 4, width * 2, 1))
+        print(json.dumps({
+            "mode": "naive_cached", "devices": S,
+            "pull_capacity": eng_n.exchange.capacity,
+            "flush_capacity": eng_n.flush_exchange.capacity,
+            "a2a_bytes_per_step": hlo_n["all-to-all"],
+            "allreduce_bytes_per_step": hlo_n["all-reduce"],
+            "planner_rows_pulled_per_worker": int(
+                perf_n["miss_pull"] + perf_n["update_pull"]),
+            "planner_rows_flushed_per_worker": int(
+                perf_n["miss_push"] + perf_n["update_push"]),
+        }))
+        naive_fields = {
+            # the reference-shaped ratio: Laia increment over cached-naive
+            "a2a_reduction_vs_cached_naive": round(
+                hlo_n["all-to-all"] / max(hlo_s["all-to-all"], 1), 3),
+            "projected_bf16_a2a_reduction_vs_cached_naive": round(
+                proj_n / max(proj_s, 1), 3),
+        }
+
     if args.bytes_only:
         out_s = {
             "mode": "scheduled", "devices": S,
@@ -276,6 +340,7 @@ def main():
                 hlo_b["all-to-all"] / max(hlo_s["all-to-all"], 1), 3),
             "total_collective_bytes_reduction": round(
                 total_b / max(total_s, 1), 3),
+            **naive_fields,
             **proj_fields,
         }))
         return
@@ -349,6 +414,7 @@ def main():
         "wallclock_speedup": round(wall_b / max(wall_s, 1e-9), 3),
         "baseline_overflow": overflow_b,
         "scheduled_overflow": overflow_s,
+        **naive_fields,
         **proj_fields,
     }))
 
