@@ -52,6 +52,16 @@ class HeraldConfig:
     comm_mode: str = "local"
     mesh_shape: Optional[Sequence[int]] = None   # default: (num_devices,)
     mesh_axes: Sequence[str] = ("dp",)
+    # tensor-parallel (Megatron-style) dense tower: the mesh becomes 2-D
+    # (num_devices // mp_shards, mp_shards) with axes (dp, mp). The
+    # embedding table stays row-sharded over ALL devices (the all-to-all
+    # exchange rides the flattened (dp, mp) axes unchanged), while the
+    # dense tower's weight matrices are column/row-sharded over 'mp' with
+    # a psum after each row-parallel layer. TPU-native rebuild of the
+    # reference's intra-layer model parallelism (`python/hetu/context.py:
+    # 364-596` state inference + `distribute.py:154-378`
+    # OneWeirdTrick4CNN: DP feature path + MP fully-connected layers).
+    mp_shards: int = 1
     # static capacity factor for all-to-all buckets: capacity per
     # (src, dst) pair = ceil(unique_ids / num_shards) * factor
     a2a_capacity_factor: float = 2.0
@@ -147,12 +157,44 @@ class HeraldConfig:
             self.embed_optimizer = self.optimizer
         if self.embed_learning_rate is None:
             self.embed_learning_rate = self.learning_rate
+        if self.mp_shards > 1:
+            if self.comm_mode != "hybrid":
+                raise ValueError("mp_shards > 1 requires comm_mode='hybrid'")
+            if self.use_cache or self.use_scheduler:
+                raise ValueError(
+                    "mp_shards > 1 composes with the plain hybrid engine "
+                    "only; the cached/scheduled path is dp-only (the "
+                    "reference's MP strategies likewise never compose with "
+                    "the embedding cache)")
+            if self.optimizer == "lamb":
+                raise ValueError(
+                    "lamb's full-tensor trust ratio needs global norms, "
+                    "which the mp-sharded dense tower does not psum; use an "
+                    "elementwise dense optimizer with mp_shards > 1")
 
     # ------------------------------------------------------------------
     def make_mesh(self, devices=None) -> jax.sharding.Mesh:
         """Build the device mesh this config trains over."""
         if devices is None:
             devices = jax.devices()
+        if self.mp_shards > 1:
+            n = len(devices)
+            if self.mesh_shape:
+                shape = tuple(self.mesh_shape)
+                n = int(np.prod(shape))
+                if shape[-1] != self.mp_shards or len(shape) != 2:
+                    raise ValueError(
+                        f"mesh_shape {shape} must be (dp, mp_shards="
+                        f"{self.mp_shards}) when mp_shards > 1")
+            else:
+                if n % self.mp_shards:
+                    raise ValueError(
+                        f"{n} devices not divisible by mp_shards="
+                        f"{self.mp_shards}")
+                shape = (n // self.mp_shards, self.mp_shards)
+            axes = (self.mesh_axes[0], "mp")
+            return jax.sharding.Mesh(
+                np.array(devices[:n]).reshape(shape), axes)
         shape = tuple(self.mesh_shape) if self.mesh_shape else (len(devices),)
         n = int(np.prod(shape))
         dev_array = np.array(devices[:n]).reshape(shape)

@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the resolved HeraldConfig JSON here and "
                         "continue (pair with --config to reproduce runs)")
     p.add_argument("--model", default="wdl_criteo")
+    p.add_argument("--mp-shards", type=int, default=1,
+                   help="tensor-parallel degree of the dense tower "
+                   "(Megatron col/row sharding over an 'mp' mesh axis; "
+                   "requires --comm hybrid and a TP-capable model: "
+                   "wdl/dfm/dcn families)")
     p.add_argument("--comm", default="local", choices=["local", "hybrid"],
                    help="local: single chip; hybrid: row-sharded table + "
                         "DP dense tower over all devices")
@@ -220,7 +225,8 @@ def resolve_config(args) -> "HeraldConfig":
             prefetch=not args.no_prefetch,
             log_dir=args.log_dir,
             flush_wire_dtype=jnp.bfloat16 if args.bf16_flush else None,
-            table_dtype=jnp.bfloat16 if args.bf16_table else np.float32)
+            table_dtype=jnp.bfloat16 if args.bf16_table else np.float32,
+            mp_shards=args.mp_shards)
     return cfg
 
 

@@ -68,6 +68,15 @@ class ModelDef:
     # which training engine the model is meant for: "engine" (default) or
     # "fae" (hot/cold split — reference fae_* builders, run_laia_fae.py)
     train_engine: str = "engine"
+    # tensor-parallel tower (cfg.mp_shards > 1): `tp_plan` maps param name
+    # -> 'col' | 'row' | 'rep' (column-sharded / row-sharded / replicated
+    # over the mp axis; names absent default to 'rep'), and `apply_tp` is
+    # the Megatron form of `apply` taking the mp axis name:
+    # (params_local, emb, dense, axis) -> logits. Built with
+    # herald_tpu.parallel.tp helpers. Reference analog: per-op partition
+    # states + auto-inserted Split/Sum (`python/hetu/context.py:364-596`).
+    tp_plan: Optional[Dict[str, str]] = None
+    apply_tp: Optional[Callable] = None
 
     @property
     def table_rows(self) -> int:

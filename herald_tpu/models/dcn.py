@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from herald_tpu.data.datasets import DATASETS
 from herald_tpu.models.base import ModelDef, mlp_init, normal, register
+from herald_tpu.parallel import tp
 
 _NUM_CROSS = 3
 
@@ -43,9 +44,30 @@ def _make_dcn(name, spec):
         y4 = jnp.concatenate([x, h], axis=1)
         return (y4 @ params["W4"]).reshape(-1)
 
+    def apply_tp(params, emb, dense, axis):
+        # Cross layers stay replicated (cross_w is [x_dim, 1] — a dot per
+        # layer, no useful shard). The MLP gets the Megatron pairing; the
+        # head W4 stays replicated because its input width x_dim + 256 is
+        # odd (x_dim = F*emb_dim + num_dense with 13 dense feats) and the
+        # matrix is tiny anyway.
+        B = emb.shape[0]
+        x0 = jnp.concatenate([emb.reshape(B, -1), dense], axis=1)
+        x = x0
+        for i in range(_NUM_CROSS):
+            xw = x @ params[f"cross_w{i + 1}"]
+            x = x0 * xw + x + params[f"cross_b{i + 1}"]
+        h = jax.nn.relu(x0 @ params["W1"])
+        h = jax.nn.relu(tp.row_parallel_sharded(h, params["W2"], axis))
+        h = h @ params["W3"]
+        h = tp.gather_cols(h, axis)
+        y4 = jnp.concatenate([x, h], axis=1)
+        return (y4 @ params["W4"]).reshape(-1)
+
     return register(ModelDef(
         name=name, spec=spec, emb_width=lambda d: d,
-        init_dense=init_dense, apply=apply, default_lr=0.003))
+        init_dense=init_dense, apply=apply, default_lr=0.003,
+        tp_plan={"W1": "col", "W2": "row", "W3": "col"},
+        apply_tp=apply_tp))
 
 
 dcn_criteo = _make_dcn("dcn_criteo", DATASETS["criteo"])

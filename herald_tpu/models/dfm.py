@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from herald_tpu.data.datasets import DATASETS
 from herald_tpu.models.base import ModelDef, mlp_init, normal, register
+from herald_tpu.parallel import tp
 
 _TOWERS = {
     # dataset -> (mlp widths, stddev)
@@ -51,9 +52,27 @@ def _make_dfm(name, spec, widths, stddev):
                 h = jax.nn.relu(h)
         return y1 + y2 + h.reshape(-1)
 
+    def apply_tp(params, emb, dense, axis):
+        # FM terms are elementwise over the embeddings — replicated compute;
+        # the DNN gets the Megatron pairing: W1 col / W2 row+psum (relu
+        # after the psum, matching `apply`), W3 row+psum.
+        B = emb.shape[0]
+        first = emb[:, :, 0]
+        second = emb[:, :, 1:]
+        y1 = (dense @ params["FM_W"]).reshape(-1) + jnp.sum(first, axis=1)
+        s = jnp.sum(second, axis=1)
+        y2 = 0.5 * jnp.sum(s * s - jnp.sum(second * second, axis=1), axis=1)
+        h = second.reshape(B, -1)
+        h = jax.nn.relu(h @ params["W1"])
+        h = jax.nn.relu(tp.row_parallel_sharded(h, params["W2"], axis))
+        h = tp.row_parallel(h, params["W3"], axis)
+        return y1 + y2 + h.reshape(-1)
+
     return register(ModelDef(
         name=name, spec=spec, emb_width=lambda d: d + 1,
-        init_dense=init_dense, apply=apply, default_lr=0.01))
+        init_dense=init_dense, apply=apply, default_lr=0.01,
+        tp_plan={"W1": "col", "W2": "row", "W3": "row"},
+        apply_tp=apply_tp))
 
 
 dfm_criteo = _make_dfm("dfm_criteo", DATASETS["criteo"], *_TOWERS["criteo"])

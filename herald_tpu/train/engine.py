@@ -31,6 +31,7 @@ from herald_tpu.config import HeraldConfig
 from herald_tpu.models.base import ModelDef, bce_with_logits, get_model
 from herald_tpu.optim import get_optimizer
 from herald_tpu.parallel import exchange as ex
+from herald_tpu.parallel import tp
 from herald_tpu.utils import metrics as M
 
 
@@ -69,13 +70,22 @@ class Engine:
         else:
             self.mesh = mesh  # optional single-device mesh
             self.num_shards = 1
-        self.axis = cfg.mesh_axes[0]
+        self.axis = cfg.mesh_axes[0]      # dp axis (loss / dense-grad psum)
+        # tensor-parallel tower: the embedding exchange and the table
+        # sharding ride the FLATTENED (dp, mp) axes (S = dp*mp shards, same
+        # all-to-all as the 1-D mesh), while the dense tower is Megatron-
+        # sharded over 'mp' (see parallel/tp.py and cfg.mp_shards)
+        self.mp = cfg.mp_shards if cfg.comm_mode == "hybrid" else 1
+        self.dp_shards = self.num_shards // max(self.mp, 1)
+        self.flat_axes = (self.axis, "mp") if self.mp > 1 else self.axis
+        if self.mp > 1:
+            self._validate_tp()
 
         F = self.model.spec.num_sparse
         self.ids_per_worker = cfg.batch_size * F
         self.exchange = ex.make_exchange(
             self.num_rows, self.num_shards, self.ids_per_worker,
-            axis=self.axis, capacity_factor=cfg.a2a_capacity_factor,
+            axis=self.flat_axes, capacity_factor=cfg.a2a_capacity_factor,
             capacity=cfg.a2a_pull_capacity)
         # evaluation always pulls EVERY unique id (no cache, no planner),
         # so it keeps worst-case factor sizing even when the train
@@ -83,12 +93,44 @@ class Engine:
         # surfaced rather than silently zero-filling predictions
         self.eval_exchange = ex.make_exchange(
             self.num_rows, self.num_shards, self.ids_per_worker,
-            axis=self.axis, capacity_factor=cfg.a2a_capacity_factor)
+            axis=self.flat_axes, capacity_factor=cfg.a2a_capacity_factor)
 
         self._fast_local_sgd = (self.num_shards == 1
                                 and self.embed_opt.name == "sgd"
                                 and not cfg.use_cache)
         self._build_steps()
+
+    def _validate_tp(self):
+        """mp_shards > 1 sanity: the model must carry a Megatron tower and
+        every sharded weight dim must divide by mp."""
+        if self.model.apply_tp is None or not self.model.tp_plan:
+            from herald_tpu.models.base import available_models, get_model
+            tp_models = [m for m in available_models()
+                         if get_model(m).apply_tp is not None]
+            raise ValueError(
+                f"model {self.model.name!r} has no tensor-parallel tower; "
+                f"models supporting mp_shards > 1: {tp_models}")
+        if self.num_shards % self.mp or self.dp_shards < 1:
+            raise ValueError(
+                f"mesh of {self.num_shards} devices cannot host "
+                f"mp_shards={self.mp}")
+        shapes = jax.eval_shape(
+            lambda k: self.model.init_dense(k, self.cfg.embedding_dim),
+            jax.random.PRNGKey(0))
+        for k, kind in self.model.tp_plan.items():
+            s = shapes[k].shape
+            dim = s[-1] if kind == "col" else s[0]
+            if kind in ("col", "row") and dim % self.mp:
+                raise ValueError(
+                    f"param {k!r} ({kind}-parallel, shape {s}) not "
+                    f"divisible by mp_shards={self.mp}")
+
+    def _dense_pspec(self, name: str) -> P:
+        """PartitionSpec of one dense param under the model's tp_plan."""
+        kind = (self.model.tp_plan or {}).get(name, "rep")
+        if self.mp == 1 or kind == "rep":
+            return P()
+        return P(None, "mp") if kind == "col" else P("mp", None)
 
     # ------------------------------------------------------------------
     # state init
@@ -108,7 +150,7 @@ class Engine:
             return t.astype(dt)
 
         if self.num_shards > 1:
-            tshard = NamedSharding(self.mesh, P(self.axis, None))
+            tshard = NamedSharding(self.mesh, P(self.flat_axes, None))
             table = jax.jit(make_table, out_shardings=tshard)(r_table)
             slots = {
                 k: jax.jit(lambda t=table: jnp.zeros_like(t),
@@ -127,8 +169,19 @@ class Engine:
         step = jnp.zeros((), jnp.int32)
         if self.num_shards > 1:
             rep = NamedSharding(self.mesh, P())
-            dense = jax.device_put(dense, rep)
-            dense_slots = jax.device_put(dense_slots, rep)
+            if self.mp > 1:
+                # Megatron shardings per tp_plan: the GLOBAL param values
+                # are identical to single-device init; only placement splits
+                dense = {k: jax.device_put(
+                    v, NamedSharding(self.mesh, self._dense_pspec(k)))
+                    for k, v in dense.items()}
+                dense_slots = {
+                    k: jax.device_put(
+                        v, NamedSharding(self.mesh, self._dense_pspec(k)))
+                    for k, v in dense_slots.items()}
+            else:
+                dense = jax.device_put(dense, rep)
+                dense_slots = jax.device_put(dense_slots, rep)
             # replicate over the WHOLE mesh: a single-device scalar would
             # mix device sets with the sharded table in multi-process runs
             step = jax.device_put(step, rep)
@@ -226,19 +279,51 @@ class Engine:
         # and dense gradients numerically identical to single-device
         # training (asserted by tests/test_parity.py).
         inv_shards = 1.0 / self.num_shards
+        if self.mp > 1:
+            # TP tower: every mp peer runs the tower over the mp GROUP's
+            # combined batch (embeddings/features all-gathered over 'mp'),
+            # but each peer's LOSS covers only its own batch chunk — the
+            # per-device losses stay disjoint, so autodiff through the
+            # in-tower psum/all_gather transposes sums each sample's
+            # cotangent exactly once (no replicated-loss double counting,
+            # regardless of whether a param's path crosses a collective).
+            # Grad parity vs single-device is pinned by tests/test_tp.py.
+            dx_g = tp.gather_batch(dense_x, "mp")
+            B_local = dense_x.shape[0]
 
-        def loss_fn(dense_params, emb):
-            logits = self.model.apply(dense_params, emb.astype(jnp.float32),
-                                      dense_x)
-            return bce_with_logits(logits, labels) * inv_shards
+            def loss_fn(dense_params, emb):
+                emb_g = tp.gather_batch(emb, "mp")
+                logits = self.model.apply_tp(
+                    dense_params, emb_g.astype(jnp.float32), dx_g, "mp")
+                logits = tp.my_batch_chunk(logits, B_local, "mp")
+                return bce_with_logits(logits, labels) * inv_shards
+        else:
+            def loss_fn(dense_params, emb):
+                logits = self.model.apply(
+                    dense_params, emb.astype(jnp.float32), dense_x)
+                return bce_with_logits(logits, labels) * inv_shards
 
         (loss, (dgrads, emb_grad)) = jax.value_and_grad(
             loss_fn, argnums=(0, 1))(state.dense, emb)
 
         if self.num_shards > 1:
-            loss = jax.lax.psum(loss, self.axis)
-            dgrads = jax.lax.psum(dgrads, self.axis)
-            overflow = jax.lax.psum(overflow, self.axis)
+            loss = jax.lax.psum(loss, self.flat_axes)
+            if self.mp > 1:
+                # sharded params ('col'/'row'): the chunk-loss cotangents
+                # already mixed across mp inside the tower transposes, so
+                # each peer's shard grad is group-complete — reduce over dp
+                # only. Replicated params sit on collective-free paths
+                # (FM terms, cross layers, tiny heads), so each peer holds
+                # just its chunk's contribution — reduce over dp AND mp.
+                plan = self.model.tp_plan or {}
+                dgrads = {
+                    k: jax.lax.psum(
+                        v, self.axis if plan.get(k, "rep") != "rep"
+                        else self.flat_axes)
+                    for k, v in dgrads.items()}
+            else:
+                dgrads = jax.lax.psum(dgrads, self.axis)
+            overflow = jax.lax.psum(overflow, self.flat_axes)
 
         dense, dense_slots = self.dense_opt.apply_dense(
             state.dense, dgrads, state.dense_slots, step,
@@ -300,10 +385,19 @@ class Engine:
     def _eval_step_body(self, state: TrainState, dense_x, ids):
         emb, _, _, _, overflow = self._forward_embeddings(
             state.table, ids, spec=self.eval_exchange)
-        logits = self.model.apply(state.dense, emb.astype(jnp.float32),
-                                  dense_x)
+        if self.mp > 1:
+            emb_g = tp.gather_batch(emb, "mp")
+            dx_g = tp.gather_batch(dense_x, "mp")
+            logits = self.model.apply_tp(
+                state.dense, emb_g.astype(jnp.float32), dx_g, "mp")
+            # group logits are replicated across mp; hand back my chunk so
+            # the out_spec stays batch-sharded over the flat axes
+            logits = tp.my_batch_chunk(logits, ids.shape[0], "mp")
+        else:
+            logits = self.model.apply(state.dense, emb.astype(jnp.float32),
+                                      dense_x)
         if self.num_shards > 1:
-            overflow = jax.lax.psum(overflow, self.axis)
+            overflow = jax.lax.psum(overflow, self.flat_axes)
         return jax.nn.sigmoid(logits), overflow
 
     # ------------------------------------------------------------------
@@ -311,7 +405,7 @@ class Engine:
     # ------------------------------------------------------------------
     def _build_steps(self):
         if self.num_shards > 1:
-            ax = self.axis
+            ax = self.flat_axes
             dense_tree = jax.eval_shape(
                 lambda k: self.model.init_dense(k, self.cfg.embedding_dim),
                 jax.random.PRNGKey(0))
@@ -319,10 +413,11 @@ class Engine:
                 table=P(ax, None),
                 table_slots={k: P(ax, None)
                              for k in self.embed_opt.slot_names},
-                dense=jax.tree.map(lambda _: P(), dense_tree),
-                dense_slots=jax.tree.map(
-                    lambda _: {k: P() for k in self.dense_opt.slot_names},
-                    dense_tree),
+                dense={k: self._dense_pspec(k) for k in dense_tree},
+                dense_slots={
+                    k: {s: self._dense_pspec(k)
+                        for s in self.dense_opt.slot_names}
+                    for k in dense_tree},
                 step=P(),
             )
             data_spec = P(ax)
@@ -347,8 +442,8 @@ class Engine:
             self._train_step = jax.jit(train_sm, donate_argnums=(0,))
             self._train_epoch = jax.jit(epoch_sm, donate_argnums=(0,))
             self._eval_step = jax.jit(eval_sm)
-            self._data_sharding = NamedSharding(self.mesh, P(self.axis))
-            self._kdata_sharding = NamedSharding(self.mesh, P(None, self.axis))
+            self._data_sharding = NamedSharding(self.mesh, P(ax))
+            self._kdata_sharding = NamedSharding(self.mesh, P(None, ax))
         else:
             self._train_step = jax.jit(self._train_step_body,
                                        donate_argnums=(0,))
