@@ -139,6 +139,83 @@ def test_tp_config_validation():
         Engine(cfg, table_rows=ROWS)
 
 
+def test_tp_checkpoint_roundtrip_and_cross_topology(tmp_path):
+    """TP states checkpoint like any other: mp-sharded dense params save as
+    generic shard blocks; restore works into the same mesh AND across
+    topologies (mp=2 -> 1-D dp=8 and back), since the GLOBAL param values
+    are topology-independent."""
+    from herald_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    mname = "wdl_criteo"
+    model = get_model(mname)
+    dense, sparse, labels = synthetic_ctr_data(
+        model.spec, 8 * B * 2, seed=9, num_rows=ROWS)
+    _, e_tp, _, s_tp = _tp_pair(mname, 2)
+    s_tp, _ = e_tp.train_step(s_tp, dense[:8 * B], sparse[:8 * B],
+                              labels[:8 * B])
+    save_checkpoint(s_tp, str(tmp_path))
+
+    # same-mesh round trip: bit-exact
+    s_back = load_checkpoint(str(tmp_path), e_tp.init_state(1))
+    for k in s_tp.dense:
+        np.testing.assert_array_equal(np.asarray(s_tp.dense[k]),
+                                      np.asarray(s_back.dense[k]))
+    np.testing.assert_array_equal(np.asarray(s_tp.table),
+                                  np.asarray(s_back.table))
+
+    # cross-topology: restore into the 1-D dp=8 hybrid engine (same flat
+    # shard count, so the table layout is unchanged; dense params
+    # reassemble from blocks into replicated placement)
+    cfg_dp = HeraldConfig(model=mname, batch_size=B, embedding_dim=8,
+                          comm_mode="hybrid", learning_rate=0.1,
+                          a2a_capacity_factor=8.0)
+    e_dp = Engine(cfg_dp, table_rows=ROWS)
+    s_dp = load_checkpoint(str(tmp_path), e_dp.init_state(2))
+    for k in s_tp.dense:
+        np.testing.assert_array_equal(np.asarray(s_tp.dense[k]),
+                                      np.asarray(s_dp.dense[k]))
+    np.testing.assert_array_equal(np.asarray(s_tp.table),
+                                  np.asarray(s_dp.table))
+
+    # and the reverse direction (dp-saved -> TP engine)
+    s_dp, _ = e_dp.train_step(s_dp, dense[8 * B:], sparse[8 * B:],
+                              labels[8 * B:])
+    save_checkpoint(s_dp, str(tmp_path / "dp"))
+    s_tp2 = load_checkpoint(str(tmp_path / "dp"), e_tp.init_state(3))
+    for k in s_dp.dense:
+        np.testing.assert_array_equal(np.asarray(s_dp.dense[k]),
+                                      np.asarray(s_tp2.dense[k]))
+    # training continues identically from either restore
+    s_dp2, st_a = e_dp.train_step(s_dp, dense[:8 * B], sparse[:8 * B],
+                                  labels[:8 * B])
+    s_tp3, st_b = e_tp.train_step(s_tp2, dense[:8 * B], sparse[:8 * B],
+                                  labels[:8 * B])
+    np.testing.assert_allclose(float(st_a["loss"]), float(st_b["loss"]),
+                               rtol=1e-6)
+
+
+def test_tp_exchange_bytes_match_1d_mesh():
+    """TP must not inflate embedding-exchange traffic: the compiled HLO
+    all-to-all bytes of the (4, 2) TP step equal the 1-D 8-device step's
+    (same S=8 flat sharding, same capacities). Collective-bytes accounting
+    from utils/hlo_stats, the same instrument as benchmarks/mesh_ab.py."""
+    from herald_tpu.utils.hlo_stats import collective_bytes
+    cfg_dp = HeraldConfig(model="wdl_criteo", batch_size=B, embedding_dim=8,
+                          comm_mode="hybrid", a2a_capacity_factor=4.0)
+    cfg_tp = HeraldConfig(model="wdl_criteo", batch_size=B, embedding_dim=8,
+                          comm_mode="hybrid", a2a_capacity_factor=4.0,
+                          mp_shards=2)
+    e_dp = Engine(cfg_dp, table_rows=ROWS)
+    e_tp = Engine(cfg_tp, table_rows=ROWS)
+    assert e_tp.exchange.capacity == e_dp.exchange.capacity
+    st_dp = e_dp.init_state(0)
+    st_tp = e_tp.init_state(0)
+    b_dp = collective_bytes(e_dp._train_step, st_dp,
+                            *e_dp.example_step_args())
+    b_tp = collective_bytes(e_tp._train_step, st_tp,
+                            *e_tp.example_step_args())
+    assert b_tp["all-to-all"] == b_dp["all-to-all"], (b_tp, b_dp)
+
+
 def test_tp_apply_matches_apply_forward():
     """apply_tp under shard_map == apply, per TP-capable model (forward)."""
     from jax.sharding import Mesh
