@@ -194,6 +194,7 @@ def resolve_config(args) -> "HeraldConfig":
                        ("pinned_rows", "pinned_rows"),
                        ("shuffle_seed", "sched_shuffle_seed"),
                        ("log_dir", "log_dir"),
+                       ("mp_shards", "mp_shards"),
                        ("a2a_capacity_factor", "a2a_capacity_factor")]:
             if getattr(args, ak) != getattr(dflt, ak):
                 setattr(cfg, ck, getattr(args, ak))
@@ -216,6 +217,10 @@ def resolve_config(args) -> "HeraldConfig":
             cfg.flush_wire_dtype = jnp.bfloat16
         # branch selection below keys off args.scheduled
         args.scheduled = bool(cfg.use_scheduler and cfg.use_cache)
+        # the mutations above (use_cache/use_scheduler/mp_shards
+        # overrides) bypassed dataclass construction — re-run the
+        # validation so e.g. mp_shards + --scheduled still fails loudly
+        cfg.__post_init__()
     else:
         cfg = HeraldConfig(
             model=args.model, batch_size=args.batch_size,
@@ -383,6 +388,13 @@ def run_training(args) -> dict:
 
     use_fae = args.fae or model.train_engine == "fae"
     if use_fae:
+        if args.export_onnx:
+            # fail BEFORE training: the FAE state splits rows across a hot
+            # dense matrix and a sum-pooled cold path, which the Gather-
+            # based ONNX graph does not express
+            raise SystemExit("--export-onnx does not support FAE runs "
+                             "(hot/cold split state); train the plain or "
+                             "scheduled mode to export")
         from herald_tpu.train.fae import FaeEngine, build_hot_lut
         eng = FaeEngine(cfg, table_rows=rows, hot_rate=args.hot_rate)
         lut, _ = build_hot_lut(trn[1], rows, num_hot=eng.num_hot)

@@ -163,6 +163,15 @@ def Concatenate(axis: int = -1) -> Layer:
                  apply=lambda params, xs, **kw: jnp.concatenate(xs, axis))
 
 
+def _sub_rngs(kw, n):
+    """Pop the combinator's rng and derive one independent key per
+    sub-layer — two DropOuts in one Sequence must not share a mask."""
+    rng = kw.pop("rng", None)
+    if rng is None:
+        return [None] * n
+    return list(jax.random.split(rng, n))
+
+
 def ConcatenateLayers(layers: Seq[Layer], axis: int = -1) -> Layer:
     """Run each layer on the same input, concat outputs (reference
     ConcatenateLayers)."""
@@ -171,8 +180,10 @@ def ConcatenateLayers(layers: Seq[Layer], axis: int = -1) -> Layer:
         return [l.init(k) for l, k in zip(layers, keys)]
 
     def apply(params, x, **kw):
+        rngs = _sub_rngs(kw, len(layers))
         return jnp.concatenate(
-            [l.apply(p, x, **kw) for l, p in zip(layers, params)], axis)
+            [l.apply(p, x, rng=k, **kw)
+             for l, p, k in zip(layers, params, rngs)], axis)
 
     return Layer(init=init, apply=apply)
 
@@ -185,9 +196,10 @@ def SumLayers(layers: Seq[Layer]) -> Layer:
         return [l.init(k) for l, k in zip(layers, keys)]
 
     def apply(params, x, **kw):
+        rngs = _sub_rngs(kw, len(layers))
         out = None
-        for l, p in zip(layers, params):
-            y = l.apply(p, x, **kw)
+        for l, p, k in zip(layers, params, rngs):
+            y = l.apply(p, x, rng=k, **kw)
             out = y if out is None else out + y
         return out
 
@@ -201,8 +213,9 @@ def Sequence(*layers: Layer) -> Layer:
         return [l.init(k) for l, k in zip(layers, keys)]
 
     def apply(params, x, **kw):
-        for l, p in zip(layers, params):
-            x = l.apply(p, x, **kw)
+        rngs = _sub_rngs(kw, len(layers))
+        for l, p, k in zip(layers, params, rngs):
+            x = l.apply(p, x, rng=k, **kw)
         return x
 
     return Layer(init=init, apply=apply)

@@ -288,6 +288,13 @@ def export_state(engine, state, path: str,
                  batch_size: Optional[int] = None) -> None:
     """Export a live engine's TrainState (plain or TP; cached states must
     `sync_cache` first so the table holds the authoritative rows)."""
+    if isinstance(state.table, jax.Array) \
+            and not state.table.is_fully_addressable:
+        raise ValueError(
+            "export_state needs the full table on this process; in "
+            "multi-process runs save a checkpoint instead and export "
+            "from a single-process load (load_checkpoint -> "
+            "export_state)")
     table = engine.exchange.to_logical(np.asarray(state.table)) \
         if engine.num_shards > 1 else \
         np.asarray(state.table)[:engine.num_rows]

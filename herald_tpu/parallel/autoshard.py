@@ -52,14 +52,24 @@ class LayoutScore:
     step_us: float = 0.0        # max(comm, compute)
 
 
-def _wire_bytes(coll: dict, num_shards: int) -> Tuple[int, int]:
-    """Split collective buffer bytes into (a2a, other), scaled to bytes
-    that actually cross links ((S-1)/S of each buffer)."""
-    f = (num_shards - 1) / num_shards
-    a2a = int(coll.get("all-to-all", 0) * f)
-    other = int(sum(coll.get(k, 0)
-                    for k in ("all-reduce", "all-gather", "reduce-scatter",
-                              "collective-permute")) * f)
+def _wire_bytes(coll: dict, num_shards: int, dp: int,
+                mp: int) -> Tuple[int, int]:
+    """Split collective buffer bytes into (a2a, other), scaled to the
+    bytes that actually cross links: a group-g collective moves (g-1)/g
+    of its buffer. The embedding all-to-all runs over the FULL flat mesh
+    (g = S); the tower's all-gather/reduce-scatter run over the mp
+    subgroup and the dense-grad all-reduce over the dp subgroup — an
+    approximation by collective KIND (exact for the programs this
+    engine emits; replica-group parsing would generalize it)."""
+    def f(g):
+        return (g - 1) / g if g > 1 else 0.0
+
+    a2a = int(coll.get("all-to-all", 0) * f(num_shards))
+    gather = sum(coll.get(k, 0) for k in ("all-gather", "reduce-scatter",
+                                          "collective-permute"))
+    allred = coll.get("all-reduce", 0)
+    other = int(gather * f(mp if mp > 1 else num_shards)
+                + allred * f(dp if mp > 1 else num_shards))
     return a2a, other
 
 
@@ -88,7 +98,7 @@ def search_layout(model: str, n_devices: Optional[int] = None,
     devices = devices[:n]
     assert len(devices) == n, f"need {n} devices, have {len(devices)}"
 
-    candidates = [m for m in range(1, n + 1) if n % m == 0 and m < n]
+    candidates = [m for m in range(1, n + 1) if n % m == 0]
     scores: List[LayoutScore] = []
     for mp in candidates:
         cfg = HeraldConfig(model=model, batch_size=batch_size,
@@ -106,7 +116,7 @@ def search_layout(model: str, n_devices: Optional[int] = None,
         lowered = eng._train_step.lower(state, *args)
         compiled = lowered.compile()
         coll = hlo_stats.parse_collective_bytes(compiled.as_text())
-        a2a, other = _wire_bytes(coll, eng.num_shards)
+        a2a, other = _wire_bytes(coll, eng.num_shards, eng.dp_shards, mp)
         flops = _flops_of(compiled)
         comm_us = (a2a + other) / (ici_gbps * 1e3)     # bytes/GBps -> us
         compute_us = flops / (mxu_tflops * 1e6)

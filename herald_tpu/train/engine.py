@@ -117,6 +117,11 @@ class Engine:
         shapes = jax.eval_shape(
             lambda k: self.model.init_dense(k, self.cfg.embedding_dim),
             jax.random.PRNGKey(0))
+        if not isinstance(shapes, dict) or not all(
+                hasattr(v, "shape") for v in shapes.values()):
+            raise ValueError(
+                f"model {self.model.name!r}: TP towers must keep dense "
+                f"params as a flat dict (tp_plan maps its keys)")
         for k, kind in self.model.tp_plan.items():
             s = shapes[k].shape
             dim = s[-1] if kind == "col" else s[0]
@@ -409,15 +414,26 @@ class Engine:
             dense_tree = jax.eval_shape(
                 lambda k: self.model.init_dense(k, self.cfg.embedding_dim),
                 jax.random.PRNGKey(0))
+            if self.mp > 1:
+                # TP towers carry flat dicts (enforced by _validate_tp);
+                # specs follow the per-param tp_plan
+                dense_specs = {k: self._dense_pspec(k) for k in dense_tree}
+                dslot_specs = {
+                    k: {s: self._dense_pspec(k)
+                        for s in self.dense_opt.slot_names}
+                    for k in dense_tree}
+            else:
+                # any param pytree shape (e.g. layers.Sequence lists)
+                dense_specs = jax.tree.map(lambda _: P(), dense_tree)
+                dslot_specs = jax.tree.map(
+                    lambda _: {k: P() for k in self.dense_opt.slot_names},
+                    dense_tree)
             state_specs = TrainState(
                 table=P(ax, None),
                 table_slots={k: P(ax, None)
                              for k in self.embed_opt.slot_names},
-                dense={k: self._dense_pspec(k) for k in dense_tree},
-                dense_slots={
-                    k: {s: self._dense_pspec(k)
-                        for s in self.dense_opt.slot_names}
-                    for k in dense_tree},
+                dense=dense_specs,
+                dense_slots=dslot_specs,
                 step=P(),
             )
             data_spec = P(ax)
