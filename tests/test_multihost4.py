@@ -108,6 +108,25 @@ _WORKER_A = textwrap.dedent("""
     sched.close()
     print("ASSIGN_SUMS", *sums)
     print("ASSIGN_PERF", sperf["miss_pull"])
+
+    # ---- TP tower over the multi-process mesh (dp=4 x mp=2) ----------
+    # each process holds one dp row (2 devices = both mp shards), so the
+    # mp-sharded dense params are replicated ACROSS processes: the
+    # printed shard sums must agree on all four, and match the
+    # single-process oracle run by the pytest driver
+    tcfg = HeraldConfig(model="wdl_criteo", batch_size=8, embedding_dim=8,
+                        comm_mode="hybrid", mp_shards=2, learning_rate=0.5,
+                        a2a_capacity_factor=8.0)
+    teng = Engine(tcfg, table_rows=1000)
+    tstate = teng.init_state(0)
+    tstate, tstats = teng.train_step(tstate, dense[:64], sparse[:64],
+                                     labels[:64])
+    jax.block_until_ready(tstate.dense["W2"])
+    print("TP_LOSS", f"{{float(tstats['loss']):.8f}}",
+          int(tstats["overflow"]))
+    for sh in tstate.dense["W2"].addressable_shards:
+        s = np.asarray(sh.data, np.float64)
+        print("TP_W2_SUM", sh.index[0].start, f"{{s.sum():.10e}}")
     print("DONE_A")
 """)
 
@@ -182,11 +201,49 @@ def test_four_process_scheduled_and_resize(tmp_path):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
         assert "DONE_A" in out
     # broadcast identity: all four processes saw the same scheduled
-    # losses, planner counters, and assigned batches
-    for tag in ("SCHED_LOSS", "SCHED_PERF", "ASSIGN_SUMS", "ASSIGN_PERF"):
+    # losses, planner counters, assigned batches, and TP step results
+    # (TP_W2_SUM: the mp shards are replicated across processes)
+    for tag in ("SCHED_LOSS", "SCHED_PERF", "ASSIGN_SUMS", "ASSIGN_PERF",
+                "TP_LOSS"):
         lines = sorted({line for out in outs for line in out.splitlines()
                         if line.startswith(tag)})
         assert len(lines) == 1, lines
+    tp_sums = sorted({line for out in outs for line in out.splitlines()
+                      if line.startswith("TP_W2_SUM")})
+    assert len(tp_sums) == 2, tp_sums   # one line per mp shard
+
+    # single-process oracle for the TP step: same mesh semantics, same
+    # data -> identical loss and shard sums (CPU math is deterministic)
+    import jax as _jax
+    import numpy as _np
+    from herald_tpu import HeraldConfig as _HC
+    from herald_tpu.data import synthetic_ctr_data as _synth
+    from herald_tpu.models import get_model as _gm
+    from herald_tpu.train.engine import Engine as _Eng
+    if _jax.device_count() >= 8:
+        _cfg = _HC(model="wdl_criteo", batch_size=8, embedding_dim=8,
+                   comm_mode="hybrid", mp_shards=2, learning_rate=0.5,
+                   a2a_capacity_factor=8.0)
+        _d, _s, _y = _synth(_gm(_cfg.model).spec, 8 * 8 * 6, seed=3,
+                            num_rows=1000)
+        _eng = _Eng(_cfg, table_rows=1000)
+        _st = _eng.init_state(0)
+        _st, _stats = _eng.train_step(_st, _d[:64], _s[:64], _y[:64])
+        tp_loss_line = [l for l in outs[0].splitlines()
+                        if l.startswith("TP_LOSS")][0]
+        got_loss = float(tp_loss_line.split()[1])
+        assert tp_loss_line.split()[2] == "0"   # no exchange overflow
+        assert abs(got_loss - float(_stats["loss"])) < 1e-6
+        # numeric (not bit) comparison: the distributed backend's
+        # collectives reduce in a different order than single-process
+        oracle = {int(sh.index[0].start):
+                  float(_np.asarray(sh.data, _np.float64).sum())
+                  for sh in _st.dense["W2"].addressable_shards
+                  if sh.replica_id == 0}
+        got = {int(l.split()[1]): float(l.split()[2]) for l in tp_sums}
+        assert oracle.keys() == got.keys()
+        for k in oracle:
+            assert abs(oracle[k] - got[k]) < 1e-6, (k, oracle[k], got[k])
 
     def shard_sums(out_texts):
         sums = {}

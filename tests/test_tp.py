@@ -193,6 +193,25 @@ def test_tp_checkpoint_roundtrip_and_cross_topology(tmp_path):
                                rtol=1e-6)
 
 
+def test_tp_state_onnx_export(tmp_path):
+    """export_state gathers mp-sharded dense params into global arrays;
+    the artifact's predictions match the TP engine's."""
+    from herald_tpu.onnx import OnnxModel, export_state
+    mname = "wdl_criteo"
+    model = get_model(mname)
+    dense, sparse, labels = synthetic_ctr_data(
+        model.spec, 8 * B, seed=11, num_rows=ROWS)
+    _, e_tp, _, s_tp = _tp_pair(mname, 2)
+    s_tp, _ = e_tp.train_step(s_tp, dense, sparse, labels)
+    path = str(tmp_path / "tp.onnx")
+    export_state(e_tp, s_tp, path, batch_size=8 * B)
+    om = OnnxModel.load(path)
+    (probs,) = om(sparse_ids=sparse.astype(np.int64),
+                  dense_x=dense.astype(np.float32))
+    ref = np.asarray(e_tp.predict(s_tp, dense, sparse)).reshape(-1)
+    np.testing.assert_allclose(probs, ref, rtol=1e-4, atol=1e-6)
+
+
 def test_tp_exchange_bytes_match_1d_mesh():
     """TP must not inflate embedding-exchange traffic: the compiled HLO
     all-to-all bytes of the (4, 2) TP step equal the 1-D 8-device step's
