@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from herald_tpu.data.datasets import DATASETS
 from herald_tpu.models.base import ModelDef, mlp_init, normal, register
+from herald_tpu.parallel import tp
 
 # ----------------------------------------------------------------------
 # NCF (MovieLens): GMF + MLP towers over user/item embeddings.
@@ -108,9 +109,22 @@ def _make_emb_sum_wdl(name, spec):
         y4 = jnp.concatenate([pooled, h], axis=1)
         return (y4 @ params["W4"]).reshape(-1)
 
+    def apply_tp(params, emb, dense, axis):
+        # same Megatron pairing as the wdl tower (models/wdl.py), with
+        # the sum-pooled embedding feeding the concat head
+        pooled = jnp.sum(emb, axis=1)
+        h = jax.nn.relu(dense @ params["W1"])
+        h = jax.nn.relu(tp.row_parallel_sharded(h, params["W2"], axis))
+        h = h @ params["W3"]
+        h = tp.gather_cols(h, axis)
+        y4 = jnp.concatenate([pooled, h], axis=1)
+        return tp.row_parallel(y4, params["W4"], axis).reshape(-1)
+
     return register(ModelDef(
         name=name, spec=spec, emb_width=lambda d: d,
-        init_dense=init_dense, apply=apply, default_lr=0.01))
+        init_dense=init_dense, apply=apply, default_lr=0.01,
+        tp_plan={"W1": "col", "W2": "row", "W3": "col", "W4": "row"},
+        apply_tp=apply_tp))
 
 
 emb_sum_wdl_criteo = _make_emb_sum_wdl("emb_sum_wdl_criteo",

@@ -61,6 +61,7 @@ def _assert_state_parity(e_local, e_tp, s_local, s_tp):
     ("wdl_criteo", 4),
     ("dfm_criteo", 2),   # replicated FM path + sharded DNN
     ("dcn_criteo", 2),   # replicated cross layers + sharded MLP
+    ("emb_sum_wdl_criteo", 2),   # sum-pooled embeddings + sharded tower
 ])
 def test_tp_matches_local(mname, mp):
     model = get_model(mname)
@@ -240,7 +241,8 @@ def test_tp_apply_matches_apply_forward():
     from jax.sharding import Mesh
     devices = np.array(jax.devices()).reshape(4, 2)
     mesh = Mesh(devices, ("dp", "mp"))
-    for mname in ("wdl_criteo", "dfm_criteo", "dcn_criteo"):
+    for mname in ("wdl_criteo", "dfm_criteo", "dcn_criteo",
+                  "emb_sum_wdl_criteo"):
         model = get_model(mname)
         params = model.init_dense(jax.random.PRNGKey(0), 8)
         Bf = 32
