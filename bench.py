@@ -298,45 +298,6 @@ def main():
                 os._exit(0)
             time.sleep(10)
 
-    threading.Thread(target=watchdog, daemon=True).start()
-
-    fns = {"engine": bench_engine, "naive": bench_naive,
-           "scheduled": bench_scheduled}
-    naives, engines, errors = partial["naives"], partial["engines"], \
-        partial["errors"]
-    acc = {"engine": engines, "naive": naives}
-    # alternating fairness rounds; later rounds are skippable on deadline
-    for i, mode in enumerate(("engine", "naive", "naive", "engine")):
-        if i >= 2 and time_left() < 120:
-            log("[bench] skipping second fairness round (deadline)")
-            break
-        log(f"[bench] {mode} ...")
-        t0 = time.perf_counter()
-        try:
-            acc[mode].append(fns[mode]())
-            log(f"[bench] {mode} done in {time.perf_counter() - t0:.0f}s")
-        except Exception as e:
-            errors.append(f"{mode}: {str(e)[:80]}")
-            log(f"[bench] {mode} FAILED: {e}")
-            # a failed measurement skipped its own _free: drop EVERY
-            # live device buffer so the next stage's 8.6 GB table
-            # doesn't land next to the leaked one
-            _free(list(jax.live_arrays()))
-    ours = max(engines) if engines else None
-    naive = max(naives) if naives else None
-
-    # the cache-path measurement is secondary
-    sched = None
-    if time_left() > 90:
-        log("[bench] scheduled ...")
-        try:
-            sched = bench_scheduled()
-            partial["sched"] = sched
-            log("[bench] scheduled done")
-        except Exception as e:
-            errors.append(f"scheduled: {str(e)[:80]}")
-            _free(list(jax.live_arrays()))
-
     # multi-chip communication A/B on the 8-device virtual mesh (bytes
     # read from the compiled HLO — deterministic; overflow/correctness
     # certification lives in tests/test_traffic_hlo.py). CPU subprocess;
@@ -383,16 +344,58 @@ def main():
                 summ.get("projected_ici_us_scheduled"),
         }
 
-    if time_left() < 60:
-        mesh = {"mesh_ab_error": "skipped (deadline)"}
-    else:
-        try:
-            mesh = run_mesh_ab()
-        except Exception as e:   # never lose the chip numbers to this
-            mesh = {"mesh_ab_error": str(e)[:200]}
+    threading.Thread(target=watchdog, daemon=True).start()
 
-    partial["mesh"] = mesh
-    emit(ours, naive, sched, mesh, errors)
+    # the mesh A/B runs FIRST: it is a CPU subprocess that never touches
+    # the chip, so when the remote TPU terminal is down/hung (observed
+    # multi-hour axon-tunnel outages) the watchdog's partial emit still
+    # carries the communication-axis numbers instead of
+    # {"mesh_ab_error": "watchdog"}
+    try:
+        partial["mesh"] = run_mesh_ab()
+        log("[bench] mesh A/B done")
+    except Exception as e:
+        partial["mesh"] = {"mesh_ab_error": str(e)[:200]}
+        log(f"[bench] mesh A/B FAILED: {e}")
+
+    fns = {"engine": bench_engine, "naive": bench_naive,
+           "scheduled": bench_scheduled}
+    naives, engines, errors = partial["naives"], partial["engines"], \
+        partial["errors"]
+    acc = {"engine": engines, "naive": naives}
+    # alternating fairness rounds; later rounds are skippable on deadline
+    for i, mode in enumerate(("engine", "naive", "naive", "engine")):
+        if i >= 2 and time_left() < 120:
+            log("[bench] skipping second fairness round (deadline)")
+            break
+        log(f"[bench] {mode} ...")
+        t0 = time.perf_counter()
+        try:
+            acc[mode].append(fns[mode]())
+            log(f"[bench] {mode} done in {time.perf_counter() - t0:.0f}s")
+        except Exception as e:
+            errors.append(f"{mode}: {str(e)[:80]}")
+            log(f"[bench] {mode} FAILED: {e}")
+            # a failed measurement skipped its own _free: drop EVERY
+            # live device buffer so the next stage's 8.6 GB table
+            # doesn't land next to the leaked one
+            _free(list(jax.live_arrays()))
+    ours = max(engines) if engines else None
+    naive = max(naives) if naives else None
+
+    # the cache-path measurement is secondary
+    sched = None
+    if time_left() > 90:
+        log("[bench] scheduled ...")
+        try:
+            sched = bench_scheduled()
+            partial["sched"] = sched
+            log("[bench] scheduled done")
+        except Exception as e:
+            errors.append(f"scheduled: {str(e)[:80]}")
+            _free(list(jax.live_arrays()))
+
+    emit(ours, naive, sched, partial["mesh"], errors)
 
 
 if __name__ == "__main__":
