@@ -151,13 +151,18 @@ def bench_scheduled():
     # training loop runs (launch/cli.py scheduled branch)
     planner = eng.make_planner(sparse, epochs=epochs)
     state = eng.init_cached_state(0)
+    # HBM-resident samples: the per-chunk host work drops to the planner
+    # pop + an int32 index transfer (~KB/step); the device gathers its
+    # assigned rows itself (train/cached.py stage_dataset)
+    dev_data = eng.stage_dataset(dense, sparse32, labels)
     times = []
     for _ in range(epochs):
         t0 = time.perf_counter()
         last = None
         for _c in range(ITERS // chunk):
             state, stats = eng.train_epoch_cached(
-                state, planner, dense, sparse32, labels, steps=chunk)
+                state, planner, dense, sparse32, labels, steps=chunk,
+                device_data=dev_data)
             last = stats
         # host readback of a value depending on every step (see
         # bench_engine note on block_until_ready)
@@ -168,7 +173,7 @@ def bench_scheduled():
     # per-epoch throughputs for the noise annotation (main() reads this)
     bench_scheduled.epoch_eps = [BATCH * ITERS / t for t in times[1:]]
     planner.close()
-    _free(state, last)
+    _free(state, last, dev_data)
     return eps
 
 

@@ -103,6 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="all-to-all bucket capacity per (src,dst) pair = "
                         "ceil(uniques/shards) * factor; raise it if the "
                         "run aborts with an exchange-overflow error")
+    p.add_argument("--device-data", action="store_true",
+                   help="scheduled mode: pre-stage the FULL dataset in "
+                   "HBM (replicated) and gather sample rows on device by "
+                   "assignment index — host ships ~KB of indices per "
+                   "step instead of ~MB of rows. Use when the dataset "
+                   "fits next to the table")
     p.add_argument("--no-prefetch", action="store_true",
                    help="disable the async host->device input pipeline "
                         "(data/prefetch.py DevicePrefetcher)")
@@ -554,6 +560,7 @@ def run_training(args) -> dict:
             assert skipped == done, (skipped, done)
         target = min(steps_total, args.max_steps) if args.max_steps \
             else steps_total
+        dev_data = eng.stage_dataset(*trn) if args.device_data else None
         cs = _ChunkStats()
         spe = planner.batch_num          # steps per epoch
         start_done = done                # resume offset: only evaluate
@@ -569,7 +576,7 @@ def run_training(args) -> dict:
                 k = min(k, warm_steps - done)
             with timer:
                 state, stats = run_eng.train_epoch_cached(
-                    state, planner, *trn, steps=k)
+                    state, planner, *trn, steps=k, device_data=dev_data)
             if stats is None:
                 break
             cs.push(stats)

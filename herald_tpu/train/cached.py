@@ -417,6 +417,29 @@ class CachedEngine(Engine):
              pfids_k, pfslots_k))
         return state, {"loss": losses, "overflow": overflows}
 
+    def _cached_epoch_idx_body(self, state, dev_d, dev_s, dev_y, idx_k,
+                               slots_k, pulls_k, fids_k, fslots_k,
+                               pfids_k, pfslots_k):
+        """Device-resident-data variant: the epoch's samples live in HBM
+        (replicated over the mesh) and the scan gathers each step's
+        assigned rows by int32 index on device — the host ships ~KB of
+        indices per step instead of ~MB of sample rows. The reference
+        holds the full dataset in every worker's RAM and feeds the GPU
+        per batch over PCIe (`laia_dataloader.py:43`); on TPU the same
+        residency decision moves the feed off the host entirely."""
+        def body(state, xs):
+            idx_t, *rest = xs
+            d = jnp.take(dev_d, idx_t, axis=0)
+            s = jnp.take(dev_s, idx_t, axis=0)
+            y = jnp.take(dev_y, idx_t, axis=0)
+            state, stats = self._cached_step_body(state, d, s, y, *rest)
+            return state, (stats["loss"], stats["overflow"])
+
+        state, (losses, overflows) = jax.lax.scan(
+            body, state, (idx_k, slots_k, pulls_k, fids_k, fslots_k,
+                          pfids_k, pfslots_k))
+        return state, {"loss": losses, "overflow": overflows}
+
     # ------------------------------------------------------------------
     def _build_cached_steps(self):
         if self.num_shards > 1:
@@ -454,6 +477,11 @@ class CachedEngine(Engine):
                 in_specs=(specs,) + (ksp,) * 9,
                 out_specs=(specs, kstats), check_vma=False),
                 donate_argnums=(0,))
+            self._cached_epoch_idx = jax.jit(jax.shard_map(
+                self._cached_epoch_idx_body, mesh=self.mesh,
+                in_specs=(specs, P(), P(), P()) + (ksp,) * 7,
+                out_specs=(specs, kstats), check_vma=False),
+                donate_argnums=(0,))
             self._flush_step = jax.jit(jax.shard_map(
                 self._flush_only_body, mesh=self.mesh,
                 in_specs=(specs, dsp, dsp), out_specs=specs,
@@ -463,6 +491,8 @@ class CachedEngine(Engine):
                                         donate_argnums=(0,))
             self._cached_epoch = jax.jit(self._cached_epoch_body,
                                          donate_argnums=(0,))
+            self._cached_epoch_idx = jax.jit(self._cached_epoch_idx_body,
+                                             donate_argnums=(0,))
             self._flush_step = jax.jit(self._flush_only_body,
                                        donate_argnums=(0,))
 
@@ -527,17 +557,49 @@ class CachedEngine(Engine):
                                        raw_labels)
         return self._cached_step(state, *args)
 
+    def stage_dataset(self, raw_dense, raw_sparse, raw_labels):
+        """Pre-stage the FULL dataset in HBM (replicated over the mesh)
+        for `train_epoch_cached(device_data=...)`: per-chunk staging then
+        ships only the int32 assignment indices (~KB/step) instead of
+        gathered sample rows (~MB/step), taking the host's `raw[idx]`
+        fancy-index and the bulk transfer off the training loop's
+        critical path. Use when the dataset fits next to the table
+        (criteo-at-reference-scale does NOT on one 16 GB chip; bench- and
+        avazu-scale do). The reference makes the same residency call one
+        level up: every worker holds the whole dataset in RAM
+        (`laia_dataloader.py:43`)."""
+        host = (np.asarray(raw_dense, np.float32),
+                np.asarray(raw_sparse, np.int32),
+                np.asarray(raw_labels, np.float32))
+        if self.num_shards > 1:
+            rep = NamedSharding(self.mesh, P())
+            return jax.device_put(host, (rep,) * 3)
+        return jax.device_put(host)
+
     def train_epoch_cached(self, state, planner: CachePlanner, raw_dense,
-                           raw_sparse, raw_labels, steps: int):
+                           raw_sparse, raw_labels, steps: int,
+                           device_data=None):
         """Pop `steps` micro-programs directly into stacked device-layout
         buffers (planner.pop_into: one C call per step, no Python
-        pad-and-stack) and scan them on device."""
+        pad-and-stack) and scan them on device. With `device_data` (from
+        `stage_dataset`) the sample rows are gathered ON DEVICE by
+        assignment index; the raw_* arrays are then ignored."""
         (K, assign, slots, pulls, fids, fslots,
          pfids, pfslots) = planner.pop_chunk(steps)
         if K == 0:
             return state, None
         self._unsynced = True
         idx = assign[:K]
+
+        if device_data is not None:
+            host = (idx.astype(np.int32, copy=False),
+                    slots[:K], pulls[:K].view(bool), fids[:K], fslots[:K],
+                    pfids[:K], pfslots[:K])
+            if self.num_shards > 1:
+                args = jax.device_put(host, (self._kdata_sharding,) * 7)
+            else:
+                args = jax.device_put(host)
+            return self._cached_epoch_idx(state, *device_data, *args)
 
         host = (
             raw_dense[idx].astype(np.float32, copy=False),

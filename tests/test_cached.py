@@ -377,3 +377,35 @@ def test_tight_budget_rotates_planned_flushes():
     assert w0_flush_events >= 10, w0_flush_events
     assert len(flushed_A) >= min(w0_flush_events, 15), \
         (len(flushed_A), w0_flush_events)
+
+
+def test_device_resident_data_path_exact():
+    """train_epoch_cached(device_data=stage_dataset(...)) — on-device
+    index gathers from HBM-resident samples — is bit-equivalent to the
+    host-staged path, in local AND hybrid modes."""
+    for comm in ("local", "hybrid"):
+        cfg = HeraldConfig(model="wdl_criteo", batch_size=B,
+                           embedding_dim=8, comm_mode=comm,
+                           learning_rate=0.1, cache_limit=900)
+        dense, sparse, labels = _data(
+            B * 6 * (8 if comm == "hybrid" else 1), seed=11)
+
+        e1 = CachedEngine(cfg, table_rows=ROWS)
+        p1 = e1.make_planner(sparse, epochs=1, n_threads=1)
+        s1 = e1.init_cached_state(0)
+        s1, st1 = e1.train_epoch_cached(s1, p1, dense, sparse, labels,
+                                        steps=p1.batch_num)
+
+        e2 = CachedEngine(cfg, table_rows=ROWS)
+        p2 = e2.make_planner(sparse, epochs=1, n_threads=1)
+        s2 = e2.init_cached_state(0)
+        dev = e2.stage_dataset(dense, sparse, labels)
+        s2, st2 = e2.train_epoch_cached(s2, p2, None, None, None,
+                                        steps=p2.batch_num,
+                                        device_data=dev)
+        np.testing.assert_array_equal(np.asarray(st1["loss"]),
+                                      np.asarray(st2["loss"]))
+        np.testing.assert_array_equal(np.asarray(s1.table),
+                                      np.asarray(s2.table))
+        np.testing.assert_array_equal(np.asarray(s1.cache),
+                                      np.asarray(s2.cache))

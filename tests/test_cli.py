@@ -185,3 +185,20 @@ def test_cli_export_onnx(tmp_path):
     assert probs.shape == (B,)
     assert np.isfinite(probs).all() and (0 < probs).all() and (probs < 1).all()
     assert report["val_auc"] is not None
+
+
+def test_cli_device_data_matches_host_staging():
+    """--device-data (HBM-resident samples, on-device index gathers) is
+    an exact drop-in for the host-staged scheduled path."""
+    common = ["--model", "wdl_criteo", "--comm", "hybrid", "--scheduled",
+              "--batch-size", "8", "--samples", "1024", "--rows", "1500",
+              "--lr", "0.5", "--nepoch", "1", "--scan-steps", "4",
+              "--cache-limit-ratio", "0.5", "--seed", "3"]
+    host = run_training(build_parser().parse_args(common))
+    dev = run_training(build_parser().parse_args(
+        common + ["--device-data"]))
+    assert dev["steps"] == host["steps"]
+    assert dev["overflow_rows"] == 0
+    assert dev["val_auc"] == pytest.approx(host["val_auc"], abs=1e-12)
+    assert dev["train_loss_last"] == pytest.approx(
+        host["train_loss_last"], abs=1e-9)
