@@ -57,19 +57,22 @@ def Reshape(shape: Seq[int]) -> Layer:
 
 
 def Linear(in_features: int, out_features: int, bias: bool = True,
-           activation: Optional[str] = None, stddev: float = 0.01) -> Layer:
+           activation: Optional[str] = None, stddev: float = 0.01,
+           initializer=None) -> Layer:
     """Reference `layers/linear.py`: weight + optional bias + optional
-    activation. Xavier-uniform by default there; reference CTR builders
-    use normal(0.01), matching `models/base.mlp_init` — pass
-    stddev=None for Xavier-uniform."""
+    activation. Reference CTR builders use normal(0.01), matching
+    `models/base.mlp_init`; pass stddev=None for Xavier-uniform or an
+    `initializer=` from `models/initializers` (the reference feeds the
+    (in, out) shape to its initializer, `linear.py:28-29` — same here)."""
     act = {None: None, "relu": jax.nn.relu,
            "gelu": jax.nn.gelu}[activation]
 
     def init(rng):
-        if stddev is None:   # GenXavierUniform
-            lim = float(np.sqrt(6.0 / (in_features + out_features)))
-            W = jax.random.uniform(rng, (in_features, out_features),
-                                   jnp.float32, -lim, lim)
+        if initializer is not None:
+            W = initializer(rng, (in_features, out_features))
+        elif stddev is None:   # GenXavierUniform
+            from herald_tpu.models.initializers import xavier_uniform
+            W = xavier_uniform(rng, (in_features, out_features))
         else:
             W = stddev * jax.random.normal(
                 rng, (in_features, out_features), jnp.float32)
@@ -89,14 +92,18 @@ def Linear(in_features: int, out_features: int, bias: bool = True,
 
 def Conv2d(in_channels: int, out_channels: int, kernel_size: int,
            stride: int = 1, padding: int = 0,
-           activation: Optional[str] = None, stddev: float = 0.1) -> Layer:
-    """NCHW conv (reference `layers/conv.py` / `ht.conv2d_op`)."""
+           activation: Optional[str] = None, stddev: float = 0.1,
+           initializer=None) -> Layer:
+    """NCHW conv (reference `layers/conv.py` / `ht.conv2d_op`); OIHW
+    weights, so `models/initializers` fan math applies directly."""
     act = {None: None, "relu": jax.nn.relu}[activation]
 
     def init(rng):
         k = kernel_size
-        return {"W": stddev * jax.random.normal(
-            rng, (out_channels, in_channels, k, k), jnp.float32)}
+        shape = (out_channels, in_channels, k, k)
+        if initializer is not None:
+            return {"W": initializer(rng, shape)}
+        return {"W": stddev * jax.random.normal(rng, shape, jnp.float32)}
 
     def apply(p, x, **kw):
         y = lax.conv_general_dilated(
