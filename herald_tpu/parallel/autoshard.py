@@ -150,7 +150,13 @@ def main(argv=None):
     p.add_argument("--rows", type=int, default=None)
     p.add_argument("--ici-gbps", type=float, default=90.0)
     p.add_argument("--mxu-tflops", type=float, default=197.0)
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. 'cpu' with "
+                   "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                   "to search layouts without hardware)")
     args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     cfg, scores = search_layout(
         args.model, args.n_devices, batch_size=args.batch_size,
         embedding_dim=args.embedding_size, table_rows=args.rows,
