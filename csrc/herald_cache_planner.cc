@@ -832,11 +832,46 @@ private:
                             __builtin_prefetch(&state[sn[order_[k]]]);
                     }
                     int *row = &scores[i * nrank_];
-                    for (int k = 0; k < top_k_; k++) {
-                        MaskT m = MaskT(state[s[order_[k]]] & low_half());
-                        while (m) {
-                            row[ctz_mask(m)]++;
-                            m &= MaskT(m - 1);
+                    if (top_k_ <= 31) {
+                        // carry-save bit-sliced accumulation: per-bit
+                        // increments cost O(total set bits) with a
+                        // mispredicted inner branch, which blows up
+                        // superlinearly at high nrank (dense residency
+                        // masks: measured 5.2 -> 30 ms/batch for the
+                        // score phase going 32 -> 64 ranks). Adding the
+                        // <= 31 masks into five bit PLANES costs a flat
+                        // 5 xor/and per mask, then one extraction per
+                        // NONZERO worker. Identical counts — the stress
+                        // tests pin the planner output bit-exactly.
+                        MaskT p0 = 0, p1 = 0, p2 = 0, p3 = 0, p4 = 0;
+                        for (int k = 0; k < top_k_; k++) {
+                            MaskT carry =
+                                MaskT(state[s[order_[k]]] & low_half());
+                            MaskT t;
+                            t = p0 & carry; p0 ^= carry; carry = t;
+                            t = p1 & carry; p1 ^= carry; carry = t;
+                            t = p2 & carry; p2 ^= carry; carry = t;
+                            t = p3 & carry; p3 ^= carry; carry = t;
+                            p4 ^= carry;   // counts <= 31: no overflow
+                        }
+                        MaskT any = p0 | p1 | p2 | p3 | p4;
+                        while (any) {
+                            int z = ctz_mask(any);
+                            row[z] = int(((p0 >> z) & MaskT(1)) |
+                                         (((p1 >> z) & MaskT(1)) << 1) |
+                                         (((p2 >> z) & MaskT(1)) << 2) |
+                                         (((p3 >> z) & MaskT(1)) << 3) |
+                                         (((p4 >> z) & MaskT(1)) << 4));
+                            any &= MaskT(any - 1);
+                        }
+                    } else {
+                        for (int k = 0; k < top_k_; k++) {
+                            MaskT m =
+                                MaskT(state[s[order_[k]]] & low_half());
+                            while (m) {
+                                row[ctz_mask(m)]++;
+                                m &= MaskT(m - 1);
+                            }
                         }
                     }
                 }
