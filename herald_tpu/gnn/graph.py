@@ -141,6 +141,145 @@ def partition_edges(spec: ExchangeSpec, g: Graph,
                         edge_cap=cap, uniq_cap=int(uniq_cap))
 
 
+@dataclasses.dataclass(frozen=True)
+class HaloPlan:
+    """Host-precomputed static exchange for a fixed graph.
+
+    The graph never changes between steps, so the id routing the dynamic
+    pull path re-derives every step (dedup + route_ids all_to_all) is
+    computed ONCE here, exactly: per shard pair (t -> s), the sorted
+    unique rows t must send s (only rows s actually references and does
+    NOT own — locals never touch the wire), padded to the max pair width.
+    """
+    send_slot: np.ndarray     # [S, S, C] int32: [s, t, c] = local slot
+                              #   shard s sends to shard t; pad = rps
+    edge_vec_idx: np.ndarray  # [S, E_cap] int32 into
+                              #   concat(own [rps], halo [S*C]); pad -> 0
+                              #   (edge weight 0 kills the contribution)
+    halo_cap: int             # C
+    halo_rows: int            # total real (unpadded) halo rows
+
+
+def plan_halo_exchange(spec: ExchangeSpec, g: Graph,
+                       sg: ShardedGraph) -> HaloPlan:
+    """Build the static halo-exchange plan from the partitioned edges."""
+    S, rps, N = spec.num_shards, spec.rows_per_shard, g.num_nodes
+    cap = sg.edge_cap
+    # need[s][t] = sorted unique rows shard s references from owner t!=s
+    need = [[None] * S for _ in range(S)]
+    for s in range(S):
+        real = sg.src[s][sg.src[s] < N]
+        owners = real % S
+        for t in range(S):
+            if t == s:
+                continue
+            need[s][t] = np.unique(real[owners == t])
+    C = max((len(need[s][t]) for s in range(S) for t in range(S)
+             if t != s), default=1)
+    C = max(C, 1)
+    send_slot = np.full((S, S, C), rps, np.int32)
+    halo_rows = 0
+    for s in range(S):
+        for t in range(S):
+            if t == s or len(need[s][t]) == 0:
+                continue
+            rows = need[s][t]
+            send_slot[t, s, :len(rows)] = rows // S  # t sends to s
+            halo_rows += len(rows)
+    edge_idx = np.zeros((S, cap), np.int32)
+    for s in range(S):
+        # halo position of remote row r (owner t): rps + t*C + rank in
+        # need[s][t]
+        pos = {}
+        for t in range(S):
+            if t == s or need[s][t] is None:
+                continue
+            for i, r in enumerate(need[s][t]):
+                pos[int(r)] = rps + t * C + i
+        for e, r in enumerate(sg.src[s]):
+            r = int(r)
+            if r >= N:
+                continue  # pad edge: index 0, weight 0
+            edge_idx[s, e] = (r // S) if r % S == s else pos[r]
+    return HaloPlan(send_slot=send_slot, edge_vec_idx=edge_idx,
+                    halo_cap=int(C), halo_rows=int(halo_rows))
+
+
+def locality_reorder(g: Graph, num_shards: int,
+                     rounds: int = 10, seed: int = 0) -> np.ndarray:
+    """Relabeling that turns strided ownership into a locality partition.
+
+    The reference fixes partition locality with offline reorder pipelines
+    (METIS/slashburn/degree, `tests/test_DistGCN/
+    prepare_data_GCN15d_reorder.py`). Here ownership is id % S, so ANY
+    partition is realizable by relabeling: run label propagation to find
+    communities, pack communities into S balanced groups, then give
+    group p the ids congruent to p (mod S).
+
+    Returns new_id[old_id]; apply with `relabel_graph`.
+    """
+    N, S = g.num_nodes, num_shards
+    rng = np.random.RandomState(seed)
+    label = np.arange(N, dtype=np.int64)
+    # drop self loops for propagation
+    m = g.src != g.dst
+    src, dst = g.src[m].astype(np.int64), g.dst[m].astype(np.int64)
+    nodes = np.concatenate([dst, src])
+    for _ in range(rounds):
+        # synchronous majority-vote label propagation: each node adopts
+        # the most frequent neighbor label (ties -> larger label id,
+        # deterministic). Majority voting keeps labels from flooding
+        # across sparse community boundaries.
+        nlabs = np.concatenate([label[src], label[dst]])
+        key = nodes * np.int64(N) + nlabs
+        uk, counts = np.unique(key, return_counts=True)
+        kn, kl = uk // N, uk % N
+        idx = np.lexsort((kl, counts, kn))
+        last = np.r_[kn[idx][1:] != kn[idx][:-1], True]
+        nxt = label.copy()
+        nxt[kn[idx][last]] = kl[idx][last]
+        if np.array_equal(nxt, label):
+            break
+        label = nxt
+    # pack communities into S groups, biggest first, least-loaded group
+    comm, counts = np.unique(label, return_counts=True)
+    order = np.argsort(-counts)
+    load = np.zeros(S, np.int64)
+    group_of = {}
+    for ci in order:
+        p = int(np.argmin(load))
+        group_of[int(comm[ci])] = p
+        load[int(p)] += counts[ci]
+    node_group = np.array([group_of[int(l)] for l in label])
+    new_id = np.empty(N, np.int64)
+    next_free = np.arange(S)  # next id ≡ p (mod S) per group
+    for v in rng.permutation(N):
+        p = node_group[v]
+        new_id[v] = next_free[p]
+        next_free[p] += S
+    # groups are balanced only approximately: ids may exceed N for the
+    # heavier groups — that's fine, the spec pads rows_per_shard anyway
+    return new_id
+
+
+def relabel_graph(g: Graph, new_id: np.ndarray) -> Graph:
+    """Apply a node relabeling (features/labels/masks reindexed)."""
+    n_new = int(new_id.max()) + 1
+    inv = np.full(n_new, -1, np.int64)
+    inv[new_id] = np.arange(g.num_nodes)
+    present = inv >= 0
+    take = np.where(present, inv, 0)
+    feats = np.where(present[:, None], g.features[take], 0.0).astype(
+        g.features.dtype)
+    labels = np.where(present, g.labels[take], 0).astype(g.labels.dtype)
+    tr = np.where(present, g.train_mask[take], False)
+    ev = np.where(present, g.eval_mask[take], False)
+    return Graph(num_nodes=n_new, src=new_id[g.src].astype(np.int32),
+                 dst=new_id[g.dst].astype(np.int32),
+                 weight=g.weight.copy(), features=feats, labels=labels,
+                 train_mask=tr, eval_mask=ev)
+
+
 def shard_node_array(spec: ExchangeSpec, x: np.ndarray,
                      fill=0) -> np.ndarray:
     """[N, ...] logical node array -> [S*rps, ...] physical layout

@@ -53,27 +53,30 @@ def test_normalize_edges_rows_sum_via_degrees():
     assert deg.min() >= 1
 
 
-def test_single_device_matches_dense_oracle(graph):
+@pytest.mark.parametrize("mode", ["halo", "pull"])
+def test_single_device_matches_dense_oracle(graph, mode):
     cfg = GCNConfig(feat_dim=12, hidden_dim=8, num_classes=3, seed=1)
-    m = GCN(cfg, graph)
+    m = GCN(cfg, graph, mode=mode)
     got = m.logits()
     want = dense_forward(graph, m.params)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
-def test_sharded_matches_dense_oracle(graph):
+@pytest.mark.parametrize("mode", ["halo", "pull"])
+def test_sharded_matches_dense_oracle(graph, mode):
     cfg = GCNConfig(feat_dim=12, hidden_dim=8, num_classes=3, seed=1)
-    m = GCN(cfg, graph, mesh=mesh8())
+    m = GCN(cfg, graph, mesh=mesh8(), mode=mode)
     got = m.logits()
     want = dense_forward(graph, m.params)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
-def test_sharded_training_matches_single_device(graph):
+@pytest.mark.parametrize("mode", ["halo", "pull"])
+def test_sharded_training_matches_single_device(graph, mode):
     cfg = GCNConfig(feat_dim=12, hidden_dim=8, num_classes=3,
                     learning_rate=0.3, seed=2)
-    m1 = GCN(cfg, graph)
-    m8 = GCN(cfg, graph, mesh=mesh8())
+    m1 = GCN(cfg, graph, mode=mode)
+    m8 = GCN(cfg, graph, mesh=mesh8(), mode=mode)
     for step in range(5):
         l1, o1 = m1.train_step()
         l8, o8 = m8.train_step()
@@ -102,20 +105,35 @@ def test_convergence_beats_feature_only_baseline(graph):
 
 
 def test_edge_padding_invariance(graph):
-    """Extra pad slots must not change the forward result."""
+    """Extra pad slots must not change the forward result (pull mode:
+    the edge arrays are interchangeable at run time; halo mode bakes
+    the plan per padding, covered by the halo-vs-pull parity tests)."""
     cfg = GCNConfig(feat_dim=12, hidden_dim=8, num_classes=3, seed=4)
     spec = make_exchange(graph.num_nodes, 8, ids_per_step=graph.num_nodes)
     tight = partition_edges(spec, graph)
     loose = partition_edges(spec, graph, edge_cap=tight.edge_cap + 33)
-    m = GCN(cfg, graph, mesh=mesh8())
+    m = GCN(cfg, graph, mesh=mesh8(), mode="pull")
     base = m.logits()
     m.sharded = loose
     # rebuild device edge arrays with the loose padding
     from jax.sharding import NamedSharding, PartitionSpec as P
     dev = lambda x: jax.device_put(x, NamedSharding(m.mesh, P("dp")))
     m._data = (m._data[0], dev(loose.src), dev(loose.dst_local),
-               dev(loose.weight), m._data[4], m._data[5])
+               dev(loose.weight)) + m._data[4:]
     np.testing.assert_allclose(m.logits(), base, rtol=1e-5, atol=1e-5)
+
+
+def test_broadcast_mode_matches_pull(graph):
+    """The reference-style all_gather aggregation must equal the pull
+    path exactly (same math, different data movement)."""
+    cfg = GCNConfig(feat_dim=12, hidden_dim=8, num_classes=3, seed=5)
+    mp = GCN(cfg, graph, mesh=mesh8(), mode="pull")
+    mb = GCN(cfg, graph, mesh=mesh8(), mode="broadcast")
+    np.testing.assert_allclose(mb.logits(), mp.logits(),
+                               rtol=1e-5, atol=1e-5)
+    lb, _ = mb.train_step()
+    lp, _ = mp.train_step()
+    assert abs(lb - lp) < 1e-5
 
 
 def test_shard_node_array_round_trip(graph):
@@ -123,3 +141,24 @@ def test_shard_node_array_round_trip(graph):
     phys = shard_node_array(spec, graph.features)
     back = spec.to_logical(phys)
     np.testing.assert_array_equal(back, graph.features)
+
+
+def test_locality_reorder_preserves_semantics_and_cuts_halo(graph):
+    """Relabeling must not change the model (same logits for the same
+    nodes) and must shrink the halo on a community graph."""
+    from herald_tpu.gnn import (locality_reorder, plan_halo_exchange,
+                                relabel_graph)
+    new_id = locality_reorder(graph, 8)
+    g2 = relabel_graph(graph, new_id)
+    assert sorted(new_id.tolist()) == sorted(set(new_id.tolist()))
+
+    spec1 = make_exchange(graph.num_nodes, 8, ids_per_step=16)
+    spec2 = make_exchange(g2.num_nodes, 8, ids_per_step=16)
+    p1 = plan_halo_exchange(spec1, graph, partition_edges(spec1, graph))
+    p2 = plan_halo_exchange(spec2, g2, partition_edges(spec2, g2))
+    assert p2.halo_rows < p1.halo_rows, (p1.halo_rows, p2.halo_rows)
+
+    cfg = GCNConfig(feat_dim=12, hidden_dim=8, num_classes=3, seed=6)
+    l1 = GCN(cfg, graph, mesh=mesh8()).logits()
+    l2 = GCN(cfg, g2, mesh=mesh8()).logits()
+    np.testing.assert_allclose(l2[new_id], l1, rtol=1e-4, atol=1e-4)
