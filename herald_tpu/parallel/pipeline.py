@@ -15,11 +15,23 @@ TPU-native rebuild of the reference's pipeline tier:
   all-backward GPipe schedule, with micro-batch weight-gradient
   accumulation falling out of scan-transpose summation. No per-micro-batch
   `node_to_arr_maps` bookkeeping: XLA owns liveness.
-- PipeDream/HetPipe 1F1B with weight stashing
-  (`gpu_ops/pipedream_subexecutor.py:34-58,227-267`) is intentionally NOT
-  rebuilt: stashing trades determinism for bubble reduction and conflicts
-  with this framework's synchronous-SPMD contract (docs/deviations.md #2);
-  GPipe at M >= 4N has a <= 1/5 bubble anyway.
+- `SubExecutor4Pipedream` (1F1B generator schedule + `copy_latest_weight`
+  stashing + per-micro-batch local apply,
+  `gpu_ops/pipedream_subexecutor.py:34-58,227-267`) -> `pipedream_apply`:
+  the SAME weight-stashing semantics, rebuilt deterministically as a
+  `lax.scan` over 2(M+N-1) slots. The key observation making it SPMD:
+  the canonical 1F1B timetable has the closed form F(s,m) = s + 2m,
+  B(s,m) = 2N-1-s + 2m, which puts forwards and backwards of a stage on
+  OPPOSITE slot parities (never colliding), satisfies every dependency
+  with exactly one-slot ppermute latency, and bounds in-flight
+  micro-batches at stage s to PipeDream's N-s — so the stash is a
+  static [N]-deep ring buffer in the scan carry, and "asynchrony"
+  reduces to deterministic weight staleness (forward of micro-batch m
+  at stage s uses weights that include updates from micro-batches
+  <= m-(N-s), exactly the reference's stash discipline). Backward
+  recomputes the stage forward from the stashed input + stashed weight
+  version (`jax.vjp` rematerialization) instead of keeping per-batch
+  `node_to_arr_maps`.
 
 Semantics: N pipeline stages live on the N devices of the `pp` mesh axis;
 a batch is split into M micro-batches; at tick t stage s computes
@@ -98,6 +110,123 @@ def last_stage_value(y: jnp.ndarray, axis: str,
     Use OUTSIDE the loss gradient path (inference / metrics)."""
     i = lax.axis_index(axis)
     return lax.psum(jnp.where(i == num_stages - 1, y, 0), axis)
+
+
+def pipedream_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+                    loss_fn: Callable[[jnp.ndarray, jnp.ndarray],
+                                      jnp.ndarray],
+                    my_params, x: jnp.ndarray, targets: jnp.ndarray,
+                    axis: str, num_stages: int, num_microbatches: int,
+                    update_fn: Callable[[Any, Any], Any]):
+    """PipeDream 1F1B with weight stashing over a micro-batch stream.
+
+    The reference trains CONTINUOUSLY (no pipeline flush between
+    batches), applying each micro-batch's gradient at a stage as soon as
+    its backward completes there, and stashing the weight version each
+    forward used so its backward differentiates the same weights
+    (`gpu_ops/pipedream_subexecutor.py:227-267`). This function runs that
+    schedule for a stream of M micro-batches (a stream may span what the
+    caller considers several batches) and drains, returning the final
+    per-stage weights plus the M per-micro-batch losses.
+
+    Semantics per slot t (see module docstring for the timetable):
+      forward  of mb f = (t-s)/2        when parity matches and 0<=f<M,
+               using CURRENT weights, stashing (input, weights) at f%N;
+      backward of mb b = (t-(2N-1-s))/2 when parity matches and 0<=b<M,
+               rematerializing from stash slot b%N, seeding dL/dy locally
+               on the last stage, then params <- update_fn(params, gw).
+
+    `update_fn(params, grads) -> params` owns lr/optimizer; under a dp
+    axis it should psum grads over 'dp' so stage replicas stay in
+    lockstep. Inactive slots still trace both compute paths (masked
+    selects) — the standard SPMD cost of a data-dependent schedule; on
+    an 8-way CPU test mesh this is noise, and real towers are 3-layer
+    MLPs.
+
+    Returns (new_my_params, losses[M] valid on the last stage — psum
+    over 'pp' outside to read them everywhere).
+    """
+    B, d = x.shape
+    M, N = num_microbatches, num_stages
+    assert B % M == 0, f"stream {B} not divisible by {M} micro-batches"
+    mb = B // M
+    xs = x.reshape(M, mb, d)
+    tgts = targets.reshape(M, mb, *targets.shape[1:])
+    s = lax.axis_index(axis)
+    is_first = s == 0
+    is_last = s == N - 1
+    fwd_perm = [(i, (i + 1) % N) for i in range(N)]
+    bwd_perm = [(i, (i - 1) % N) for i in range(N)]
+
+    def bslot0(b):
+        return jnp.clip(b, 0, M - 1)
+
+    def tick(carry, t):
+        params, stash_w, stash_x, fwd_state, bwd_state, losses = carry
+
+        # ---- forward half: F(s, f) at t = s + 2f ----
+        rel_f = t - s
+        f = jnp.clip(rel_f, 0, None) // 2
+        do_f = (rel_f >= 0) & (rel_f % 2 == 0) & (f < M)
+        feed = lax.dynamic_index_in_dim(xs, jnp.clip(f, 0, M - 1), 0,
+                                        keepdims=False)
+        x_in = jnp.where(is_first, feed, fwd_state)
+        out = stage_fn(params, x_in)
+        fslot = f % N
+        stash_x = lax.dynamic_update_index_in_dim(
+            stash_x,
+            jnp.where(do_f, x_in,
+                      lax.dynamic_index_in_dim(stash_x, fslot, 0,
+                                               keepdims=False)),
+            fslot, 0)
+        stash_w = jax.tree.map(
+            lambda st, p: lax.dynamic_update_index_in_dim(
+                st,
+                jnp.where(do_f, p,
+                          lax.dynamic_index_in_dim(st, fslot, 0,
+                                                   keepdims=False)),
+                fslot, 0),
+            stash_w, params)
+
+        # ---- backward half: B(s, b) at t = 2N-1-s + 2b ----
+        rel_b = t - (2 * N - 1 - s)
+        b = jnp.clip(rel_b, 0, None) // 2
+        do_b = (rel_b >= 0) & (rel_b % 2 == 0) & (b < M)
+        bslot = b % N
+        w_b = jax.tree.map(
+            lambda st: lax.dynamic_index_in_dim(st, bslot, 0,
+                                                keepdims=False), stash_w)
+        x_b = lax.dynamic_index_in_dim(stash_x, bslot, 0, keepdims=False)
+        tgt_b = lax.dynamic_index_in_dim(tgts, jnp.clip(b, 0, M - 1), 0,
+                                         keepdims=False)
+        y, vjp = jax.vjp(stage_fn, w_b, x_b)
+        loss_b, dLdy = jax.value_and_grad(loss_fn)(y, tgt_b)
+        g_seed = jnp.where(is_last, dLdy, bwd_state)
+        gw, gx = vjp(g_seed)
+        params = jax.tree.map(
+            lambda p, q: jnp.where(do_b, q, p),
+            params, update_fn(params, gw))
+        losses = lax.dynamic_update_index_in_dim(
+            losses,
+            jnp.where(do_b & is_last, loss_b,
+                      lax.dynamic_index_in_dim(losses, bslot0(b), 0,
+                                               keepdims=False)),
+            bslot0(b), 0)
+
+        fwd_state = lax.ppermute(out, axis, fwd_perm)
+        bwd_state = lax.ppermute(gx, axis, bwd_perm)
+        return (params, stash_w, stash_x, fwd_state, bwd_state,
+                losses), None
+
+    stash_w0 = jax.tree.map(
+        lambda p: jnp.zeros((N,) + p.shape, p.dtype), my_params)
+    stash_x0 = jnp.zeros((N, mb, d), x.dtype)
+    st0 = jnp.zeros((mb, d), x.dtype)
+    losses0 = jnp.zeros((M,), jnp.float32)
+    carry0 = (my_params, stash_w0, stash_x0, st0, st0, losses0)
+    (params, _, _, _, _, losses), _ = lax.scan(
+        tick, carry0, jnp.arange(2 * (M + N - 1)))
+    return params, losses
 
 
 def stage_loss(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],

@@ -210,3 +210,167 @@ def test_3d_parallelism_dp_pp_mp():
     for k in gref:
         np.testing.assert_allclose(np.asarray(g[k]), np.asarray(gref[k]),
                                    rtol=1e-5, atol=1e-7, err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# PipeDream 1F1B with weight stashing (pipedream_apply)
+# ---------------------------------------------------------------------------
+
+def _pipedream_oracle(stacked, x, targets, n_stages, microbatches, lr):
+    """Sequential executor of the exact 1F1B timetable (F(s,m)=s+2m,
+    B(s,m)=2N-1-s+2m) with per-micro-batch local SGD apply and weight
+    stashing — the reference pipedream_subexecutor semantics, run slot
+    by slot on one device as the parity oracle."""
+    N, M = n_stages, microbatches
+    mb = x.shape[0] // M
+    xs = x.reshape(M, mb, -1)
+    tg = targets.reshape(M, mb, -1)
+    params = [{k: stacked[k][s] for k in stacked} for s in range(N)]
+    stash = [dict() for _ in range(N)]
+    fmsg, bmsg = {}, {}
+    losses = np.zeros(M)
+    for t in range(2 * (M + N - 1)):
+        for s in range(N):
+            rf = t - s
+            if rf >= 0 and rf % 2 == 0 and rf // 2 < M:
+                m = rf // 2
+                x_in = xs[m] if s == 0 else fmsg.pop((s, m))
+                w = dict(params[s])
+                out = _stage_fn(w, x_in)
+                stash[s][m] = (w, x_in)
+                if s + 1 < N:
+                    fmsg[(s + 1, m)] = out
+            rb = t - (2 * N - 1 - s)
+            if rb >= 0 and rb % 2 == 0 and rb // 2 < M:
+                m = rb // 2
+                w, x_in = stash[s].pop(m)
+                y, vjp = jax.vjp(_stage_fn, w, x_in)
+                if s == N - 1:
+                    lv, g = jax.value_and_grad(
+                        lambda yy: _loss(yy, tg[m]))(y)
+                    losses[m] = float(lv)
+                else:
+                    g = bmsg.pop((s, m))
+                gw, gx = vjp(g)
+                params[s] = {k: params[s][k] - lr * gw[k]
+                             for k in params[s]}
+                if s - 1 >= 0:
+                    bmsg[(s - 1, m)] = gx
+    assert not fmsg and not bmsg and all(not st for st in stash)
+    return params, losses
+
+
+@pytest.mark.parametrize("microbatches", [4, 9])
+def test_pipedream_matches_schedule_oracle(microbatches):
+    """shard_map pipedream_apply == the sequential slot-by-slot oracle:
+    same stashed-weight versions, same per-micro-batch updates, same
+    losses. M=9 also exercises stash-ring wraparound (M > N)."""
+    N, lr = 4, 0.05
+    B = microbatches * 8
+    stacked = _init_stacked(jax.random.PRNGKey(8), N, D)
+    x = jax.random.normal(jax.random.PRNGKey(9), (B, D))
+    target = jax.random.normal(jax.random.PRNGKey(10), (B, D))
+    want_params, want_losses = _pipedream_oracle(
+        stacked, x, target, N, microbatches, lr)
+
+    mesh = Mesh(np.array(jax.devices()[:N]), ("pp",))
+
+    def body(stacked, x, target):
+        new, losses = pl.pipedream_apply(
+            _stage_fn, _loss, pl.stage_params(stacked, "pp"), x, target,
+            "pp", N, microbatches,
+            lambda p, g: jax.tree.map(lambda a, b: a - lr * b, p, g))
+        return (jax.tree.map(lambda a: a[None], new),
+                lax.psum(losses, "pp"))
+
+    got_params, got_losses = jax.jit(jax.shard_map(
+        body, mesh=mesh, check_vma=False,
+        in_specs=({"W": P("pp"), "b": P("pp")}, P(), P()),
+        out_specs=({"W": P("pp"), "b": P("pp")}, P())))(stacked, x, target)
+    np.testing.assert_allclose(np.asarray(got_losses), want_losses,
+                               rtol=1e-5, atol=1e-7)
+    for s in range(N):
+        for k in ("W", "b"):
+            np.testing.assert_allclose(
+                np.asarray(got_params[k][s]), np.asarray(want_params[s][k]),
+                rtol=1e-5, atol=1e-7, err_msg=f"stage {s} {k}")
+
+
+def test_pipedream_single_stage_is_sequential_sgd():
+    """N=1 degenerates to plain per-micro-batch SGD on one device."""
+    M, lr, B = 6, 0.1, 24
+    stacked = _init_stacked(jax.random.PRNGKey(11), 1, D)
+    x = jax.random.normal(jax.random.PRNGKey(12), (B, D))
+    target = jax.random.normal(jax.random.PRNGKey(13), (B, D))
+
+    p = {"W": stacked["W"][0], "b": stacked["b"][0]}
+    want = dict(p)
+    mb = B // M
+    for m in range(M):
+        g = jax.grad(lambda pp: _loss(
+            _stage_fn(pp, x[m * mb:(m + 1) * mb]),
+            target[m * mb:(m + 1) * mb]))(want)
+        want = {k: want[k] - lr * g[k] for k in want}
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("pp",))
+    got = jax.jit(jax.shard_map(
+        lambda st, xx, tt: jax.tree.map(lambda a: a[None], pl.pipedream_apply(
+            _stage_fn, _loss, pl.stage_params(st, "pp"), xx, tt, "pp", 1,
+            M, lambda pp, gg: jax.tree.map(
+                lambda a, b: a - lr * b, pp, gg))[0]),
+        mesh=mesh, check_vma=False,
+        in_specs=({"W": P("pp"), "b": P("pp")}, P(), P()),
+        out_specs={"W": P("pp"), "b": P("pp")}))(stacked, x, target)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k][0]),
+                                   np.asarray(want[k]),
+                                   rtol=1e-6, atol=1e-8, err_msg=k)
+
+
+def test_pipedream_dp_composition():
+    """dp x pp: each dp replica feeds its own shard; update_fn psums
+    grads over 'dp' (scaled), so stage replicas stay in lockstep and the
+    trajectory equals the combined-batch oracle."""
+    N, M, lr, DPn = 2, 4, 0.05, 2
+    mbp = 8                                     # per-replica micro-batch
+    B = M * mbp * DPn
+    stacked = _init_stacked(jax.random.PRNGKey(14), N, D)
+    x = jax.random.normal(jax.random.PRNGKey(15), (B, D))
+    target = jax.random.normal(jax.random.PRNGKey(16), (B, D))
+    # combined-batch oracle: interleave the dp shards inside each
+    # micro-batch so shard r's micro-batch m is the oracle's rows
+    # [m, r, :] — mean-MSE grads then satisfy psum/DP == combined
+    xi = x.reshape(M, DPn, mbp, D)
+    ti = target.reshape(M, DPn, mbp, D)
+    want_params, want_losses = _pipedream_oracle(
+        stacked, xi.reshape(M * DPn * mbp, D),
+        ti.reshape(M * DPn * mbp, D), N, M, lr)
+
+    mesh = Mesh(np.array(jax.devices()[:DPn * N]).reshape(DPn, N),
+                ("dp", "pp"))
+
+    def body(stacked, x, target):
+        new, losses = pl.pipedream_apply(
+            _stage_fn, _loss, pl.stage_params(stacked, "pp"),
+            x.reshape(-1, D), target.reshape(-1, D), "pp", N, M,
+            lambda p, g: jax.tree.map(
+                lambda a, b: a - lr * lax.psum(b, "dp") / DPn, p, g))
+        return (jax.tree.map(lambda a: a[None], new),
+                lax.psum(losses, ("dp", "pp")) / DPn)
+
+    # device layout: dp-major so replica r's slice is its own
+    # micro-batches in order (shard r, micro-batch m = xi[m, r])
+    x_dev = xi.transpose(1, 0, 2, 3).reshape(DPn * M * mbp, D)
+    t_dev = ti.transpose(1, 0, 2, 3).reshape(DPn * M * mbp, D)
+    got_params, got_losses = jax.jit(jax.shard_map(
+        body, mesh=mesh, check_vma=False,
+        in_specs=({"W": P("pp"), "b": P("pp")}, P("dp"), P("dp")),
+        out_specs=({"W": P("pp"), "b": P("pp")}, P())))(
+            stacked, x_dev, t_dev)
+    np.testing.assert_allclose(np.asarray(got_losses), want_losses,
+                               rtol=1e-5, atol=1e-7)
+    for s in range(N):
+        for k in ("W", "b"):
+            np.testing.assert_allclose(
+                np.asarray(got_params[k][s]), np.asarray(want_params[s][k]),
+                rtol=1e-5, atol=1e-7, err_msg=f"stage {s} {k}")
