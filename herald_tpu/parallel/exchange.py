@@ -33,6 +33,7 @@ from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -172,6 +173,20 @@ def gather_rows(spec: ExchangeSpec, table_shard: jnp.ndarray,
     return out
 
 
+def rowquant_int8(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row symmetric int8 quantization: scale = maxabs/127 (zero rows
+    get scale 1 so dequant is well-defined). Returns (q [.., D] int8,
+    scale [..] f32); dequant = q * scale. Used by both the wire encoder
+    (`scatter_grads` with wire_dtype=int8) and the caller-side error-
+    feedback residual (train/cached.py) — SAME function so the residual
+    is exact: x == q*scale + residual bit-for-bit in f32."""
+    m = jnp.max(jnp.abs(x), axis=-1)
+    scale = jnp.where(m > 0, m / 127.0, 1.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(x / scale[..., None].astype(x.dtype)),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def scatter_grads(
     spec: ExchangeSpec,
     route: Route,
@@ -191,11 +206,26 @@ def scatter_grads(
     """
     S, C = spec.num_shards, spec.capacity
     D = grad_uniq.shape[-1]
-    wd = wire_dtype or grad_uniq.dtype
-    send = jnp.zeros((S * C, D), wd)
-    send = send.at[route.pos].set(grad_uniq.astype(wd), mode="drop")
-    recv = _all_to_all(spec, send.reshape(S, C, D)).reshape(
-        S * C, D).astype(grad_uniq.dtype)
+    if wire_dtype is not None and np.dtype(wire_dtype) == np.int8:
+        # int8 wire: 1 byte/element payload + one f32 scale per row
+        # (D+4 bytes vs 2D bf16 / 4D f32). The sender keeps the exact
+        # residual grad_uniq - q*scale (recompute via rowquant_int8) for
+        # error feedback; see train/cached.py _flush_phase.
+        q, scale = rowquant_int8(grad_uniq)
+        send = jnp.zeros((S * C, D), jnp.int8)
+        send = send.at[route.pos].set(q, mode="drop")
+        ssc = jnp.zeros((S * C,), jnp.float32)
+        ssc = ssc.at[route.pos].set(scale, mode="drop")
+        recv_q = _all_to_all(spec, send.reshape(S, C, D)).reshape(S * C, D)
+        recv_sc = _all_to_all(spec, ssc.reshape(S, C)).reshape(S * C)
+        recv = (recv_q.astype(grad_uniq.dtype)
+                * recv_sc[:, None].astype(grad_uniq.dtype))
+    else:
+        wd = wire_dtype or grad_uniq.dtype
+        send = jnp.zeros((S * C, D), wd)
+        send = send.at[route.pos].set(grad_uniq.astype(wd), mode="drop")
+        recv = _all_to_all(spec, send.reshape(S, C, D)).reshape(
+            S * C, D).astype(grad_uniq.dtype)
 
     flat_ids = route.recv_ids.reshape(-1)
     local = jnp.where(flat_ids >= 0, flat_ids // S, spec.rows_per_shard)

@@ -249,9 +249,22 @@ class CachedEngine(Engine):
                 new_slots[k].astype(table_slots[k].dtype), mode="drop")
         # zero flushed deltas: write the gathered rows back with the
         # delta half zeroed (positive-OOB sentinel C is dropped; value
-        # columns round-trip unchanged)
-        zeroed = jnp.concatenate(
-            [frows[:, :W], jnp.zeros_like(deltas)], axis=1)
+        # columns round-trip unchanged). Under the int8 wire the delta
+        # half instead keeps the EXACT quantization residual
+        # delta - q*scale (error feedback): it rides the slot's normal
+        # delta accumulator into the next flush, so nothing is lost
+        # while the row stays cached (an evicted row drops at most one
+        # quantization step, <= maxabs/254 per element).
+        wd = self.cfg.flush_wire_dtype
+        if (self.num_shards > 1 and wd is not None
+                and np.dtype(wd) == np.int8):
+            q, sc = ex.rowquant_int8(deltas)
+            left = (q.astype(deltas.dtype)
+                    * sc[:, None].astype(deltas.dtype))
+            residual = deltas - left
+        else:
+            residual = jnp.zeros_like(deltas)
+        zeroed = jnp.concatenate([frows[:, :W], residual], axis=1)
         cache = cache.at[flush_slots].set(zeroed, mode="drop")
         return table, new_table_slots, cache, flush_overflow
 

@@ -161,3 +161,39 @@ def test_eval_uses_wide_exchange_under_tight_train_caps():
     st = eng.init_state(0)
     res = eng.evaluate(st, dense, sparse, labels)
     assert 0.0 <= res["auc"] <= 1.0
+
+
+def test_int8_flush_halves_the_flush_leg(ab):
+    """Compiled-HLO pin of the int8 wire: the flush leg drops from
+    S*C*(4 id + 4W f32) to S*C*(4 id + W int8 + 4 scale) — the pull leg
+    is untouched. Formula == measured bytes, exactly."""
+    import jax.numpy as jnp
+    model, dense, sparse, labels = ab
+    W = model.emb_width(EMB)
+
+    def compile_bytes(wire):
+        cfg = HeraldConfig(model="wdl_criteo", batch_size=B,
+                           embedding_dim=EMB, comm_mode="hybrid",
+                           learning_rate=0.05, use_cache=True,
+                           cache_limit=int(0.25 * ROWS),
+                           flush_wire_dtype=wire)
+        eng = CachedEngine(cfg, table_rows=ROWS)
+        st = eng.init_cached_state(0)
+        hlo = collective_bytes(eng._cached_step, st,
+                               *eng.example_step_args())
+        return eng, hlo["all-to-all"]
+
+    eng_f, got_f32 = compile_bytes(None)
+    eng_q, got_int8 = compile_bytes(jnp.int8)
+    pull = exchange_a2a_bytes(eng_f.exchange, id_bytes=4,
+                              vec_bytes=W * 4, directions=1)
+    flush_f32 = exchange_a2a_bytes(eng_f.flush_exchange, id_bytes=4,
+                                   vec_bytes=W * 4, directions=1)
+    # int8 flush: 4-byte ids + 4-byte per-row scale + W int8 payload
+    flush_int8 = exchange_a2a_bytes(eng_q.flush_exchange, id_bytes=8,
+                                    vec_bytes=W, directions=1)
+    assert got_f32 == pull + flush_f32, (got_f32, pull, flush_f32)
+    assert got_int8 == pull + flush_int8, (got_int8, pull, flush_int8)
+    # 2.25x at this test's W=8 (fixed id+scale overhead dominates);
+    # (4+4W)/(8+W) -> 3.8x at the production W=128
+    assert flush_f32 / flush_int8 > 2.0
