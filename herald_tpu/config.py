@@ -118,6 +118,30 @@ class HeraldConfig:
     # scaffold for row-group DMA batching (wide tables amortize descriptors).
     use_pallas_gather: bool = False
 
+    # --- dense-sync relaxation (the PartialReduce / bounded-sync analog) ---
+    # The reference's PartialReduce lets a subset of ready workers
+    # allreduce without waiting for the rest (`gpu_ops/PartialReduce.py`,
+    # partial_reduce client) — a straggler dodge that has no meaning in
+    # lockstep SPMD, where every device runs the same program. What DOES
+    # carry over is the knob it exposes: trade dense-gradient sync
+    # freshness for less collective work per step. TPU-native form:
+    #   dense_sync_group g  — each step, dense grads all-reduce over
+    #     static SUBGROUPS of g dp-workers (replica_groups of size g:
+    #     fewer ICI hops, (g-1)/g of the ring bytes) instead of the
+    #     whole axis; g=1 means purely local updates (local SGD).
+    #   dense_sync_every k — every k-th step (and always at the end of a
+    #     scanned chunk, so jit-boundary state is exactly replicated and
+    #     checkpoints/eval never see divergent replicas) dense params AND
+    #     optimizer slots are averaged over the whole dp axis, re-mixing
+    #     the groups.
+    # Defaults (1, 0=full axis) are exact BSP. The embedding path is
+    # never relaxed: routed sparse updates are exact by construction.
+    # With SGD, g=1/k=1 equals BSP exactly (averaging commutes with the
+    # linear update); with k>1 this is local SGD with periodic model
+    # averaging (tests/test_dsync.py pins both).
+    dense_sync_every: int = 1
+    dense_sync_group: int = 0
+
     # --- hot-row cache (replaces src/hetu_cache) ---
     use_cache: bool = False
     cache_policy: str = "lru"            # lru | lfu | lfuopt
@@ -157,6 +181,18 @@ class HeraldConfig:
             self.embed_optimizer = self.optimizer
         if self.embed_learning_rate is None:
             self.embed_learning_rate = self.learning_rate
+        if self.dense_sync_every > 1 or self.dense_sync_group > 0:
+            if self.comm_mode != "hybrid":
+                raise ValueError(
+                    "dense_sync_every/_group relax the dp dense-grad "
+                    "all-reduce; they require comm_mode='hybrid'")
+            if self.mp_shards > 1:
+                raise ValueError(
+                    "dense-sync relaxation is dp-only: the Megatron tower's "
+                    "in-layer psums are part of the forward math and cannot "
+                    "be made stale")
+            if self.dense_sync_every < 1:
+                raise ValueError("dense_sync_every must be >= 1")
         if self.mp_shards > 1:
             if self.comm_mode != "hybrid":
                 raise ValueError("mp_shards > 1 requires comm_mode='hybrid'")

@@ -47,6 +47,15 @@ def build_parser() -> argparse.ArgumentParser:
                    "(Megatron col/row sharding over an 'mp' mesh axis; "
                    "requires --comm hybrid and a TP-capable model: "
                    "wdl/dfm/dcn families)")
+    p.add_argument("--dense-sync-every", type=int, default=1,
+                   help="average dense params+slots over dp every K steps "
+                        "instead of all-reducing grads every step (local "
+                        "SGD with periodic model averaging; chunk "
+                        "boundaries always sync). 1 = exact BSP")
+    p.add_argument("--dense-sync-group", type=int, default=0,
+                   help="per-step dense-grad all-reduce over static "
+                        "subgroups of this many dp workers (PartialReduce "
+                        "analog; 1 = purely local). 0 = whole axis (exact)")
     p.add_argument("--comm", default="local", choices=["local", "hybrid"],
                    help="local: single chip; hybrid: row-sharded table + "
                         "DP dense tower over all devices")
@@ -206,6 +215,8 @@ def resolve_config(args) -> "HeraldConfig":
                        ("shuffle_seed", "sched_shuffle_seed"),
                        ("log_dir", "log_dir"),
                        ("mp_shards", "mp_shards"),
+                       ("dense_sync_every", "dense_sync_every"),
+                       ("dense_sync_group", "dense_sync_group"),
                        ("a2a_capacity_factor", "a2a_capacity_factor")]:
             if getattr(args, ak) != getattr(dflt, ak):
                 setattr(cfg, ck, getattr(args, ak))
@@ -251,7 +262,9 @@ def resolve_config(args) -> "HeraldConfig":
                               else jnp.bfloat16 if args.bf16_flush
                               else None),
             table_dtype=jnp.bfloat16 if args.bf16_table else np.float32,
-            mp_shards=args.mp_shards)
+            mp_shards=args.mp_shards,
+            dense_sync_every=args.dense_sync_every,
+            dense_sync_group=args.dense_sync_group)
     return cfg
 
 

@@ -345,7 +345,7 @@ class CachedEngine(Engine):
             loss_fn, argnums=(0, 1))(state.dense, emb)
         if self.num_shards > 1:
             loss = jax.lax.psum(loss, self.axis)
-            dgrads = jax.lax.psum(dgrads, self.axis)
+            dgrads = self._reduce_dense_grads(dgrads)
             overflow = jax.lax.psum(overflow, self.axis)
         dense, dense_slots = self.dense_opt.apply_dense(
             state.dense, dgrads, state.dense_slots, step,
@@ -422,12 +422,16 @@ class CachedEngine(Engine):
                            pulls_k, fids_k, fslots_k, pfids_k, pfslots_k):
         def body(state, xs):
             state, stats = self._cached_step_body(state, *xs)
+            if self._dsync_on:
+                state = self._maybe_sync_dense(state)
             return state, (stats["loss"], stats["overflow"])
 
         state, (losses, overflows) = jax.lax.scan(
             body, state,
             (dense_k, ids_k, labels_k, slots_k, pulls_k, fids_k, fslots_k,
              pfids_k, pfslots_k))
+        if self._dsync_on:
+            state = self._sync_dense(state)
         return state, {"loss": losses, "overflow": overflows}
 
     def _cached_epoch_idx_body(self, state, dev_d, dev_s, dev_y, idx_k,
@@ -446,11 +450,15 @@ class CachedEngine(Engine):
             s = jnp.take(dev_s, idx_t, axis=0)
             y = jnp.take(dev_y, idx_t, axis=0)
             state, stats = self._cached_step_body(state, d, s, y, *rest)
+            if self._dsync_on:
+                state = self._maybe_sync_dense(state)
             return state, (stats["loss"], stats["overflow"])
 
         state, (losses, overflows) = jax.lax.scan(
             body, state, (idx_k, slots_k, pulls_k, fids_k, fslots_k,
                           pfids_k, pfslots_k))
+        if self._dsync_on:
+            state = self._sync_dense(state)
         return state, {"loss": losses, "overflow": overflows}
 
     # ------------------------------------------------------------------
@@ -480,8 +488,15 @@ class CachedEngine(Engine):
             ksp = P(None, ax)         # stacked K steps
             stats = {"loss": P(), "overflow": P()}
             kstats = {"loss": P(), "overflow": P()}
+            def step_body(state, *xs):
+                state, st = self._cached_step_body(state, *xs)
+                if self._dsync_on:
+                    # standalone entry keeps the jit boundary replicated
+                    state = self._sync_dense(state)
+                return state, st
+
             self._cached_step = jax.jit(jax.shard_map(
-                self._cached_step_body, mesh=self.mesh,
+                step_body, mesh=self.mesh,
                 in_specs=(specs,) + (dsp,) * 9,
                 out_specs=(specs, stats), check_vma=False),
                 donate_argnums=(0,))

@@ -98,7 +98,63 @@ class Engine:
         self._fast_local_sgd = (self.num_shards == 1
                                 and self.embed_opt.name == "sgd"
                                 and not cfg.use_cache)
+        self._init_dsync()
         self._build_steps()
+
+    def _init_dsync(self):
+        """Dense-sync relaxation (config.dense_sync_every/_group): static
+        subgroup gradient all-reduce + periodic full-axis model averaging.
+        The TPU-native PartialReduce/local-SGD analog — see config.py."""
+        cfg = self.cfg
+        self.dsync_k = max(1, cfg.dense_sync_every)
+        g = cfg.dense_sync_group or self.dp_shards
+        self.dsync_g = min(g, self.dp_shards) if self.num_shards > 1 else 1
+        self._dsync_on = (self.num_shards > 1 and
+                          (self.dsync_k > 1 or self.dsync_g < self.dp_shards))
+        if not self._dsync_on:
+            self._dsync_groups = None
+            return
+        if self.dp_shards % self.dsync_g:
+            raise ValueError(
+                f"dense_sync_group={self.dsync_g} does not divide the dp "
+                f"axis ({self.dp_shards} workers)")
+        self._dsync_groups = [
+            list(range(a, a + self.dsync_g))
+            for a in range(0, self.dp_shards, self.dsync_g)]
+
+    def _reduce_dense_grads(self, dgrads):
+        """Per-step dense-grad reduction over the dp axis. Exact BSP by
+        default; with dense_sync_group=g the all-reduce runs over static
+        subgroups (replica_groups of size g in the compiled HLO — pinned
+        by tests/test_dsync.py) and each group applies its own GROUP-mean
+        gradient (loss_fn pre-scales by 1/S, so the group psum yields
+        g/S of the group mean — rescale by S/g)."""
+        if not self._dsync_on or self.dsync_g == self.dp_shards:
+            return jax.lax.psum(dgrads, self.axis)
+        r = jax.lax.psum(dgrads, self.axis,
+                         axis_index_groups=self._dsync_groups)
+        scale = self.num_shards / self.dsync_g
+        return jax.tree.map(lambda v: v * scale, r)
+
+    def _sync_dense(self, state):
+        """Average dense params + optimizer slots over the whole dp axis
+        (the periodic re-mix of local-SGD-with-model-averaging). Identity
+        on already-replicated state up to fp (p*S/S)."""
+        def mean(v):
+            return (jax.lax.psum(v, self.axis) / self.dp_shards).astype(
+                v.dtype)
+        return state._replace(
+            dense=jax.tree.map(mean, state.dense),
+            dense_slots=jax.tree.map(mean, state.dense_slots))
+
+    def _maybe_sync_dense(self, state):
+        """In-scan hook: full model average every dense_sync_every steps.
+        The predicate is device-uniform (step is replicated), so the psum
+        inside the cond executes on all devices or none."""
+        if self.dsync_k == 1:
+            return self._sync_dense(state)
+        return jax.lax.cond(state.step % self.dsync_k == 0,
+                            self._sync_dense, lambda s: s, state)
 
     def _validate_tp(self):
         """mp_shards > 1 sanity: the model must carry a Megatron tower and
@@ -327,7 +383,7 @@ class Engine:
                         else self.flat_axes)
                     for k, v in dgrads.items()}
             else:
-                dgrads = jax.lax.psum(dgrads, self.axis)
+                dgrads = self._reduce_dense_grads(dgrads)
             overflow = jax.lax.psum(overflow, self.flat_axes)
 
         dense, dense_slots = self.dense_opt.apply_dense(
@@ -381,10 +437,16 @@ class Engine:
         def body(state, xs):
             d, s, y = xs
             state, stats = self._train_step_body(state, d, s, y)
+            if self._dsync_on:
+                state = self._maybe_sync_dense(state)
             return state, (stats["loss"], stats["overflow"])
 
         state, (losses, overflows) = jax.lax.scan(
             body, state, (dense_k, ids_k, labels_k))
+        if self._dsync_on:
+            # chunk boundary: jit-boundary dense state must be exactly
+            # replicated (out_specs P()); checkpoints/eval see synced params
+            state = self._sync_dense(state)
         return state, {"loss": losses, "overflow": overflows}
 
     def _eval_step_body(self, state: TrainState, dense_x, ids):
@@ -439,8 +501,17 @@ class Engine:
             data_spec = P(ax)
             stats_spec = {"loss": P(), "overflow": P()}
 
+            def step_body(state, d, s, y):
+                state, stats = self._train_step_body(state, d, s, y)
+                if self._dsync_on:
+                    # standalone single-step entry: always leave the jit
+                    # boundary replicated (dense_sync_every takes effect
+                    # only inside the scanned executor)
+                    state = self._sync_dense(state)
+                return state, stats
+
             train_sm = jax.shard_map(
-                self._train_step_body, mesh=self.mesh,
+                step_body, mesh=self.mesh,
                 in_specs=(state_specs, data_spec, data_spec, data_spec),
                 out_specs=(state_specs, stats_spec),
                 check_vma=False)

@@ -115,7 +115,10 @@ class FaeEngine(Engine):
             loss_fn, argnums=(0, 1))(state.dense, emb)
         if self.num_shards > 1:
             loss = jax.lax.psum(loss, self.axis)
-            dgrads = jax.lax.psum(dgrads, self.axis)
+            # dense-sync relaxation applies at group granularity only here
+            # (FaeEngine dispatches per step, so every step is a jit
+            # boundary and gets the boundary model average below)
+            dgrads = self._reduce_dense_grads(dgrads)
             overflow = jax.lax.psum(overflow, self.axis)
         dense, dense_slots = self.dense_opt.apply_dense(
             state.dense, dgrads, state.dense_slots, step,
@@ -181,8 +184,14 @@ class FaeEngine(Engine):
             )
             dsp = P(ax)
             stats = {"loss": P(), "overflow": P()}
+            def step_body(state, *xs):
+                state, st = self._fae_step_body(state, *xs)
+                if self._dsync_on:
+                    state = self._sync_dense(state)
+                return state, st
+
             self._fae_step = jax.jit(jax.shard_map(
-                self._fae_step_body, mesh=self.mesh,
+                step_body, mesh=self.mesh,
                 in_specs=(specs,) + (dsp,) * 4,
                 out_specs=(specs, stats), check_vma=False),
                 donate_argnums=(0,))
