@@ -104,6 +104,13 @@ class HeraldConfig:
     # delta first, so no candidate starves. Size with
     # sizing.sweep_flush_budget; the overflow counter certifies the fit.
     sched_flush_budget: Optional[int] = None
+    # flush-free program variant (cached mode): chunks whose programs
+    # carry zero flushes dispatch a compiled variant without the flush
+    # phase (no F_cap gather, no flush exchange, no owner scatter pair) —
+    # the steady state of the solo/big-cache regime. Bit-exact (a flush
+    # phase fed all-sentinel ids is a no-op); dispatch is a pure function
+    # of the planner stream, so resume replays identically.
+    sched_noflush_variant: bool = True
     # flush gradient-delta wire dtype (cached mode). None = the delta
     # dtype (f32, exact). jnp.bfloat16 halves the flush all-to-all bytes;
     # accumulation at the owner stays f32, so only the per-row delta is

@@ -94,6 +94,7 @@ class CachedEngine(Engine):
         assert self.num_rows < 2**31, \
             f"table rows {self.num_rows} exceed int32 program ids"
         self._unsynced = False
+        self.noflush_chunks = 0     # chunks that took the flush-free path
         self.U_cap = int(cfg.sched_unique_slots or self.ids_per_worker)
         self.F_cap = int(cfg.sched_flush_slots or self.U_cap)
         # pull smoothing: prefetch arrays are only materialized when the
@@ -270,15 +271,28 @@ class CachedEngine(Engine):
 
     def _cached_step_body(self, state: CachedTrainState, dense_x, ids,
                           labels, slots, pulls, flush_ids, flush_slots,
-                          pf_ids, pf_slots):
+                          pf_ids, pf_slots, do_flush: bool = True):
         C = self.cache_rows
         B, F = ids.shape
         step = state.step + 1
 
-        # phase 1: flush
-        table, table_slots, cache, flush_overflow = self._flush_phase(
-            state.table, state.table_slots, step, state.cache,
-            flush_ids, flush_slots)
+        # phase 1: flush. do_flush=False compiles the FLUSH-FREE program
+        # variant (dispatched per chunk when every program in the chunk
+        # has zero flushes — the steady state of the solo/big-cache
+        # regime, where evictions stop and no remote reader ever forces a
+        # planned flush): the F_cap-wide gather, the flush exchange, the
+        # owner-table scatter pair and the delta-zeroing scatter all
+        # disappear from the step. Exact by construction — a flush phase
+        # fed all-sentinel ids is a no-op on every array it touches
+        # (pinned bit-for-bit by tests/test_noflush.py).
+        if do_flush:
+            table, table_slots, cache, flush_overflow = self._flush_phase(
+                state.table, state.table_slots, step, state.cache,
+                flush_ids, flush_slots)
+        else:
+            table, table_slots, cache = (state.table, state.table_slots,
+                                         state.cache)
+            flush_overflow = jnp.zeros((), jnp.int32)
 
         # phase 2: pull missed/stale rows from the updated table, plus
         # PREFETCH rows hoisted here from later batches (pull smoothing:
@@ -434,6 +448,47 @@ class CachedEngine(Engine):
             state = self._sync_dense(state)
         return state, {"loss": losses, "overflow": overflows}
 
+    def _cached_epoch_noflush_body(self, state, dense_k, ids_k, labels_k,
+                                   slots_k, pulls_k, pfids_k, pfslots_k):
+        """Flush-free chunk program (see _cached_step_body do_flush)."""
+        def body(state, xs):
+            d, s, y, sl, pu, pfi, pfs = xs
+            state, stats = self._cached_step_body(
+                state, d, s, y, sl, pu, None, None, pfi, pfs,
+                do_flush=False)
+            if self._dsync_on:
+                state = self._maybe_sync_dense(state)
+            return state, (stats["loss"], stats["overflow"])
+
+        state, (losses, overflows) = jax.lax.scan(
+            body, state, (dense_k, ids_k, labels_k, slots_k, pulls_k,
+                          pfids_k, pfslots_k))
+        if self._dsync_on:
+            state = self._sync_dense(state)
+        return state, {"loss": losses, "overflow": overflows}
+
+    def _cached_epoch_idx_noflush_body(self, state, dev_d, dev_s, dev_y,
+                                       idx_k, slots_k, pulls_k,
+                                       pfids_k, pfslots_k):
+        """Flush-free + device-resident-data chunk program."""
+        def body(state, xs):
+            idx_t, sl, pu, pfi, pfs = xs
+            d = jnp.take(dev_d, idx_t, axis=0)
+            s = jnp.take(dev_s, idx_t, axis=0)
+            y = jnp.take(dev_y, idx_t, axis=0)
+            state, stats = self._cached_step_body(
+                state, d, s, y, sl, pu, None, None, pfi, pfs,
+                do_flush=False)
+            if self._dsync_on:
+                state = self._maybe_sync_dense(state)
+            return state, (stats["loss"], stats["overflow"])
+
+        state, (losses, overflows) = jax.lax.scan(
+            body, state, (idx_k, slots_k, pulls_k, pfids_k, pfslots_k))
+        if self._dsync_on:
+            state = self._sync_dense(state)
+        return state, {"loss": losses, "overflow": overflows}
+
     def _cached_epoch_idx_body(self, state, dev_d, dev_s, dev_y, idx_k,
                                slots_k, pulls_k, fids_k, fslots_k,
                                pfids_k, pfslots_k):
@@ -510,6 +565,17 @@ class CachedEngine(Engine):
                 in_specs=(specs, P(), P(), P()) + (ksp,) * 7,
                 out_specs=(specs, kstats), check_vma=False),
                 donate_argnums=(0,))
+            # flush-free variants compile lazily on first qualifying chunk
+            self._cached_epoch_noflush = jax.jit(jax.shard_map(
+                self._cached_epoch_noflush_body, mesh=self.mesh,
+                in_specs=(specs,) + (ksp,) * 7,
+                out_specs=(specs, kstats), check_vma=False),
+                donate_argnums=(0,))
+            self._cached_epoch_idx_noflush = jax.jit(jax.shard_map(
+                self._cached_epoch_idx_noflush_body, mesh=self.mesh,
+                in_specs=(specs, P(), P(), P()) + (ksp,) * 5,
+                out_specs=(specs, kstats), check_vma=False),
+                donate_argnums=(0,))
             self._flush_step = jax.jit(jax.shard_map(
                 self._flush_only_body, mesh=self.mesh,
                 in_specs=(specs, dsp, dsp), out_specs=specs,
@@ -521,6 +587,10 @@ class CachedEngine(Engine):
                                          donate_argnums=(0,))
             self._cached_epoch_idx = jax.jit(self._cached_epoch_idx_body,
                                              donate_argnums=(0,))
+            self._cached_epoch_noflush = jax.jit(
+                self._cached_epoch_noflush_body, donate_argnums=(0,))
+            self._cached_epoch_idx_noflush = jax.jit(
+                self._cached_epoch_idx_noflush_body, donate_argnums=(0,))
             self._flush_step = jax.jit(self._flush_only_body,
                                        donate_argnums=(0,))
 
@@ -618,32 +688,48 @@ class CachedEngine(Engine):
             return state, None
         self._unsynced = True
         idx = assign[:K]
+        # flush-free fast path: a chunk whose programs carry zero flushes
+        # (all sentinel ids) dispatches the variant compiled without the
+        # flush phase — the steady state of the solo/big-cache regime,
+        # where this removes the F_cap gather + flush exchange + owner
+        # scatter pair from every step. Deterministic (a pure function of
+        # the planner stream), so resume replays the same dispatch.
+        noflush = (self.cfg.sched_noflush_variant
+                   and bool((fids[:K] < 0).all()))
+        if noflush:
+            self.noflush_chunks += 1
 
         if device_data is not None:
             host = (idx.astype(np.int32, copy=False),
-                    slots[:K], pulls[:K].view(bool), fids[:K], fslots[:K],
+                    slots[:K], pulls[:K].view(bool),
+                    *(() if noflush else (fids[:K], fslots[:K])),
                     pfids[:K], pfslots[:K])
             if self.num_shards > 1:
-                args = jax.device_put(host, (self._kdata_sharding,) * 7)
+                args = jax.device_put(host,
+                                      (self._kdata_sharding,) * len(host))
             else:
                 args = jax.device_put(host)
-            return self._cached_epoch_idx(state, *device_data, *args)
+            fn = (self._cached_epoch_idx_noflush if noflush
+                  else self._cached_epoch_idx)
+            return fn(state, *device_data, *args)
 
         host = (
             raw_dense[idx].astype(np.float32, copy=False),
             raw_sparse[idx].astype(np.int32, copy=False),
             raw_labels[idx].astype(np.float32, copy=False),
-            slots[:K], pulls[:K].view(bool), fids[:K], fslots[:K],
+            slots[:K], pulls[:K].view(bool),
+            *(() if noflush else (fids[:K], fslots[:K])),
             pfids[:K], pfslots[:K])
-        # ONE batched transfer for all nine arrays: each individual
+        # ONE batched transfer for all the arrays: each individual
         # device_put carries a fixed dispatch overhead comparable to the
         # 2 MB payload itself on this transport, and the chunk staging
         # runs on the training loop's critical path
         if self.num_shards > 1:
-            args = jax.device_put(host, (self._kdata_sharding,) * 9)
+            args = jax.device_put(host, (self._kdata_sharding,) * len(host))
         else:
             args = jax.device_put(host)
-        return self._cached_epoch(state, *args)
+        fn = self._cached_epoch_noflush if noflush else self._cached_epoch
+        return fn(state, *args)
 
     @staticmethod
     def to_base_state(state: CachedTrainState) -> TrainState:
