@@ -338,6 +338,8 @@ def main():
                 summ["total_collective_bytes_reduction"],
             "mesh_projected_bf16_a2a_reduction":
                 summ.get("projected_bf16_a2a_reduction"),
+            "mesh_projected_int8_a2a_reduction":
+                summ.get("projected_int8_a2a_reduction"),
             "mesh_step_ms_baseline":
                 round(base["wall_s_per_step"] * 1e3, 3),
             "mesh_step_ms_scheduled":

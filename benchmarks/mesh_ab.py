@@ -260,11 +260,23 @@ def main():
     proj_b = exchange_a2a_bytes(eng_b.exchange, 4, width * 2, 2)
     proj_s = (exchange_a2a_bytes(eng_t.flush_exchange, 4, width * 2, 1)
               + exchange_a2a_bytes(eng_t.exchange, 4, width * 2, 1))
+    # int8 gradient wire (--int8-flush, implemented + HLO-pinned for the
+    # scheduled flush in tests/test_cached.py / test_traffic_hlo.py):
+    # grad legs carry W int8 + one f32 per-row scale (id_bytes absorbs
+    # it); value pulls stay bf16 on both sides — symmetric projection
+    proj_b_i8 = (exchange_a2a_bytes(eng_b.exchange, 4, width * 2, 1)
+                 + exchange_a2a_bytes(eng_b.exchange, 8, width, 1))
+    proj_s_i8 = (exchange_a2a_bytes(eng_t.flush_exchange, 8, width, 1)
+                 + exchange_a2a_bytes(eng_t.exchange, 4, width * 2, 1))
     ici_gbps = float(os.environ.get("HERALD_ICI_GBPS", 90))
     proj_fields = {
         "projected_bf16_a2a_reduction": round(proj_b / max(proj_s, 1), 3),
+        "projected_int8_a2a_reduction": round(
+            proj_b_i8 / max(proj_s_i8, 1), 3),
         "projected_ici_us_baseline": round(proj_b / (ici_gbps * 1e3), 2),
         "projected_ici_us_scheduled": round(proj_s / (ici_gbps * 1e3), 2),
+        "projected_ici_us_scheduled_int8": round(
+            proj_s_i8 / (ici_gbps * 1e3), 2),
     }
 
     # optional middle mode: cache + the reference's naive scheduler
