@@ -117,7 +117,8 @@ def pipedream_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
                                       jnp.ndarray],
                     my_params, x: jnp.ndarray, targets: jnp.ndarray,
                     axis: str, num_stages: int, num_microbatches: int,
-                    update_fn: Callable[[Any, Any], Any]):
+                    update_fn: Callable[[Any, Any], Any],
+                    dp_axis: str = None, dp_sync_every: int = 1):
     """PipeDream 1F1B with weight stashing over a micro-batch stream.
 
     The reference trains CONTINUOUSLY (no pipeline flush between
@@ -143,6 +144,20 @@ def pipedream_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
     an 8-way CPU test mesh this is noise, and real towers are 3-layer
     MLPs.
 
+    **HetPipe/WSP mode** (`dp_axis`, `dp_sync_every=k`): the reference's
+    third pipeline flavor keeps weights on the parameter server — each
+    pipeline replica (HetPipe's "virtual worker") applies micro-batch
+    updates locally and re-syncs through the PS with bounded staleness
+    (`gpu_ops/pipedream_subexecutor.py:155-162` grad_accum_map,
+    `executor.py:192,401` hetpipe wiring; the WSP idea). SPMD form: pass
+    a LOCAL update_fn (no dp psum) and `dp_axis` — each stage's params
+    are then averaged over its dp replica group after every k-th
+    micro-batch update and once at drain, so the stream boundary is
+    exactly replicated. The cond predicate is uniform across a stage's
+    dp group (the 1F1B timetable is identical for all replicas of a
+    stage), and k=1 with SGD equals the lockstep psum composition
+    exactly (linearity; pinned by tests/test_pipeline.py).
+
     Returns (new_my_params, losses[M] valid on the last stage — psum
     over 'pp' outside to read them everywhere).
     """
@@ -160,6 +175,14 @@ def pipedream_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
 
     def bslot0(b):
         return jnp.clip(b, 0, M - 1)
+
+    if dp_axis is not None:
+        dp_size = lax.psum(jnp.ones(()), dp_axis)
+
+        def _dp_avg(ps):
+            return jax.tree.map(
+                lambda v: (lax.psum(v, dp_axis) / dp_size).astype(v.dtype),
+                ps)
 
     def tick(carry, t):
         params, stash_w, stash_x, fwd_state, bwd_state, losses = carry
@@ -206,6 +229,12 @@ def pipedream_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
         params = jax.tree.map(
             lambda p, q: jnp.where(do_b, q, p),
             params, update_fn(params, gw))
+        if dp_axis is not None:
+            # WSP re-sync: average this stage's params over its dp
+            # replica group after every k-th completed update (uniform
+            # predicate across the group — same stage, same timetable)
+            sync_due = do_b & ((b + 1) % dp_sync_every == 0)
+            params = lax.cond(sync_due, _dp_avg, lambda ps: ps, params)
         losses = lax.dynamic_update_index_in_dim(
             losses,
             jnp.where(do_b & is_last, loss_b,
@@ -226,7 +255,25 @@ def pipedream_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
     carry0 = (my_params, stash_w0, stash_x0, st0, st0, losses0)
     (params, _, _, _, _, losses), _ = lax.scan(
         tick, carry0, jnp.arange(2 * (M + N - 1)))
+    if dp_axis is not None:
+        params = _dp_avg(params)    # drained stream ends exactly synced
     return params, losses
+
+
+def hetpipe_apply(stage_fn, loss_fn, my_params, x, targets, axis: str,
+                  dp_axis: str, num_stages: int, num_microbatches: int,
+                  update_fn, sync_every: int = 1):
+    """HetPipe (WSP) pipeline: PipeDream 1F1B per pipeline replica +
+    bounded-staleness weight sync across the dp replica group — the
+    reference's third `config.pipeline` flavor, where weights live on
+    the parameter server and each pipeline syncs through it
+    (`gpu_ops/executor.py:192,401`, `pipedream_subexecutor.py:155-162`).
+    `update_fn` must be LOCAL (no dp psum); every `sync_every`
+    micro-batch updates each stage's params average over `dp_axis`
+    (and once at drain). See pipedream_apply for the schedule."""
+    return pipedream_apply(stage_fn, loss_fn, my_params, x, targets,
+                           axis, num_stages, num_microbatches, update_fn,
+                           dp_axis=dp_axis, dp_sync_every=sync_every)
 
 
 def stage_loss(loss_fn: Callable[[jnp.ndarray], jnp.ndarray],

@@ -374,3 +374,66 @@ def test_pipedream_dp_composition():
             np.testing.assert_allclose(
                 np.asarray(got_params[k][s]), np.asarray(want_params[s][k]),
                 rtol=1e-5, atol=1e-7, err_msg=f"stage {s} {k}")
+
+
+def test_hetpipe_sync1_sgd_equals_lockstep():
+    """HetPipe/WSP at sync_every=1 with local SGD equals the lockstep
+    dp-psum composition exactly (averaging commutes with the linear
+    update) — the BSP corner of the bounded-staleness knob."""
+    N, M, lr, DPn = 2, 4, 0.05, 2
+    mbp = 8
+    B = M * mbp * DPn
+    stacked = _init_stacked(jax.random.PRNGKey(20), N, D)
+    x = jax.random.normal(jax.random.PRNGKey(21), (B, D))
+    target = jax.random.normal(jax.random.PRNGKey(22), (B, D))
+    mesh = Mesh(np.array(jax.devices()[:DPn * N]).reshape(DPn, N),
+                ("dp", "pp"))
+    xi = np.asarray(x).reshape(M, DPn, mbp, D)
+    ti = np.asarray(target).reshape(M, DPn, mbp, D)
+    x_dev = xi.transpose(1, 0, 2, 3).reshape(DPn * M * mbp, D)
+    t_dev = ti.transpose(1, 0, 2, 3).reshape(DPn * M * mbp, D)
+
+    def run(hetpipe, sync_every=1):
+        def body(stacked, x, target):
+            if hetpipe:
+                new, losses = pl.hetpipe_apply(
+                    _stage_fn, _loss, pl.stage_params(stacked, "pp"),
+                    x.reshape(-1, D), target.reshape(-1, D), "pp", "dp",
+                    N, M,
+                    lambda p, g: jax.tree.map(
+                        lambda a, b: a - lr * b, p, g),
+                    sync_every=sync_every)
+            else:
+                new, losses = pl.pipedream_apply(
+                    _stage_fn, _loss, pl.stage_params(stacked, "pp"),
+                    x.reshape(-1, D), target.reshape(-1, D), "pp", N, M,
+                    lambda p, g: jax.tree.map(
+                        lambda a, b: a - lr * lax.psum(b, "dp") / DPn,
+                        p, g))
+            return (jax.tree.map(lambda a: a[None], new),
+                    lax.psum(losses, ("dp", "pp")) / DPn)
+
+        return jax.jit(jax.shard_map(
+            body, mesh=mesh, check_vma=False,
+            in_specs=({"W": P("pp"), "b": P("pp")}, P("dp"), P("dp")),
+            out_specs=({"W": P("pp"), "b": P("pp")}, P())))(
+                stacked, x_dev, t_dev)
+
+    want_p, want_l = run(False)
+    got_p, got_l = run(True, sync_every=1)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               rtol=1e-5, atol=1e-7)
+    for k in ("W", "b"):
+        np.testing.assert_allclose(np.asarray(got_p[k]),
+                                   np.asarray(want_p[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+
+    # bounded staleness (sync_every=2): a genuinely different trajectory
+    # whose drained boundary is still exactly dp-replicated
+    stale_p, stale_l = run(True, sync_every=2)
+    assert max(float(jnp.abs(stale_p[k] - want_p[k]).max())
+               for k in ("W", "b")) > 1e-7
+    # loss stream still trains (MSE on the last micro-batches below the
+    # first) — WSP trades freshness, not learning
+    sl = np.asarray(stale_l)
+    assert sl[-1] < sl[0]
