@@ -133,19 +133,24 @@ class HeraldConfig:
     # carry over is the knob it exposes: trade dense-gradient sync
     # freshness for less collective work per step. TPU-native form:
     #   dense_sync_group g  — each step, dense grads all-reduce over
-    #     static SUBGROUPS of g dp-workers (replica_groups of size g:
-    #     fewer ICI hops, (g-1)/g of the ring bytes) instead of the
-    #     whole axis; g=1 means purely local updates (local SGD).
+    #     static SUBGROUPS of g dp-workers (replica_groups of size g)
+    #     instead of the whole axis; g=1 means purely local updates
+    #     (local SGD).
     #   dense_sync_every k — every k-th step (and always at the end of a
     #     scanned chunk, so jit-boundary state is exactly replicated and
     #     checkpoints/eval never see divergent replicas) dense params AND
     #     optimizer slots are averaged over the whole dp axis, re-mixing
     #     the groups.
-    # Defaults (1, 0=full axis) are exact BSP. The embedding path is
-    # never relaxed: routed sparse updates are exact by construction.
-    # With SGD, g=1/k=1 equals BSP exactly (averaging commutes with the
-    # linear update); with k>1 this is local SGD with periodic model
-    # averaging (tests/test_dsync.py pins both).
+    # Defaults (1, 0=full axis) are exact BSP. The traffic saving needs
+    # k > 1: with k=1 the per-step full model average costs MORE than
+    # the single grad all-reduce it replaces — that corner exists as the
+    # testable BSP-equivalence point (SGD g=1/k=1 == BSP exactly,
+    # averaging commutes with the linear update; the engine warns if you
+    # configure it). Per-step dispatch paths (train_step, FaeEngine)
+    # have a jit boundary at every step, so k cannot defer their sync —
+    # k takes effect in the scanned executor only (warned likewise).
+    # The embedding path is never relaxed: routed sparse updates are
+    # exact by construction. tests/test_dsync.py pins the corners.
     dense_sync_every: int = 1
     dense_sync_group: int = 0
 
@@ -188,6 +193,10 @@ class HeraldConfig:
             self.embed_optimizer = self.optimizer
         if self.embed_learning_rate is None:
             self.embed_learning_rate = self.learning_rate
+        if self.dense_sync_every < 1:
+            raise ValueError("dense_sync_every must be >= 1")
+        if self.dense_sync_group < 0:
+            raise ValueError("dense_sync_group must be >= 0 (0 = full axis)")
         if self.dense_sync_every > 1 or self.dense_sync_group > 0:
             if self.comm_mode != "hybrid":
                 raise ValueError(
@@ -198,8 +207,6 @@ class HeraldConfig:
                     "dense-sync relaxation is dp-only: the Megatron tower's "
                     "in-layer psums are part of the forward math and cannot "
                     "be made stale")
-            if self.dense_sync_every < 1:
-                raise ValueError("dense_sync_every must be >= 1")
         if self.mp_shards > 1:
             if self.comm_mode != "hybrid":
                 raise ValueError("mp_shards > 1 requires comm_mode='hybrid'")

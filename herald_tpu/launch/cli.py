@@ -172,16 +172,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first")
     p.add_argument("--bf16-table", action="store_true")
-    p.add_argument("--bf16-flush", action="store_true",
-                   help="scheduled mode: compress flush gradient deltas "
-                        "to bf16 on the wire (halves flush all-to-all "
-                        "bytes; owner-side accumulation stays f32 — one "
-                        "quantization per flush)")
-    p.add_argument("--int8-flush", action="store_true",
-                   help="scheduled mode: int8 flush deltas with per-row "
-                        "scales and exact error feedback (the residual "
-                        "rides the slot's delta accumulator) — ~4x fewer "
-                        "flush bytes than f32, ~2x fewer than bf16")
+    flushw = p.add_mutually_exclusive_group()
+    flushw.add_argument("--bf16-flush", action="store_true",
+                        help="scheduled mode: compress flush gradient "
+                             "deltas to bf16 on the wire (halves flush "
+                             "all-to-all bytes; owner-side accumulation "
+                             "stays f32 — one quantization per flush)")
+    flushw.add_argument("--int8-flush", action="store_true",
+                        help="scheduled mode: int8 flush deltas with "
+                             "per-row scales and exact error feedback "
+                             "(the residual rides the slot's delta "
+                             "accumulator) — ~4x fewer flush bytes than "
+                             "f32, ~2x fewer than bf16")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. 'cpu'; combine with "
                         "XLA_FLAGS=--xla_force_host_platform_device_count=N "

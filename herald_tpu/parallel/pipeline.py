@@ -177,7 +177,7 @@ def pipedream_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
         return jnp.clip(b, 0, M - 1)
 
     if dp_axis is not None:
-        dp_size = lax.psum(jnp.ones(()), dp_axis)
+        dp_size = lax.psum(1, dp_axis)   # static: constant-folds to size
 
         def _dp_avg(ps):
             return jax.tree.map(

@@ -432,89 +432,52 @@ class CachedEngine(Engine):
         return state._replace(table=table, table_slots=table_slots,
                               cache=cache)
 
-    def _cached_epoch_body(self, state, dense_k, ids_k, labels_k, slots_k,
-                           pulls_k, fids_k, fslots_k, pfids_k, pfslots_k):
-        def body(state, xs):
-            state, stats = self._cached_step_body(state, *xs)
-            if self._dsync_on:
-                state = self._maybe_sync_dense(state)
-            return state, (stats["loss"], stats["overflow"])
+    def _make_epoch_body(self, idx_mode: bool, do_flush: bool):
+        """Build one of the four scanned-epoch programs (direct-data vs
+        device-resident-index feed x flush vs flush-free).
 
-        state, (losses, overflows) = jax.lax.scan(
-            body, state,
-            (dense_k, ids_k, labels_k, slots_k, pulls_k, fids_k, fslots_k,
-             pfids_k, pfslots_k))
-        if self._dsync_on:
-            state = self._sync_dense(state)
-        return state, {"loss": losses, "overflow": overflows}
-
-    def _cached_epoch_noflush_body(self, state, dense_k, ids_k, labels_k,
-                                   slots_k, pulls_k, pfids_k, pfslots_k):
-        """Flush-free chunk program (see _cached_step_body do_flush)."""
-        def body(state, xs):
-            d, s, y, sl, pu, pfi, pfs = xs
-            state, stats = self._cached_step_body(
-                state, d, s, y, sl, pu, None, None, pfi, pfs,
-                do_flush=False)
-            if self._dsync_on:
-                state = self._maybe_sync_dense(state)
-            return state, (stats["loss"], stats["overflow"])
-
-        state, (losses, overflows) = jax.lax.scan(
-            body, state, (dense_k, ids_k, labels_k, slots_k, pulls_k,
-                          pfids_k, pfslots_k))
-        if self._dsync_on:
-            state = self._sync_dense(state)
-        return state, {"loss": losses, "overflow": overflows}
-
-    def _cached_epoch_idx_noflush_body(self, state, dev_d, dev_s, dev_y,
-                                       idx_k, slots_k, pulls_k,
-                                       pfids_k, pfslots_k):
-        """Flush-free + device-resident-data chunk program."""
-        def body(state, xs):
-            idx_t, sl, pu, pfi, pfs = xs
-            d = jnp.take(dev_d, idx_t, axis=0)
-            s = jnp.take(dev_s, idx_t, axis=0)
-            y = jnp.take(dev_y, idx_t, axis=0)
-            state, stats = self._cached_step_body(
-                state, d, s, y, sl, pu, None, None, pfi, pfs,
-                do_flush=False)
-            if self._dsync_on:
-                state = self._maybe_sync_dense(state)
-            return state, (stats["loss"], stats["overflow"])
-
-        state, (losses, overflows) = jax.lax.scan(
-            body, state, (idx_k, slots_k, pulls_k, pfids_k, pfslots_k))
-        if self._dsync_on:
-            state = self._sync_dense(state)
-        return state, {"loss": losses, "overflow": overflows}
-
-    def _cached_epoch_idx_body(self, state, dev_d, dev_s, dev_y, idx_k,
-                               slots_k, pulls_k, fids_k, fslots_k,
-                               pfids_k, pfslots_k):
-        """Device-resident-data variant: the epoch's samples live in HBM
+        idx_mode (device-resident data): the epoch's samples live in HBM
         (replicated over the mesh) and the scan gathers each step's
         assigned rows by int32 index on device — the host ships ~KB of
         indices per step instead of ~MB of sample rows. The reference
         holds the full dataset in every worker's RAM and feeds the GPU
         per batch over PCIe (`laia_dataloader.py:43`); on TPU the same
-        residency decision moves the feed off the host entirely."""
-        def body(state, xs):
-            idx_t, *rest = xs
-            d = jnp.take(dev_d, idx_t, axis=0)
-            s = jnp.take(dev_s, idx_t, axis=0)
-            y = jnp.take(dev_y, idx_t, axis=0)
-            state, stats = self._cached_step_body(state, d, s, y, *rest)
-            if self._dsync_on:
-                state = self._maybe_sync_dense(state)
-            return state, (stats["loss"], stats["overflow"])
+        residency decision moves the feed off the host entirely.
+        do_flush=False: the flush-free variant (see _cached_step_body).
+        """
+        def body_fn(state, *args):
+            if idx_mode:
+                dev_d, dev_s, dev_y = args[:3]
+                ks = args[3:]
+            else:
+                ks = args
 
-        state, (losses, overflows) = jax.lax.scan(
-            body, state, (idx_k, slots_k, pulls_k, fids_k, fslots_k,
-                          pfids_k, pfslots_k))
-        if self._dsync_on:
-            state = self._sync_dense(state)
-        return state, {"loss": losses, "overflow": overflows}
+            def body(state, xs):
+                if idx_mode:
+                    idx_t, *rest = xs
+                    d = jnp.take(dev_d, idx_t, axis=0)
+                    s = jnp.take(dev_s, idx_t, axis=0)
+                    y = jnp.take(dev_y, idx_t, axis=0)
+                else:
+                    d, s, y, *rest = xs
+                if do_flush:
+                    sl, pu, fi, fs, pfi, pfs = rest
+                else:
+                    sl, pu, pfi, pfs = rest
+                    fi = fs = None
+                state, stats = self._cached_step_body(
+                    state, d, s, y, sl, pu, fi, fs, pfi, pfs,
+                    do_flush=do_flush)
+                if self._dsync_on:
+                    state = self._maybe_sync_dense(state)
+                return state, (stats["loss"], stats["overflow"])
+
+            state, (losses, overflows) = jax.lax.scan(body, state, ks)
+            if self._dsync_on:
+                state = self._sync_dense(state)
+            return state, {"loss": losses, "overflow": overflows}
+
+        return body_fn
 
     # ------------------------------------------------------------------
     def _build_cached_steps(self):
@@ -555,27 +518,22 @@ class CachedEngine(Engine):
                 in_specs=(specs,) + (dsp,) * 9,
                 out_specs=(specs, stats), check_vma=False),
                 donate_argnums=(0,))
-            self._cached_epoch = jax.jit(jax.shard_map(
-                self._cached_epoch_body, mesh=self.mesh,
-                in_specs=(specs,) + (ksp,) * 9,
-                out_specs=(specs, kstats), check_vma=False),
-                donate_argnums=(0,))
-            self._cached_epoch_idx = jax.jit(jax.shard_map(
-                self._cached_epoch_idx_body, mesh=self.mesh,
-                in_specs=(specs, P(), P(), P()) + (ksp,) * 7,
-                out_specs=(specs, kstats), check_vma=False),
-                donate_argnums=(0,))
-            # flush-free variants compile lazily on first qualifying chunk
-            self._cached_epoch_noflush = jax.jit(jax.shard_map(
-                self._cached_epoch_noflush_body, mesh=self.mesh,
-                in_specs=(specs,) + (ksp,) * 7,
-                out_specs=(specs, kstats), check_vma=False),
-                donate_argnums=(0,))
-            self._cached_epoch_idx_noflush = jax.jit(jax.shard_map(
-                self._cached_epoch_idx_noflush_body, mesh=self.mesh,
-                in_specs=(specs, P(), P(), P()) + (ksp,) * 5,
-                out_specs=(specs, kstats), check_vma=False),
-                donate_argnums=(0,))
+            # four scanned-epoch programs (direct/idx x flush/flush-free);
+            # each compiles lazily on its first qualifying chunk
+            def epoch_jit(idx_mode, do_flush):
+                n_ks = 6 if do_flush else 4
+                ins = ((specs, P(), P(), P()) if idx_mode else (specs,)) \
+                    + (ksp,) * ((1 if idx_mode else 3) + n_ks)
+                return jax.jit(jax.shard_map(
+                    self._make_epoch_body(idx_mode, do_flush),
+                    mesh=self.mesh, in_specs=ins,
+                    out_specs=(specs, kstats), check_vma=False),
+                    donate_argnums=(0,))
+
+            self._cached_epoch = epoch_jit(False, True)
+            self._cached_epoch_idx = epoch_jit(True, True)
+            self._cached_epoch_noflush = epoch_jit(False, False)
+            self._cached_epoch_idx_noflush = epoch_jit(True, False)
             self._flush_step = jax.jit(jax.shard_map(
                 self._flush_only_body, mesh=self.mesh,
                 in_specs=(specs, dsp, dsp), out_specs=specs,
@@ -583,14 +541,14 @@ class CachedEngine(Engine):
         else:
             self._cached_step = jax.jit(self._cached_step_body,
                                         donate_argnums=(0,))
-            self._cached_epoch = jax.jit(self._cached_epoch_body,
-                                         donate_argnums=(0,))
-            self._cached_epoch_idx = jax.jit(self._cached_epoch_idx_body,
-                                             donate_argnums=(0,))
+            self._cached_epoch = jax.jit(
+                self._make_epoch_body(False, True), donate_argnums=(0,))
+            self._cached_epoch_idx = jax.jit(
+                self._make_epoch_body(True, True), donate_argnums=(0,))
             self._cached_epoch_noflush = jax.jit(
-                self._cached_epoch_noflush_body, donate_argnums=(0,))
+                self._make_epoch_body(False, False), donate_argnums=(0,))
             self._cached_epoch_idx_noflush = jax.jit(
-                self._cached_epoch_idx_noflush_body, donate_argnums=(0,))
+                self._make_epoch_body(True, False), donate_argnums=(0,))
             self._flush_step = jax.jit(self._flush_only_body,
                                        donate_argnums=(0,))
 
@@ -650,6 +608,7 @@ class CachedEngine(Engine):
         prog = planner.pop()
         if prog is None:
             return state, None
+        self._warn_per_step_dsync()
         self._unsynced = True
         args = self._program_to_device(prog, raw_dense, raw_sparse,
                                        raw_labels)

@@ -106,9 +106,13 @@ class Engine:
         subgroup gradient all-reduce + periodic full-axis model averaging.
         The TPU-native PartialReduce/local-SGD analog — see config.py."""
         cfg = self.cfg
-        self.dsync_k = max(1, cfg.dense_sync_every)
+        self.dsync_k = cfg.dense_sync_every
         g = cfg.dense_sync_group or self.dp_shards
-        self.dsync_g = min(g, self.dp_shards) if self.num_shards > 1 else 1
+        if self.num_shards > 1 and g > self.dp_shards:
+            raise ValueError(
+                f"dense_sync_group={g} exceeds the dp axis "
+                f"({self.dp_shards} workers)")
+        self.dsync_g = g if self.num_shards > 1 else 1
         self._dsync_on = (self.num_shards > 1 and
                           (self.dsync_k > 1 or self.dsync_g < self.dp_shards))
         if not self._dsync_on:
@@ -121,6 +125,14 @@ class Engine:
         self._dsync_groups = [
             list(range(a, a + self.dsync_g))
             for a in range(0, self.dp_shards, self.dsync_g)]
+        import warnings
+        if self.dsync_k == 1:
+            warnings.warn(
+                "dense_sync_group with dense_sync_every=1 averages the "
+                "full model every step — MORE collective bytes than exact "
+                "BSP. Useful for equivalence testing only; set "
+                "dense_sync_every > 1 for the traffic saving.",
+                UserWarning, stacklevel=3)
 
     def _reduce_dense_grads(self, dgrads):
         """Per-step dense-grad reduction over the dp axis. Exact BSP by
@@ -146,6 +158,20 @@ class Engine:
         return state._replace(
             dense=jax.tree.map(mean, state.dense),
             dense_slots=jax.tree.map(mean, state.dense_slots))
+
+    def _warn_per_step_dsync(self):
+        """Per-step dispatch syncs at every jit boundary; k>1 only takes
+        effect in the scanned executor. Warn once per engine."""
+        if (self._dsync_on and self.dsync_k > 1
+                and not getattr(self, "_dsync_warned", False)):
+            self._dsync_warned = True
+            import warnings
+            warnings.warn(
+                "dense_sync_every > 1 cannot defer syncs on per-step "
+                "dispatch (every step is a jit boundary and must end "
+                "replicated) — this path averages the model every step; "
+                "use the scanned train_epoch* entry points for the "
+                "traffic saving", UserWarning, stacklevel=3)
 
     def _maybe_sync_dense(self, state):
         """In-scan hook: full model average every dense_sync_every steps.
@@ -565,6 +591,7 @@ class Engine:
 
     def train_step(self, state: TrainState, dense_x, sparse_ids, labels):
         """One global step. Host arrays may be [W, B, ...] or [W*B, ...]."""
+        self._warn_per_step_dsync()
         d = self._put_batch(dense_x, np.float32)
         s = self._put_batch(sparse_ids, np.int32)
         y = self._put_batch(labels, np.float32)

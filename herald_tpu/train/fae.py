@@ -212,6 +212,7 @@ class FaeEngine(Engine):
         return cold.astype(np.int32), hot_idx.astype(np.int32)
 
     def train_step_fae(self, state, lut, dense_x, sparse_ids, labels):
+        self._warn_per_step_dsync()
         cold, hot_idx = self.split_batch(lut, np.asarray(sparse_ids))
         d = self._put_batch(dense_x, np.float32)
         c = self._put_batch(cold, np.int32)
