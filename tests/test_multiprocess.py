@@ -123,6 +123,21 @@ _WORKER = textwrap.dedent("""
     assert K2 == 2
     print("FFWD_SUM", int(assign2[:K2].sum()))
     bp2.close()
+
+    # dense-sync relaxation across process boundaries: the periodic model
+    # average is a psum inside lax.cond whose predicate must stay uniform
+    # over BOTH processes' devices, and the subgroup grad all-reduce
+    # lowers to replica_groups spanning the distributed mesh
+    dcfg = HeraldConfig(model="wdl_criteo", batch_size=8, embedding_dim=8,
+                        comm_mode="hybrid", learning_rate=0.5,
+                        dense_sync_every=2, dense_sync_group=2)
+    deng = Engine(dcfg, table_rows=1000)
+    dstate = deng.init_state(0)
+    dstate, dstats = deng.train_epoch(dstate, dense, sparse, labels,
+                                      steps=4)
+    dlosses = np.asarray(dstats["loss"])
+    assert len(dlosses) == 4 and np.isfinite(dlosses).all()
+    print("DSYNC_LOSS", " ".join(f"{{l:.6f}}" for l in dlosses))
     print("FINAL_LOSS", loss)
 """)
 
@@ -165,7 +180,7 @@ def test_two_process_hybrid_training(tmp_path):
     assert abs(float(losses[0]) - float(losses[1])) < 1e-6
     # broadcast-planner runs agree across processes: same scheduled
     # losses, same (broadcast) planner counters
-    for tag in ("SCHED_LOSS", "SCHED_PERF", "FFWD_SUM"):
+    for tag in ("SCHED_LOSS", "SCHED_PERF", "FFWD_SUM", "DSYNC_LOSS"):
         lines = [line for out in outs for line in out.splitlines()
                  if line.startswith(tag)]
         assert len(lines) == 2 and lines[0] == lines[1], lines
