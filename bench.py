@@ -16,6 +16,7 @@ Prints ONE json line:
 """
 
 import json
+import os
 import time
 
 import jax
@@ -145,10 +146,14 @@ def bench_scheduled():
     eng = CachedEngine(cfg, table_rows=ROWS)
     epochs = 4   # epoch 1 warms the compile; min over the 3 timed ones
     # (the chip band swings +/-20%; scheduled_spread carries the rest)
-    chunk = 32   # chunked dispatch: jax dispatch is async, so the host
-    # pops/stages chunk t+1 (planner C call + device_put) while the
-    # device executes chunk t — the same depth-1 pipeline the CLI
-    # training loop runs (launch/cli.py scheduled branch)
+    # chunked dispatch: jax dispatch is async, so the host pops/stages
+    # chunk t+1 (planner C call + device_put) while the device executes
+    # chunk t — the same depth-1 pipeline the CLI training loop runs
+    # (launch/cli.py scheduled branch). Bigger chunks amortize the
+    # tunnel's fixed per-put/per-dispatch overhead (one put per epoch at
+    # chunk=ITERS); HERALD_SCHED_CHUNK overrides for experiments.
+    chunk = int(os.environ.get("HERALD_SCHED_CHUNK", 32))
+    assert ITERS % chunk == 0, (ITERS, chunk)
     planner = eng.make_planner(sparse, epochs=epochs)
     state = eng.init_cached_state(0)
     # HBM-resident samples: the per-chunk host work drops to the planner
