@@ -79,6 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--nepoch", type=int, default=1)
     p.add_argument("--cache-limit-ratio", type=float, default=0.1)
+    p.add_argument("--cache-policy", default="lru",
+                   choices=["lru", "lfu", "lfuopt"],
+                   help="hot-row cache eviction policy (reference --cache, "
+                        "run_laia.py:350; lfuopt adds the permanent-store "
+                        "graduation)")
     p.add_argument("--shuffle-seed", type=int, default=0,
                    help="scheduled mode: reshuffle the sample order every "
                         "epoch with this seed (0 = fixed epoch order like "
@@ -212,6 +217,7 @@ def resolve_config(args) -> "HeraldConfig":
                        ("comm", "comm_mode"), ("opt", "optimizer"),
                        ("lr", "learning_rate"),
                        ("cache_limit_ratio", "cache_limit_ratio"),
+                       ("cache_policy", "cache_policy"),
                        ("seed", "seed"), ("bound", "staleness_bound"),
                        ("pinned_rows", "pinned_rows"),
                        ("shuffle_seed", "sched_shuffle_seed"),
@@ -252,7 +258,8 @@ def resolve_config(args) -> "HeraldConfig":
             model=args.model, batch_size=args.batch_size,
             embedding_dim=args.embedding_size, comm_mode=args.comm,
             optimizer=args.opt, learning_rate=args.lr,
-            cache_limit_ratio=args.cache_limit_ratio, seed=args.seed,
+            cache_limit_ratio=args.cache_limit_ratio,
+            cache_policy=args.cache_policy, seed=args.seed,
             use_cache=args.scheduled, use_scheduler=args.scheduled,
             pinned_rows=args.pinned_rows if args.scheduled else 0,
             staleness_bound=args.bound,

@@ -202,3 +202,12 @@ def test_cli_device_data_matches_host_staging():
     assert dev["val_auc"] == pytest.approx(host["val_auc"], abs=1e-12)
     assert dev["train_loss_last"] == pytest.approx(
         host["train_loss_last"], abs=1e-9)
+
+
+def test_cli_cache_policy_flag():
+    """--cache-policy maps to HeraldConfig.cache_policy (reference
+    --cache, run_laia.py:350) on both the flag and config-file paths."""
+    from herald_tpu.launch.cli import resolve_config
+    args = build_parser().parse_args(
+        ["--model", "wdl_criteo", "--scheduled", "--cache-policy", "lfu"])
+    assert resolve_config(args).cache_policy == "lfu"
