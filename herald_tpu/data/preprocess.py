@@ -28,7 +28,8 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 __all__ = ["preprocess_criteo", "preprocess_avazu",
-           "preprocess_criteo_search", "preprocess_table",
+           "preprocess_criteo_search", "preprocess_adult",
+           "preprocess_movielens", "preprocess_table",
            "fast_preprocess_table"]
 
 
@@ -236,3 +237,131 @@ def preprocess_criteo_search(raw_path: str, out_dir: str,
     return _route(raw_path, "\t", False, 0, [3, 4, 5],
                   list(range(6, 23)), out_dir, search_dense=True,
                   seed=seed)
+
+
+def _save_split(dense, sparse, labels, out_dir, *, test_mask=None,
+                seed=None):
+    """Write the standard six .npy files; split 90/10 unless a mask picks
+    the test rows explicitly (adult ships separate train/test CSVs)."""
+    n = len(labels)
+    if test_mask is None:
+        rng = np.random.default_rng(seed)
+        perm = rng.permutation(n)
+        test_num = max(n // 10, 1)
+        tr, te = perm[:-test_num], perm[-test_num:]
+    else:
+        idx = np.arange(n)
+        tr, te = idx[~test_mask], idx[test_mask]
+    os.makedirs(out_dir, exist_ok=True)
+    names = ["train_dense_feats.npy", "train_sparse_feats.npy",
+             "train_labels.npy", "test_dense_feats.npy",
+             "test_sparse_feats.npy", "test_labels.npy"]
+    arrays = [dense[tr], sparse[tr], labels[tr],
+              dense[te], sparse[te], labels[te]]
+    for name, arr in zip(names, arrays):
+        np.save(os.path.join(out_dir, name), arr)
+    return dense[tr], sparse[tr], labels[tr]
+
+
+_ADULT_COLUMNS = ["age", "workclass", "fnlwgt", "education",
+                  "education_num", "marital_status", "occupation",
+                  "relationship", "race", "gender", "capital_gain",
+                  "capital_loss", "hours_per_week", "native_country",
+                  "income_bracket"]
+_ADULT_EMBED = ["workclass", "education", "marital_status", "occupation",
+                "relationship", "race", "gender", "native_country"]
+_ADULT_CONT = ["age", "capital_gain", "capital_loss", "hours_per_week"]
+_ADULT_WIDE = _ADULT_EMBED[:1] + ["education", "marital_status",
+                                  "occupation", "relationship", "race",
+                                  "gender", "native_country", "age_group"]
+_ADULT_CROSS = (("education", "occupation"),
+                ("native_country", "occupation"))
+
+
+def preprocess_adult(train_csv: str, out_dir: str,
+                     test_csv: Optional[str] = None,
+                     seed: Optional[int] = None):
+    """Census-income (wdl_adult): no-header CSV in the UCI `adult.data`
+    column order (reference `maybe_download`/`load_adult_data`,
+    `load_data.py:355-517`). Rebuilt without pandas/sklearn:
+
+    - label = 1 iff ">50K" in income_bracket;
+    - sparse = the 8 embedding columns, per-column sorted label encoding
+      with cumulative offsets (one shared table; the reference keeps 8
+      separate 50-row tables — same id space, different layout);
+    - dense = 4 continuous columns standardized with TRAIN mean/std,
+      then the wide one-hot block: 9 wide columns (incl. the (0,25],
+      (25,65], (65,90] age_group) + 2 crossed columns, vocabularies over
+      train+test (the reference one-hots the concatenated frame). Width
+      is data-derived (809 on the real dataset -> 4 + 809 = the model
+      spec's 813).
+
+    With `test_csv` the reference's file split is kept; otherwise 90/10.
+    """
+    def read(path):
+        rows = [r for r in _read_delim(path, ",", False) if len(r) >= 15]
+        cols = {}
+        for j, name in enumerate(_ADULT_COLUMNS):
+            cols[name] = np.array([r[j].strip() for r in rows])
+        return cols
+
+    cols = read(train_csv)
+    n_train = len(cols["age"])
+    if test_csv:
+        tcols = read(test_csv)
+        cols = {k: np.concatenate([cols[k], tcols[k]]) for k in cols}
+    n = len(cols["age"])
+    test_mask = np.arange(n) >= n_train
+    if not test_csv:
+        test_mask = None
+
+    labels = np.array([">50K" in v for v in
+                       cols["income_bracket"]], np.float32)
+
+    age = cols["age"].astype(np.float64)
+    cols["age_group"] = np.digitize(age, [25, 65, 90],
+                                    right=True).astype(str)
+
+    sparse = _encode_sparse([cols[c] for c in _ADULT_EMBED])
+
+    cont = np.stack([cols[c].astype(np.float64) for c in _ADULT_CONT],
+                    axis=1)
+    fit = cont if test_mask is None else cont[~test_mask]
+    mu, sd = fit.mean(axis=0), fit.std(axis=0)
+    cont = ((cont - mu) / np.where(sd > 0, sd, 1.0)).astype(np.float32)
+
+    wide_cols = [cols[c] for c in _ADULT_WIDE]
+    for a, b in _ADULT_CROSS:
+        wide_cols.append(np.char.add(np.char.add(
+            cols[a].astype(str), "_"), cols[b].astype(str)))
+    blocks = []
+    for col in wide_cols:
+        uniq, codes = np.unique(col, return_inverse=True)
+        oh = np.zeros((n, len(uniq)), np.float32)
+        oh[np.arange(n), codes] = 1.0
+        blocks.append(oh)
+    dense = np.concatenate([cont] + blocks, axis=1)
+    return _save_split(dense, sparse, labels, out_dir,
+                       test_mask=test_mask, seed=seed)
+
+
+def preprocess_movielens(npz_path: str, out_dir: str,
+                         num_users: Optional[int] = None,
+                         seed: Optional[int] = None):
+    """MovieLens NCF stream: an `.npz` with `user_input`, `item_input`,
+    `labels` (the reference reads exactly this from its offline
+    negative-sampling prep, `process_all_movie_data`,
+    `load_data.py:321-341`). Items shift by `num_users` (default: max
+    user id + 1; ml-25m: 162,541 users + 59,047 items = the `movie`
+    spec's 221,588-row shared table); dense is empty (NCF is
+    embeddings-only)."""
+    z = np.load(npz_path)
+    users = np.asarray(z["user_input"]).reshape(-1).astype(np.int64)
+    items = np.asarray(z["item_input"]).reshape(-1).astype(np.int64)
+    labels = np.asarray(z["labels"]).reshape(-1).astype(np.float32)
+    assert len(users) == len(items) == len(labels)
+    nu = int(num_users if num_users is not None else users.max() + 1)
+    assert users.max() < nu, (users.max(), nu)
+    sparse = np.stack([users, items + nu], axis=1)
+    dense = np.zeros((len(users), 0), np.float32)
+    return _save_split(dense, sparse, labels, out_dir, seed=seed)

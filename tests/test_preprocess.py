@@ -165,3 +165,83 @@ def test_fast_preprocessor_bit_identical(tmp_path):
         b = np.load(fast_dir / name)
         assert a.dtype == b.dtype and a.shape == b.shape, name
         np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_preprocess_adult_semantics(tmp_path):
+    """Census-income pipeline (reference load_adult_data semantics):
+    label rule, age-group bins, per-field disjoint sparse ids, train-fit
+    standardization, one-hot wide block (9 wide + 2 crossed -> each row
+    sums to 11), reference-style file split."""
+    import numpy as np
+    from herald_tpu.data.preprocess import preprocess_adult
+
+    rng = np.random.default_rng(3)
+    n = 120
+    wc = rng.choice(["Private", "Self-emp", "Gov"], n)
+    edu = rng.choice(["HS", "College", "PhD"], n)
+    mar = rng.choice(["Married", "Single"], n)
+    occ = rng.choice(["Tech", "Sales", "Farm"], n)
+    rel = rng.choice(["Husband", "Wife"], n)
+    race = rng.choice(["White", "Black"], n)
+    gen = rng.choice(["Male", "Female"], n)
+    nc = rng.choice(["US", "MX"], n)
+    age = rng.integers(18, 80, n)
+    inc = rng.choice(["<=50K", ">50K", ">50K."], n)
+
+    def write(path, rows):
+        with open(path, "w") as f:
+            for i in rows:
+                f.write(f"{age[i]}, {wc[i]}, {rng.integers(1e4)}, {edu[i]},"
+                        f" 9, {mar[i]}, {occ[i]}, {rel[i]}, {race[i]},"
+                        f" {gen[i]}, {rng.integers(5000)}, 0,"
+                        f" {rng.integers(20, 60)}, {nc[i]}, {inc[i]}\n")
+
+    train_csv, test_csv = tmp_path / "tr.csv", tmp_path / "te.csv"
+    write(train_csv, range(100))
+    write(test_csv, range(100, n))
+    out = tmp_path / "out"
+    dense, sparse, labels = preprocess_adult(str(train_csv), str(out),
+                                             test_csv=str(test_csv))
+    assert len(labels) == 100                     # file split kept
+    np.testing.assert_array_equal(
+        labels, np.array([">50K" in v for v in inc[:100]], np.float32))
+    assert sparse.shape == (100, 8)
+    # per-field disjoint cumulative ranges, in field order
+    lo = -1
+    for j in range(8):
+        col = sparse[:, j]
+        assert col.min() > lo
+        lo = col.max()
+    # dense = 4 standardized continuous + one-hot block
+    assert dense.shape[1] > 4
+    np.testing.assert_allclose(dense[:, :4].mean(axis=0), 0, atol=1e-5)
+    wide = dense[:, 4:]
+    np.testing.assert_array_equal(wide.sum(axis=1),
+                                  np.full(100, 11, np.float32))
+    assert set(np.unique(wide)) == {0.0, 1.0}
+    te_d = np.load(out / "test_dense_feats.npy")
+    assert te_d.shape == (20, dense.shape[1])
+
+
+def test_preprocess_movielens_npz(tmp_path):
+    """NCF stream conversion: items offset by num_users into the shared
+    table (ml-25m layout), standard six-file output."""
+    import numpy as np
+    from herald_tpu.data.preprocess import preprocess_movielens
+
+    rng = np.random.default_rng(5)
+    n = 200
+    users = rng.integers(0, 50, n)
+    items = rng.integers(0, 30, n)
+    labels = rng.integers(0, 2, n).astype(np.float32)
+    npz = tmp_path / "train.npz"
+    np.savez(npz, user_input=users, item_input=items, labels=labels)
+    out = tmp_path / "out"
+    dense, sparse, lab = preprocess_movielens(str(npz), str(out),
+                                              num_users=50, seed=0)
+    assert dense.shape == (180, 0) and sparse.shape == (180, 2)
+    assert sparse[:, 0].max() < 50 and sparse[:, 1].min() >= 50
+    assert sparse[:, 1].max() < 80
+    tr_s = np.load(out / "train_sparse_feats.npy")
+    te_s = np.load(out / "test_sparse_feats.npy")
+    assert len(tr_s) + len(te_s) == n
