@@ -189,6 +189,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "(the residual rides the slot's delta "
                              "accumulator) — ~4x fewer flush bytes than "
                              "f32, ~2x fewer than bf16")
+    p.add_argument("--plan-cache", default=None, metavar="DIR",
+                   help="scheduled mode, single process: record the "
+                        "planner's micro-program tape here on first run "
+                        "and REPLAY it on later runs with the same "
+                        "(stream, config) — zero planning cost on the "
+                        "training host (the stream is fixed per job, "
+                        "like the reference's Laia epoch matrix)")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. 'cpu'; combine with "
                         "XLA_FLAGS=--xla_force_host_platform_device_count=N "
@@ -574,6 +581,11 @@ def run_training(args) -> dict:
                 unique_cap=eng.U_cap, flush_cap=eng.F_cap,
                 cache_rows=eng.cache_rows, epochs=args.nepoch,
                 prefetch_cap=eng.P_cap)
+        elif args.plan_cache:
+            from herald_tpu.sched.replay import plan_cache
+            planner = plan_cache(eng, trn[1], args.plan_cache,
+                                 epochs=args.nepoch,
+                                 n_threads=cfg.sched_threads)
         else:
             planner = make()
         state = eng.init_cached_state(cfg.seed)

@@ -211,3 +211,27 @@ def test_cli_cache_policy_flag():
     args = build_parser().parse_args(
         ["--model", "wdl_criteo", "--scheduled", "--cache-policy", "lfu"])
     assert resolve_config(args).cache_policy == "lfu"
+
+
+def test_cli_plan_cache_records_then_replays(tmp_path):
+    """--plan-cache: first run records the tape, second run replays it;
+    both match the live-planner run exactly."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    import os
+    common = ["--model", "wdl_criteo", "--comm", "hybrid", "--scheduled",
+              "--batch-size", "8", "--samples", "1024", "--rows", "4000",
+              "--cache-limit-ratio", "0.5", "--lr", "0.5",
+              "--nepoch", "1", "--scan-steps", "4", "--val-ratio", "0.25",
+              "--seed", "2"]
+    tape = str(tmp_path / "tape")
+    live = run_training(build_parser().parse_args(common))
+    rec = run_training(build_parser().parse_args(
+        common + ["--plan-cache", tape]))
+    mt = os.path.getmtime(tmp_path / "tape" / "meta.json")
+    rep = run_training(build_parser().parse_args(
+        common + ["--plan-cache", tape]))
+    assert os.path.getmtime(tmp_path / "tape" / "meta.json") == mt
+    assert rec["steps"] == rep["steps"] == live["steps"]
+    assert rec["val_auc"] == pytest.approx(live["val_auc"], abs=1e-12)
+    assert rep["val_auc"] == pytest.approx(live["val_auc"], abs=1e-12)
