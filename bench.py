@@ -167,7 +167,9 @@ def bench_scheduled():
         import tempfile
 
         from herald_tpu.sched.replay import plan_cache
-        tape_dir = tempfile.mkdtemp(prefix="herald_tape_")
+        # deterministic path: later bench runs replay it (cache hit) and
+        # /tmp holds at most one tape instead of one per invocation
+        tape_dir = os.path.join(tempfile.gettempdir(), "herald_bench_tape")
         planner = plan_cache(eng, sparse, tape_dir, epochs=epochs)
     else:
         planner = eng.make_planner(sparse, epochs=epochs)

@@ -85,21 +85,7 @@ def preprocess_table(rows: Sequence[Sequence[str]], label_col: int,
         sparse_raw.append(np.where(c == "", "-1", c))   # fillna("-1")
     sparse = _encode_sparse(sparse_raw)
 
-    n = len(labels)
-    rng = np.random.default_rng(seed)
-    perm = rng.permutation(n)
-    test_num = max(n // 10, 1)
-    tr, te = perm[:-test_num], perm[-test_num:]
-
-    os.makedirs(out_dir, exist_ok=True)
-    names = ["train_dense_feats.npy", "train_sparse_feats.npy",
-             "train_labels.npy", "test_dense_feats.npy",
-             "test_sparse_feats.npy", "test_labels.npy"]
-    arrays = [dense[tr], sparse[tr], labels[tr],
-              dense[te], sparse[te], labels[te]]
-    for name, arr in zip(names, arrays):
-        np.save(os.path.join(out_dir, name), arr)
-    return dense[tr], sparse[tr], labels[tr]
+    return _save_split(dense, sparse, labels, out_dir, seed=seed)
 
 
 def _read_delim(path: str, delim: str, skip_header: bool):
@@ -175,19 +161,7 @@ def fast_preprocess_table(raw_path: str, delim: str, skip_header: bool,
                      np.log(np.maximum(dense_raw, -1) + 1 + 1e-300),
                      fallback).astype(np.float32)
 
-    rng = np.random.default_rng(seed)
-    perm = rng.permutation(n)
-    test_num = max(n // 10, 1)
-    tr, te = perm[:-test_num], perm[-test_num:]
-    os.makedirs(out_dir, exist_ok=True)
-    names = ["train_dense_feats.npy", "train_sparse_feats.npy",
-             "train_labels.npy", "test_dense_feats.npy",
-             "test_sparse_feats.npy", "test_labels.npy"]
-    arrays = [dense[tr], sparse[tr], labels[tr],
-              dense[te], sparse[te], labels[te]]
-    for name, arr in zip(names, arrays):
-        np.save(os.path.join(out_dir, name), arr)
-    return dense[tr], sparse[tr], labels[tr]
+    return _save_split(dense, sparse, labels, out_dir, seed=seed)
 
 
 def _route(raw_path: str, delim: str, skip_header: bool, label_col: int,
@@ -239,19 +213,21 @@ def preprocess_criteo_search(raw_path: str, out_dir: str,
                   seed=seed)
 
 
-def _save_split(dense, sparse, labels, out_dir, *, test_mask=None,
-                seed=None):
-    """Write the standard six .npy files; split 90/10 unless a mask picks
-    the test rows explicitly (adult ships separate train/test CSVs)."""
-    n = len(labels)
-    if test_mask is None:
-        rng = np.random.default_rng(seed)
-        perm = rng.permutation(n)
-        test_num = max(n // 10, 1)
-        tr, te = perm[:-test_num], perm[-test_num:]
-    else:
-        idx = np.arange(n)
-        tr, te = idx[~test_mask], idx[test_mask]
+def _split_indices(n: int, seed=None):
+    """The standard seeded 90/10 permutation split (reference
+    `load_data.py:160-170`)."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    test_num = max(n // 10, 1)
+    return perm[:-test_num], perm[-test_num:]
+
+
+def _save_split(dense, sparse, labels, out_dir, *, split=None, seed=None):
+    """Write the standard six .npy files; split 90/10 unless explicit
+    (train_idx, test_idx) arrays pick the rows (adult ships separate
+    train/test CSVs)."""
+    tr, te = split if split is not None else _split_indices(len(labels),
+                                                            seed)
     os.makedirs(out_dir, exist_ok=True)
     names = ["train_dense_feats.npy", "train_sparse_feats.npy",
              "train_labels.npy", "test_dense_feats.npy",
@@ -311,9 +287,11 @@ def preprocess_adult(train_csv: str, out_dir: str,
         tcols = read(test_csv)
         cols = {k: np.concatenate([cols[k], tcols[k]]) for k in cols}
     n = len(cols["age"])
-    test_mask = np.arange(n) >= n_train
-    if not test_csv:
-        test_mask = None
+    if test_csv:
+        split = (np.arange(n_train), np.arange(n_train, n))
+    else:
+        split = _split_indices(n, seed)    # decided NOW: the scaler must
+        # fit on the train rows only (reference fits on df_train)
 
     labels = np.array([">50K" in v for v in
                        cols["income_bracket"]], np.float32)
@@ -326,7 +304,7 @@ def preprocess_adult(train_csv: str, out_dir: str,
 
     cont = np.stack([cols[c].astype(np.float64) for c in _ADULT_CONT],
                     axis=1)
-    fit = cont if test_mask is None else cont[~test_mask]
+    fit = cont[split[0]]
     mu, sd = fit.mean(axis=0), fit.std(axis=0)
     cont = ((cont - mu) / np.where(sd > 0, sd, 1.0)).astype(np.float32)
 
@@ -341,8 +319,7 @@ def preprocess_adult(train_csv: str, out_dir: str,
         oh[np.arange(n), codes] = 1.0
         blocks.append(oh)
     dense = np.concatenate([cont] + blocks, axis=1)
-    return _save_split(dense, sparse, labels, out_dir,
-                       test_mask=test_mask, seed=seed)
+    return _save_split(dense, sparse, labels, out_dir, split=split)
 
 
 def preprocess_movielens(npz_path: str, out_dir: str,

@@ -372,6 +372,9 @@ def run_training(args) -> dict:
 
     cfg = resolve_config(args)
     if args.save_config:
+        parent = os.path.dirname(args.save_config)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         with open(args.save_config, "w") as f:
             f.write(cfg.to_json())
     args.log_dir = args.log_dir or cfg.log_dir   # config-file fallback
@@ -570,6 +573,11 @@ def run_training(args) -> dict:
         make = lambda: eng.make_planner(trn[1], epochs=args.nepoch,
                                         n_threads=cfg.sched_threads)
         if jax.process_count() > 1:
+            if args.plan_cache:
+                raise ValueError(
+                    "--plan-cache is single-process only: multi-process "
+                    "jobs fan live programs out through BroadcastPlanner "
+                    "(one planner per job); drop the flag")
             # one native planner total (process 0); program chunks fan
             # out over the interconnect — the TPU analog of the
             # reference's per-host scheduler + shm ring buffer

@@ -36,8 +36,13 @@ _ARRAYS = ("assign", "slots", "pulls", "fids", "fslots", "pfids",
 
 def record_plan(planner, path: str, key: str = "",
                 chunk: int = 64) -> "ReplayPlanner":
-    """Drain `planner` (a live CachePlanner) into a tape directory and
-    return the ReplayPlanner over it. The live planner is closed."""
+    """Drain `planner` (a live CachePlanner) into the tape directory
+    `path` and return the ReplayPlanner over it. Crash- and race-safe:
+    arrays are written into a scratch sibling (`<path>.tmp-<pid>`) and
+    atomically renamed into place, meta.json last — a crash leaves no
+    half tape behind the complete-marker, and if a concurrent recorder
+    (parallel lr sweep) wins the rename, its identical tape is used.
+    The live planner is closed."""
     parts = {k: [] for k in _ARRAYS}
     while True:
         out = planner.pop_chunk(chunk)
@@ -46,19 +51,18 @@ def record_plan(planner, path: str, key: str = "",
             break
         for name, arr in zip(_ARRAYS, out[1:]):
             parts[name].append(np.ascontiguousarray(arr[:K]))
-    os.makedirs(path, exist_ok=True)
+    tmp = f"{path.rstrip(os.sep)}.tmp-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
     T = 0
     for name in _ARRAYS:
         arr = (np.concatenate(parts[name])
                if parts[name] else np.empty((0, 1), np.int32))
         T = len(arr)
-        np.save(os.path.join(path, f"{name}.npy"), arr)
-    dirty = {}
+        np.save(os.path.join(tmp, f"{name}.npy"), arr)
     for z in range(planner.nrank):
         ids, slots = planner.dirty_rows(z)
-        dirty[z] = (ids, slots)
-        np.save(os.path.join(path, f"dirty_ids_{z}.npy"), ids)
-        np.save(os.path.join(path, f"dirty_slots_{z}.npy"), slots)
+        np.save(os.path.join(tmp, f"dirty_ids_{z}.npy"), ids)
+        np.save(os.path.join(tmp, f"dirty_slots_{z}.npy"), slots)
     meta = {
         "key": key, "steps": T, "nrank": planner.nrank,
         "batch_num": planner.batch_num,     # per-epoch, like the live one
@@ -70,8 +74,23 @@ def record_plan(planner, path: str, key: str = "",
     planner.close()
     # meta last: its presence marks a COMPLETE tape (a crash mid-record
     # leaves no meta and the cache misses)
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(meta, f)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # a concurrent recorder won, or a stale tape occupies the path:
+        # keep theirs if it matches (identical by determinism), replace
+        # it otherwise
+        import shutil
+        try:
+            rp = ReplayPlanner(path, expect_key=key)
+        except (ValueError, FileNotFoundError, json.JSONDecodeError):
+            shutil.rmtree(path, ignore_errors=True)
+            os.rename(tmp, path)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return rp
     return ReplayPlanner(path, expect_key=key)
 
 
@@ -140,19 +159,28 @@ class ReplayPlanner:
         self._a = {}
 
 
-def plan_key(sparse_ids: np.ndarray, cfg, epochs: int,
-             table_rows: int) -> str:
-    """Tape cache key: the id stream + every knob that shapes programs."""
+def plan_key(sparse_ids: np.ndarray, cfg, epochs: int, table_rows: int,
+             num_shards: int = 1, planner_kw: Optional[dict] = None
+             ) -> str:
+    """Tape cache key: the id stream + every knob that shapes programs
+    (topology included — a tape is only valid for the worker count it
+    was planned for). n_threads/queue_cap are deliberately excluded:
+    planning is n_threads-independent by design (quota-partitioned
+    greedy; tests/test_stress.py pins it)."""
     h = hashlib.sha256()
     ids = np.ascontiguousarray(sparse_ids, np.int64)
     h.update(ids.tobytes())
+    kw = {k: v for k, v in (planner_kw or {}).items()
+          if k not in ("n_threads", "queue_cap")}
     fields = (cfg.batch_size, cfg.cache_policy, cfg.cache_limit,
               cfg.cache_limit_ratio, cfg.pinned_rows, cfg.staleness_bound,
               cfg.sched_top_k_tables, cfg.sched_shuffle_seed,
               cfg.sched_unique_slots, cfg.sched_flush_slots,
               cfg.sched_flush_budget, cfg.sched_pull_target,
               cfg.sched_hoist_window, cfg.sched_prefetch_slots,
-              cfg.a2a_flush_capacity, epochs, table_rows)
+              cfg.a2a_flush_capacity, epochs, table_rows,
+              num_shards, cfg.comm_mode, tuple(cfg.mesh_shape or ()),
+              cfg.mp_shards, sorted(kw.items()))
     h.update(repr(fields).encode())
     return h.hexdigest()[:32]
 
@@ -162,11 +190,15 @@ def plan_cache(engine, sparse_ids: np.ndarray, path: str, epochs: int = 1,
     """Replay the tape at `path` if it matches (stream, config); record
     it first otherwise. Drop-in for `engine.make_planner` on
     single-process fixed-stream jobs."""
-    key = plan_key(sparse_ids, engine.cfg, epochs, engine.num_rows)
+    key = plan_key(sparse_ids, engine.cfg, epochs, engine.num_rows,
+                   num_shards=max(engine.num_shards, 1),
+                   planner_kw=planner_kw)
     meta_p = os.path.join(path, "meta.json")
     if os.path.exists(meta_p):
         try:
-            return ReplayPlanner(path, expect_key=key)
+            rp = ReplayPlanner(path, expect_key=key)
+            assert rp.nrank == max(engine.num_shards, 1)
+            return rp
         except ValueError:
             pass                        # stale tape: re-record below
     live = engine.make_planner(sparse_ids, epochs=epochs, **planner_kw)

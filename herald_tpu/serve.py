@@ -47,6 +47,14 @@ class Scorer:
         from herald_tpu.train.cached import CachedEngine, CachedTrainState
         if isinstance(state, CachedTrainState):
             assert isinstance(engine, CachedEngine)
+            import warnings
+            warnings.warn(
+                "serving a cached-state checkpoint through its base "
+                "view: exact only if the checkpoint was written after "
+                "sync_cache (the CLI's end-of-run save is; a periodic "
+                "mid-stream --ckpt-every save is NOT — its owner table "
+                "is missing the unflushed deltas of the hottest rows)",
+                UserWarning, stacklevel=2)
             state = engine.to_base_state(state)
         self.engine = engine
         self.state = state
