@@ -508,3 +508,26 @@ def test_int8_flush_conserves_gradient_mass():
     exact = run(None, 0.5)
     ef = run(jnp.int8, 0.5)
     assert np.abs(exact - ef).max() < 5e-3
+
+
+def test_rowquant_int8_extreme_magnitudes():
+    """Quantizer robustness across 60 orders of magnitude: q stays in
+    [-127, 127], dequant+residual reconstructs exactly (f32 EF identity),
+    zero rows take the scale-1 path, and no inf/nan appears."""
+    import jax.numpy as jnp
+    from herald_tpu.parallel.exchange import rowquant_int8
+    rng = np.random.default_rng(77)
+    base = rng.normal(size=(64, 16)).astype(np.float32)
+    mags = np.float32(10.0) ** rng.integers(-30, 31, size=(64, 1))
+    x = jnp.asarray(base * mags)
+    x = x.at[0].set(0.0)
+    x = x.at[1].set(np.float32(1e-38))     # near-subnormal row
+    q, sc = rowquant_int8(x)
+    qn, scn = np.asarray(q, np.int64), np.asarray(sc)
+    assert np.abs(qn).max() <= 127
+    assert np.isfinite(scn).all() and (scn > 0).all()
+    deq = qn.astype(np.float32) * scn[:, None]
+    res = np.asarray(x) - deq
+    assert np.isfinite(res).all()
+    np.testing.assert_array_equal(np.asarray(x), deq + res)
+    assert np.abs(deq[0]).max() == 0.0
