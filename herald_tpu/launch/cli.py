@@ -370,6 +370,8 @@ def run_training(args) -> dict:
     from herald_tpu.train.checkpoint import load_checkpoint, save_checkpoint
     from herald_tpu.utils.profiler import StepTimer, cache_report
 
+    import os
+
     cfg = resolve_config(args)
     if args.save_config:
         parent = os.path.dirname(args.save_config)
@@ -429,7 +431,6 @@ def run_training(args) -> dict:
     timer = StepTimer()
     t_start = time.perf_counter()
     if args.log_dir:
-        import os
         os.makedirs(args.log_dir, exist_ok=True)
         jax.profiler.start_trace(args.log_dir)
 
