@@ -645,48 +645,78 @@ class CachedEngine(Engine):
          pfids, pfslots) = planner.pop_chunk(steps)
         if K == 0:
             return state, None
-        self._unsynced = True
+        return self.train_epoch_staged(
+            state, self._stage_chunk(
+                K, assign, slots, pulls, fids, fslots, pfids, pfslots,
+                raw_dense, raw_sparse, raw_labels,
+                index_feed=device_data is not None),
+            device_data=device_data)
+
+    def _stage_chunk(self, K, assign, slots, pulls, fids, fslots, pfids,
+                     pfslots, raw_dense=None, raw_sparse=None,
+                     raw_labels=None, *, index_feed: bool):
+        """Ship one popped chunk's program arrays to device as ONE
+        batched transfer (each individual device_put carries a fixed
+        dispatch overhead comparable to a ~2 MB payload on this
+        transport). Returns (noflush, device-args tuple) for
+        train_epoch_staged — pre-stage many chunks up front to take
+        staging off the timed path entirely (bench.py does).
+
+        Flush-free fast path: a chunk whose programs carry zero flushes
+        (all sentinel ids) stages for the variant compiled without the
+        flush phase — the steady state of the solo/big-cache regime,
+        where this removes the F_cap gather + flush exchange + owner
+        scatter pair from every step. Deterministic (a pure function of
+        the planner stream), so resume replays the same dispatch."""
         idx = assign[:K]
-        # flush-free fast path: a chunk whose programs carry zero flushes
-        # (all sentinel ids) dispatches the variant compiled without the
-        # flush phase — the steady state of the solo/big-cache regime,
-        # where this removes the F_cap gather + flush exchange + owner
-        # scatter pair from every step. Deterministic (a pure function of
-        # the planner stream), so resume replays the same dispatch.
         noflush = (self.cfg.sched_noflush_variant
                    and bool((fids[:K] < 0).all()))
-        if noflush:
-            self.noflush_chunks += 1
-
-        if device_data is not None:
+        if index_feed:
             host = (idx.astype(np.int32, copy=False),
                     slots[:K], pulls[:K].view(bool),
                     *(() if noflush else (fids[:K], fslots[:K])),
                     pfids[:K], pfslots[:K])
-            if self.num_shards > 1:
-                args = jax.device_put(host,
-                                      (self._kdata_sharding,) * len(host))
-            else:
-                args = jax.device_put(host)
-            fn = (self._cached_epoch_idx_noflush if noflush
-                  else self._cached_epoch_idx)
-            return fn(state, *device_data, *args)
-
-        host = (
-            raw_dense[idx].astype(np.float32, copy=False),
-            raw_sparse[idx].astype(np.int32, copy=False),
-            raw_labels[idx].astype(np.float32, copy=False),
-            slots[:K], pulls[:K].view(bool),
-            *(() if noflush else (fids[:K], fslots[:K])),
-            pfids[:K], pfslots[:K])
-        # ONE batched transfer for all the arrays: each individual
-        # device_put carries a fixed dispatch overhead comparable to the
-        # 2 MB payload itself on this transport, and the chunk staging
-        # runs on the training loop's critical path
+        else:
+            host = (
+                raw_dense[idx].astype(np.float32, copy=False),
+                raw_sparse[idx].astype(np.int32, copy=False),
+                raw_labels[idx].astype(np.float32, copy=False),
+                slots[:K], pulls[:K].view(bool),
+                *(() if noflush else (fids[:K], fslots[:K])),
+                pfids[:K], pfslots[:K])
         if self.num_shards > 1:
             args = jax.device_put(host, (self._kdata_sharding,) * len(host))
         else:
             args = jax.device_put(host)
+        return noflush, args
+
+    def stage_program_chunks(self, planner, steps_per_chunk: int,
+                             max_chunks: Optional[int] = None):
+        """Pop + stage up to `max_chunks` chunks ahead of time (programs
+        live in HBM; they are KB-to-MB scale next to the table). Use with
+        train_epoch_staged to remove ALL per-chunk host work from the
+        training loop — natural with a plan tape (sched/replay.py), whose
+        whole stream is known up front."""
+        staged = []
+        while max_chunks is None or len(staged) < max_chunks:
+            out = planner.pop_chunk(steps_per_chunk)
+            if out[0] == 0:
+                break
+            staged.append(self._stage_chunk(*out, index_feed=True))
+        return staged
+
+    def train_epoch_staged(self, state, staged, device_data=None):
+        """Dispatch one pre-staged chunk (from _stage_chunk /
+        stage_program_chunks). index-feed chunks require `device_data`
+        (stage_dataset)."""
+        noflush, args = staged
+        self._unsynced = True
+        if noflush:
+            self.noflush_chunks += 1
+        if device_data is not None:
+            fn = (self._cached_epoch_idx_noflush if noflush
+                  else self._cached_epoch_idx)
+            return fn(state, *device_data, *args)
         fn = self._cached_epoch_noflush if noflush else self._cached_epoch
         return fn(state, *args)
 

@@ -120,3 +120,38 @@ def test_tape_fast_forward_resume(tmp_path):
     st = eng.sync_cache(st, rp2)
     np.testing.assert_array_equal(np.asarray(st_full.table),
                                   np.asarray(st.table))
+
+
+def test_prestaged_dispatch_bit_exact(tmp_path):
+    """stage_program_chunks + train_epoch_staged (the bench's pure-
+    dispatch shape: tape + device-resident data + pre-staged programs)
+    == the per-chunk train_epoch_cached path, to the last bit."""
+    eng, dense, sparse, labels = _setup()
+    tape = str(tmp_path / "tape")
+    sp32 = sparse.astype(np.int32)
+
+    rp = plan_cache(eng, sparse, tape, epochs=1, n_threads=1)
+    dev = eng.stage_dataset(dense, sp32, labels)
+    st_a = eng.init_cached_state(0)
+    while True:
+        st_a, stats = eng.train_epoch_cached(st_a, rp, dense, sparse,
+                                             labels, steps=4,
+                                             device_data=dev)
+        if stats is None:
+            break
+    st_a = eng.sync_cache(st_a, rp)
+
+    rp2 = plan_cache(eng, sparse, tape, epochs=1, n_threads=1)
+    staged = eng.stage_program_chunks(rp2, 4)
+    assert len(staged) == STEPS // 4
+    st_b = eng.init_cached_state(0)
+    for chunk in staged:
+        st_b, stats = eng.train_epoch_staged(st_b, chunk,
+                                             device_data=dev)
+        assert int(np.asarray(stats["overflow"]).sum()) == 0
+    st_b = eng.sync_cache(st_b, rp2)
+
+    np.testing.assert_array_equal(np.asarray(st_a.table),
+                                  np.asarray(st_b.table))
+    np.testing.assert_array_equal(np.asarray(st_a.cache),
+                                  np.asarray(st_b.cache))
