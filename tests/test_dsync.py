@@ -42,10 +42,10 @@ def _data(steps, seed=7):
 
 
 def _run_epoch(steps=8, **cfg_kw):
-    cfg = HeraldConfig(model="wdl_criteo", batch_size=B,
-                       embedding_dim=8, comm_mode="hybrid",
-                       learning_rate=0.5, a2a_capacity_factor=8.0,
-                       **cfg_kw)
+    base = dict(model="wdl_criteo", batch_size=B, embedding_dim=8,
+                comm_mode="hybrid", learning_rate=0.5,
+                a2a_capacity_factor=8.0)
+    cfg = HeraldConfig(**{**base, **cfg_kw})
     eng = Engine(cfg, table_rows=ROWS)
     dense, sparse, labels = _data(steps)
     st = eng.init_state(0)
@@ -188,3 +188,24 @@ def test_cached_engine_dsync_leg():
     assert np.abs(_dense_flat(st_a) - _dense_flat(st_c)).max() > 1e-7
     res = eng_c.evaluate(st_c, dense, sparse, labels)
     assert 0.0 <= res["auc"] <= 1.0
+
+
+def test_dsync_adam_slots_average_and_train():
+    """Nonlinear optimizer leg: with Adam the optimizer SLOTS average
+    alongside the params (m/v are part of the model state in local SGD
+    with periodic averaging); the run trains and the boundary state is
+    usable for exact eval."""
+    steps = 16
+    cfg_kw = dict(optimizer="adam", learning_rate=0.05,
+                  dense_sync_every=4, dense_sync_group=1)
+    eng, st = _run_epoch(steps=steps, **cfg_kw)
+    # slots exist and are finite after the averaged boundary
+    for leaf in jax.tree.leaves(st.dense_slots):
+        assert np.isfinite(np.asarray(leaf)).all()
+    dense, sparse, labels = _data(steps)
+    res = eng.evaluate(st, dense, sparse, labels)
+    assert 0.0 <= res["auc"] <= 1.0
+    # differs from the BSP adam run (staleness is real under adam too)
+    _, st_bsp = _run_epoch(steps=steps, optimizer="adam",
+                           learning_rate=0.05)
+    assert np.abs(_dense_flat(st) - _dense_flat(st_bsp)).max() > 1e-7
