@@ -53,22 +53,54 @@ def bench_scheduled(args, cfg, model):
     cfg.sched_unique_slots = prof.unique_slots()
     eng = CachedEngine(cfg, table_rows=args.rows)
     epochs = 4
-    planner = eng.make_planner(sparse, epochs=epochs)
-    state = eng.init_cached_state(0)
     # chunked dispatch (depth-1 pipeline, same as bench.py/the CLI): the
     # host pops/stages chunk t+1 while the device runs chunk t
     chunk = max(1, min(32, K // 4))
+    assert K % chunk == 0, (K, chunk)
+    state = eng.init_cached_state(0)
+    if args.live:
+        # in-situ planner measurement (the pre-tape mode): pop/stage on
+        # the loop's critical path, samples gathered host-side
+        planner = eng.make_planner(sparse, epochs=epochs)
+        times = []
+        for _ in range(epochs):
+            t0 = time.perf_counter()
+            done, stats = 0, None
+            while done < K:
+                k = min(chunk, K - done)
+                state, stats = eng.train_epoch_cached(
+                    state, planner, dense, sparse32, labels, steps=k)
+                done += k
+            float(np.asarray(stats["loss"])[-1])
+            times.append(time.perf_counter() - t0)
+        planner.close()
+        return args.batch_size * K / min(times[1:])
+    # production tape mode (mirrors bench.py bench_scheduled): the
+    # micro-program tape records once in untimed setup and replays
+    # mmap'd; program chunks pre-stage in HBM; the dataset is
+    # device-resident — timed epochs are pure dispatch + device work
+    import tempfile
+
+    from herald_tpu.sched.replay import plan_cache
+    tape_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"herald_cfg_tape_{args.model}_b{args.batch_size}"
+        f"_e{args.embedding_size}_r{args.rows}")
+    planner = plan_cache(eng, sparse, tape_dir, epochs=epochs)
+    dev_data = eng.stage_dataset(dense, sparse32, labels)
+    prestaged = eng.stage_program_chunks(planner, chunk)
+    assert len(prestaged) == epochs * (K // chunk), len(prestaged)
     times = []
-    for _ in range(epochs):
+    for e in range(epochs):
         t0 = time.perf_counter()
-        done, stats = 0, None
-        while done < K:
-            k = min(chunk, K - done)
-            state, stats = eng.train_epoch_cached(
-                state, planner, dense, sparse32, labels, steps=k)
-            done += k
-        float(np.asarray(stats["loss"])[-1])
+        last = None
+        for c in range(K // chunk):
+            state, last = eng.train_epoch_staged(
+                state, prestaged[e * (K // chunk) + c],
+                device_data=dev_data)
+        float(np.asarray(last["loss"])[-1])
         times.append(time.perf_counter() - t0)
+    planner.close()
     return args.batch_size * K / min(times[1:])
 
 
@@ -82,6 +114,10 @@ def main():
     ap.add_argument("--scheduled", action="store_true",
                     help="measure the cache path (planner micro-programs) "
                          "instead of the plain engine")
+    ap.add_argument("--live", action="store_true",
+                    help="with --scheduled: keep the planner in-situ on "
+                         "the timed path instead of the production plan-"
+                         "tape + device-resident mode (bench.py parity)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (the smoke test pins the "
                          "script on cpu; default: the real chip)")

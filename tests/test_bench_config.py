@@ -34,3 +34,9 @@ def test_bench_config_scheduled_schema():
     rec = _run(["--scheduled"])
     assert rec["metric"] == "wdl_criteo_b16_e8_scheduled_eps_per_chip"
     assert rec["value"] > 0 and rec["rows"] == 8000
+
+
+def test_bench_config_scheduled_live_schema():
+    rec = _run(["--scheduled", "--live"])
+    assert rec["metric"] == "wdl_criteo_b16_e8_scheduled_eps_per_chip"
+    assert rec["value"] > 0 and rec["rows"] == 8000
