@@ -144,7 +144,8 @@ def bench_scheduled():
     cfg.sched_flush_slots = prof.flush_slots()
     cfg.sched_unique_slots = prof.unique_slots()
     eng = CachedEngine(cfg, table_rows=ROWS)
-    epochs = 4   # epoch 1 warms the compile; min over the 3 timed ones
+    epochs = 5   # epochs 1-2 warm the compiles (epoch 2 triggers the
+    # pull-free chunk program); min over the fully-warm rest
     # (the chip band swings +/-20%; scheduled_spread carries the rest)
     # chunked dispatch: jax dispatch is async, so the host pops/stages
     # chunk t+1 (planner C call + device_put) while the device executes
@@ -175,17 +176,23 @@ def bench_scheduled():
     else:
         planner = eng.make_planner(sparse, epochs=epochs)
     state = eng.init_cached_state(0)
-    # HBM-resident samples: the per-chunk host work drops to the planner
-    # pop + an int32 index transfer (~KB/step); the device gathers its
-    # assigned rows itself (train/cached.py stage_dataset)
-    dev_data = eng.stage_dataset(dense, sparse32, labels)
     if tape_mode:
-        # pre-stage EVERY chunk's program arrays in HBM (untimed, KB-MB
-        # per chunk): the timed epochs are then pure dispatch + device
-        # work — the production shape of tape + device-resident data,
-        # where the host's only per-chunk job is an async dispatch
-        prestaged = eng.stage_program_chunks(planner, chunk)
+        # pre-stage EVERY chunk DIRECT-FEED (untimed; the assigned rows
+        # go to HBM with the program arrays — ~40 MB at this shape): the
+        # timed epochs are pure dispatch + device work, and the step
+        # skips the three on-device assignment `take` gathers the
+        # index-feed mode pays. This is the prestaged form of the CLI's
+        # default per-chunk direct staging.
+        dev_data = None
+        prestaged = eng.stage_program_chunks(
+            planner, chunk, raw=(dense, sparse32, labels))
         assert len(prestaged) == epochs * (ITERS // chunk), len(prestaged)
+    else:
+        # HBM-resident samples: the per-chunk host work drops to the
+        # planner pop + an int32 index transfer (~KB/step); the device
+        # gathers its assigned rows itself (train/cached.py stage_dataset)
+        dev_data = eng.stage_dataset(dense, sparse32, labels)
+        prestaged = None
     times = []
     for e in range(epochs):
         t0 = time.perf_counter()
@@ -193,8 +200,7 @@ def bench_scheduled():
         for c in range(ITERS // chunk):
             if tape_mode:
                 state, stats = eng.train_epoch_staged(
-                    state, prestaged[e * (ITERS // chunk) + c],
-                    device_data=dev_data)
+                    state, prestaged[e * (ITERS // chunk) + c])
             else:
                 # in-situ planner measurement: pop/stage on the loop's
                 # critical path (depth-1 pipelined with device execution)
@@ -206,10 +212,13 @@ def bench_scheduled():
         # bench_engine note on block_until_ready)
         float(np.asarray(last["loss"])[-1])
         times.append(time.perf_counter() - t0)
-    # epoch 1 includes compile; best of the rest
-    eps = BATCH * ITERS / min(times[1:])
+    # epoch 1 includes compile; epoch 2 compiles the pull-free chunk
+    # program (its first qualifying chunk is epoch 2's first — epoch 1
+    # streams first-touch pulls); best of the fully-warm rest
+    warm = times[2:] if eng.nopull_chunks else times[1:]
+    eps = BATCH * ITERS / min(warm)
     # per-epoch throughputs for the noise annotation (main() reads this)
-    bench_scheduled.epoch_eps = [BATCH * ITERS / t for t in times[1:]]
+    bench_scheduled.epoch_eps = [BATCH * ITERS / t for t in warm]
     planner.close()
     _free(state, last, dev_data,
           prestaged if tape_mode else None)

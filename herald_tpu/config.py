@@ -111,6 +111,16 @@ class HeraldConfig:
     # phase fed all-sentinel ids is a no-op); dispatch is a pure function
     # of the planner stream, so resume replays identically.
     sched_noflush_variant: bool = True
+    # pull-free program variant (cached mode): a flush-free chunk whose
+    # programs ALSO carry zero pulls and zero prefetch hoists (every
+    # batch key resident and fresh — the solo/big-cache steady state
+    # after the first epoch, where nothing misses and no remote writer
+    # creates staleness) dispatches a variant with the whole pull phase
+    # removed: no U_cap+P_cap table gather, no pull exchange, no
+    # prefetch-insert scatter. Bit-exact (the pull phase fed all-false
+    # masks and all-sentinel ids selects the resident rows everywhere);
+    # dispatch is a pure function of the planner stream, like noflush.
+    sched_nopull_variant: bool = True
     # flush gradient-delta wire dtype (cached mode). None = the delta
     # dtype (f32, exact). jnp.bfloat16 halves the flush all-to-all bytes;
     # accumulation at the owner stays f32, so only the per-row delta is

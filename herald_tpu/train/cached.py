@@ -95,6 +95,7 @@ class CachedEngine(Engine):
             f"table rows {self.num_rows} exceed int32 program ids"
         self._unsynced = False
         self.noflush_chunks = 0     # chunks that took the flush-free path
+        self.nopull_chunks = 0      # chunks that also took the pull-free path
         self.U_cap = int(cfg.sched_unique_slots or self.ids_per_worker)
         self.F_cap = int(cfg.sched_flush_slots or self.U_cap)
         # pull smoothing: prefetch arrays are only materialized when the
@@ -271,7 +272,8 @@ class CachedEngine(Engine):
 
     def _cached_step_body(self, state: CachedTrainState, dense_x, ids,
                           labels, slots, pulls, flush_ids, flush_slots,
-                          pf_ids, pf_slots, do_flush: bool = True):
+                          pf_ids, pf_slots, do_flush: bool = True,
+                          do_pull: bool = True):
         C = self.cache_rows
         B, F = ids.shape
         step = state.step + 1
@@ -301,29 +303,42 @@ class CachedEngine(Engine):
         # mean bucket size)
         uniq, inv = jnp.unique(ids.reshape(-1), size=self.U_cap,
                                return_inverse=True, fill_value=-1)
-        pull_ids = jnp.where(pulls & (uniq >= 0), uniq, -1)
-        all_ids = jnp.concatenate([pull_ids, pf_ids])
-        if self.num_shards > 1:
-            route = ex.route_ids(self.exchange, all_ids, all_ids >= 0)
-            pulled = ex.gather_rows(self.exchange, table, route)
-            overflow = route.overflow + flush_overflow
-        else:
-            safe = jnp.where(all_ids >= 0, all_ids, table.shape[0] + 1)
-            pulled = table.at[safe].get(mode="fill", fill_value=0)
-            overflow = jnp.zeros((), jnp.int32)
+        if do_pull:
+            pull_ids = jnp.where(pulls & (uniq >= 0), uniq, -1)
+            all_ids = jnp.concatenate([pull_ids, pf_ids])
+            if self.num_shards > 1:
+                route = ex.route_ids(self.exchange, all_ids, all_ids >= 0)
+                pulled = ex.gather_rows(self.exchange, table, route)
+                overflow = route.overflow + flush_overflow
+            else:
+                safe = jnp.where(all_ids >= 0, all_ids,
+                                 table.shape[0] + 1)
+                pulled = table.at[safe].get(mode="fill", fill_value=0)
+                overflow = jnp.zeros((), jnp.int32)
 
-        # phase 3: insert PREFETCHED rows only — batch-key inserts are
-        # fused into the phase-5 update write below (the forward selects
-        # pulled vs resident values directly, saving one full-width
-        # scatter pass per step). Prefetch slots are VIRGIN by the
-        # planner's hoist contract (no-eviction free slots), so their
-        # delta plane is already 0 and writing both planes is exact.
-        pf_write = jnp.where(pf_ids >= 0, pf_slots, C + 1)
-        pf_rows = jnp.concatenate(
-            [pulled[self.U_cap:].astype(jnp.float32),
-             jnp.zeros((pf_ids.shape[0], self.width), jnp.float32)],
-            axis=1)
-        cache = cache.at[pf_write].set(pf_rows, mode="drop")
+            # phase 3: insert PREFETCHED rows only — batch-key inserts
+            # are fused into the phase-5 update write below (the forward
+            # selects pulled vs resident values directly, saving one
+            # full-width scatter pass per step). Prefetch slots are
+            # VIRGIN by the planner's hoist contract (no-eviction free
+            # slots), so their delta plane is already 0 and writing both
+            # planes is exact.
+            pf_write = jnp.where(pf_ids >= 0, pf_slots, C + 1)
+            pf_rows = jnp.concatenate(
+                [pulled[self.U_cap:].astype(jnp.float32),
+                 jnp.zeros((pf_ids.shape[0], self.width), jnp.float32)],
+                axis=1)
+            cache = cache.at[pf_write].set(pf_rows, mode="drop")
+        else:
+            # PULL-FREE variant (sched_nopull_variant): the dispatcher
+            # certified this chunk carries zero pulls and zero prefetch
+            # hoists — every batch key is resident and fresh, so the
+            # U_cap+P_cap table gather, the pull exchange and the
+            # prefetch-insert scatter vanish; the forward reads resident
+            # cache rows directly. Exact by construction (tested
+            # bit-for-bit by tests/test_nopull.py).
+            overflow = flush_overflow if do_flush \
+                else jnp.zeros((), jnp.int32)
 
         # phase 4: forward — pulled keys read the fresh wire rows, the
         # rest read their resident cache slots (equivalent to inserting
@@ -336,9 +351,12 @@ class CachedEngine(Engine):
         res2 = cache.at[slots].get(mode="fill", fill_value=0)
         resident = res2[:, : self.width]
         delta_old = res2[:, self.width:]
-        emb_uniq = jnp.where((pulls & (uniq >= 0))[:, None],
-                             pulled[: self.U_cap].astype(resident.dtype),
-                             resident)
+        if do_pull:
+            emb_uniq = jnp.where(
+                (pulls & (uniq >= 0))[:, None],
+                pulled[: self.U_cap].astype(resident.dtype), resident)
+        else:
+            emb_uniq = resident
         if self.pinned_rows:
             Pr = self.pinned_rows
             pinned_mask = (uniq >= 0) & (uniq < Pr)
@@ -432,9 +450,10 @@ class CachedEngine(Engine):
         return state._replace(table=table, table_slots=table_slots,
                               cache=cache)
 
-    def _make_epoch_body(self, idx_mode: bool, do_flush: bool):
-        """Build one of the four scanned-epoch programs (direct-data vs
-        device-resident-index feed x flush vs flush-free).
+    def _make_epoch_body(self, idx_mode: bool, do_flush: bool,
+                         do_pull: bool = True):
+        """Build one of the six scanned-epoch programs (direct-data vs
+        device-resident-index feed x flush / flush-free / pull-free).
 
         idx_mode (device-resident data): the epoch's samples live in HBM
         (replicated over the mesh) and the scan gathers each step's
@@ -460,14 +479,17 @@ class CachedEngine(Engine):
                     y = jnp.take(dev_y, idx_t, axis=0)
                 else:
                     d, s, y, *rest = xs
-                if do_flush:
+                if not do_pull:
+                    sl, = rest
+                    pu = fi = fs = pfi = pfs = None
+                elif do_flush:
                     sl, pu, fi, fs, pfi, pfs = rest
                 else:
                     sl, pu, pfi, pfs = rest
                     fi = fs = None
                 state, stats = self._cached_step_body(
                     state, d, s, y, sl, pu, fi, fs, pfi, pfs,
-                    do_flush=do_flush)
+                    do_flush=do_flush, do_pull=do_pull)
                 if self._dsync_on:
                     state = self._maybe_sync_dense(state)
                 return state, (stats["loss"], stats["overflow"])
@@ -518,14 +540,15 @@ class CachedEngine(Engine):
                 in_specs=(specs,) + (dsp,) * 9,
                 out_specs=(specs, stats), check_vma=False),
                 donate_argnums=(0,))
-            # four scanned-epoch programs (direct/idx x flush/flush-free);
-            # each compiles lazily on its first qualifying chunk
-            def epoch_jit(idx_mode, do_flush):
-                n_ks = 6 if do_flush else 4
+            # six scanned-epoch programs (direct/idx x flush/flush-free/
+            # pull-free); each compiles lazily on its first qualifying
+            # chunk
+            def epoch_jit(idx_mode, do_flush, do_pull=True):
+                n_ks = 1 if not do_pull else (6 if do_flush else 4)
                 ins = ((specs, P(), P(), P()) if idx_mode else (specs,)) \
                     + (ksp,) * ((1 if idx_mode else 3) + n_ks)
                 return jax.jit(jax.shard_map(
-                    self._make_epoch_body(idx_mode, do_flush),
+                    self._make_epoch_body(idx_mode, do_flush, do_pull),
                     mesh=self.mesh, in_specs=ins,
                     out_specs=(specs, kstats), check_vma=False),
                     donate_argnums=(0,))
@@ -534,6 +557,8 @@ class CachedEngine(Engine):
             self._cached_epoch_idx = epoch_jit(True, True)
             self._cached_epoch_noflush = epoch_jit(False, False)
             self._cached_epoch_idx_noflush = epoch_jit(True, False)
+            self._cached_epoch_nopull = epoch_jit(False, False, False)
+            self._cached_epoch_idx_nopull = epoch_jit(True, False, False)
             self._flush_step = jax.jit(jax.shard_map(
                 self._flush_only_body, mesh=self.mesh,
                 in_specs=(specs, dsp, dsp), out_specs=specs,
@@ -549,6 +574,12 @@ class CachedEngine(Engine):
                 self._make_epoch_body(False, False), donate_argnums=(0,))
             self._cached_epoch_idx_noflush = jax.jit(
                 self._make_epoch_body(True, False), donate_argnums=(0,))
+            self._cached_epoch_nopull = jax.jit(
+                self._make_epoch_body(False, False, False),
+                donate_argnums=(0,))
+            self._cached_epoch_idx_nopull = jax.jit(
+                self._make_epoch_body(True, False, False),
+                donate_argnums=(0,))
             self._flush_step = jax.jit(self._flush_only_body,
                                        donate_argnums=(0,))
 
@@ -666,58 +697,85 @@ class CachedEngine(Engine):
         (all sentinel ids) stages for the variant compiled without the
         flush phase — the steady state of the solo/big-cache regime,
         where this removes the F_cap gather + flush exchange + owner
-        scatter pair from every step. Deterministic (a pure function of
-        the planner stream), so resume replays the same dispatch."""
+        scatter pair from every step. A flush-free chunk that ALSO
+        carries zero pulls and zero prefetch hoists (everything resident
+        and fresh — the same regime one epoch later) stages for the
+        PULL-FREE variant: the U_cap+P_cap table gather, the pull
+        exchange and the prefetch-insert scatter drop too, leaving only
+        the cache gather + tower + cache scatter. Both deterministic
+        (a pure function of the planner stream), so resume replays the
+        same dispatch. Returns (variant, args); variant 0=full,
+        1=flush-free, 2=pull-free."""
         idx = assign[:K]
         noflush = (self.cfg.sched_noflush_variant
                    and bool((fids[:K] < 0).all()))
-        if index_feed:
-            host = (idx.astype(np.int32, copy=False),
-                    slots[:K], pulls[:K].view(bool),
+        nopull = (noflush and self.cfg.sched_nopull_variant
+                  and not bool(pulls[:K].any())
+                  and bool((pfids[:K] < 0).all()))
+        if nopull:
+            prog = (slots[:K],)
+        else:
+            prog = (slots[:K], pulls[:K].view(bool),
                     *(() if noflush else (fids[:K], fslots[:K])),
                     pfids[:K], pfslots[:K])
+        if index_feed:
+            host = (idx.astype(np.int32, copy=False),) + prog
         else:
             host = (
                 raw_dense[idx].astype(np.float32, copy=False),
                 raw_sparse[idx].astype(np.int32, copy=False),
-                raw_labels[idx].astype(np.float32, copy=False),
-                slots[:K], pulls[:K].view(bool),
-                *(() if noflush else (fids[:K], fslots[:K])),
-                pfids[:K], pfslots[:K])
+                raw_labels[idx].astype(np.float32, copy=False)) + prog
         if self.num_shards > 1:
             args = jax.device_put(host, (self._kdata_sharding,) * len(host))
         else:
             args = jax.device_put(host)
-        return noflush, args
+        return (2 if nopull else 1 if noflush else 0), args
 
     def stage_program_chunks(self, planner, steps_per_chunk: int,
-                             max_chunks: Optional[int] = None):
+                             max_chunks: Optional[int] = None, raw=None):
         """Pop + stage up to `max_chunks` chunks ahead of time (programs
         live in HBM; they are KB-to-MB scale next to the table). Use with
         train_epoch_staged to remove ALL per-chunk host work from the
         training loop — natural with a plan tape (sched/replay.py), whose
-        whole stream is known up front."""
+        whole stream is known up front.
+
+        Default staging is index-feed (pair with stage_dataset). Pass
+        `raw=(dense, sparse, labels)` to pre-stage DIRECT-FEED chunks
+        instead: the assigned sample rows themselves go to HBM, so the
+        step skips the three on-device assignment `take` gathers — the
+        right trade when chunks x rows fit next to the table (the CLI's
+        default per-chunk staging is the depth-1 streaming form of
+        this)."""
         staged = []
         while max_chunks is None or len(staged) < max_chunks:
             out = planner.pop_chunk(steps_per_chunk)
             if out[0] == 0:
                 break
-            staged.append(self._stage_chunk(*out, index_feed=True))
+            if raw is None:
+                staged.append(self._stage_chunk(*out, index_feed=True))
+            else:
+                staged.append(self._stage_chunk(
+                    *out, raw_dense=raw[0], raw_sparse=raw[1],
+                    raw_labels=raw[2], index_feed=False))
         return staged
 
     def train_epoch_staged(self, state, staged, device_data=None):
         """Dispatch one pre-staged chunk (from _stage_chunk /
         stage_program_chunks). index-feed chunks require `device_data`
         (stage_dataset)."""
-        noflush, args = staged
+        variant, args = staged
         self._unsynced = True
-        if noflush:
+        if variant >= 1:
             self.noflush_chunks += 1
+        if variant == 2:
+            self.nopull_chunks += 1
         if device_data is not None:
-            fn = (self._cached_epoch_idx_noflush if noflush
-                  else self._cached_epoch_idx)
+            fn = (self._cached_epoch_idx_nopull,
+                  self._cached_epoch_idx_noflush,
+                  self._cached_epoch_idx)[2 - variant]
             return fn(state, *device_data, *args)
-        fn = self._cached_epoch_noflush if noflush else self._cached_epoch
+        fn = (self._cached_epoch_nopull, self._cached_epoch_noflush,
+              self._cached_epoch)[2 - variant]
         return fn(state, *args)
 
     @staticmethod
