@@ -72,7 +72,7 @@ def main():
     t0 = time.perf_counter()
     planner = eng.make_planner(sparse, epochs=1)
     (K, assign, slots, pulls, fids, fslots,
-     pfids, pfslots) = planner.pop_chunk(ITERS)
+     pfids, pfslots, uniq, inv) = planner.pop_chunk(ITERS)
     t_pop = time.perf_counter() - t0
     assert K == ITERS, K
     ptimes = planner.phase_times_us()

@@ -15,6 +15,11 @@
 //
 //   assign [mbs]          which samples this worker trains
 //   slots  [U_cap]        cache slot of each sorted-unique batch key
+//   uniq   [U_cap]        the sorted-unique batch keys themselves (-1 pad)
+//   inv    [mbs*T]        position -> index into uniq (jnp.unique inverse;
+//                         host-side dedup — the device step consumes
+//                         uniq/inv instead of re-running a sort-based
+//                         jnp.unique the planner already paid for)
 //   pull   [U_cap] mask   keys that must be fetched from the owner shard
 //                         (miss or stale) before the forward pass
 //   flush_ids/slots [F_cap] dirty rows to push to their owner *this* step:
@@ -393,6 +398,15 @@ struct MicroProgram {
     // pull capacity can sit near the MEAN bucket size instead of the max
     std::vector<std::vector<key_t_>> prefetch_ids;   // [p]
     std::vector<std::vector<int32_t>> prefetch_slots;
+    // host-side dedup (planner-computed jnp.unique replacement): the
+    // sorted unique batch keys themselves plus the position->unique-index
+    // inverse map. The device step previously re-derived both with a
+    // sort-based jnp.unique (~145 us/step at wdl bench shape inside the
+    // scan) even though slots/pulls were ALREADY emitted in this exact
+    // order — the lookahead planner pays the dedup once, off the
+    // device's critical path (the Herald thesis applied to dedup).
+    std::vector<std::vector<key_t_>> uniq_keys;      // [u] sorted uniques
+    std::vector<std::vector<int32_t>> inv;           // [mbs*T] pos->uniq idx
 };
 
 // per-worker hoistable-pull metadata for the window manager
@@ -475,6 +489,14 @@ public:
             throw std::invalid_argument(
                 "CachePlanner: id " + std::to_string(max_key)
                 + " exceeds int32 program-id range");
+        // position packing for the batch-read sort (host-side dedup):
+        // (key << pos_bits) | pos must fit a signed 64-bit key_t_
+        while ((int64_t(1) << pos_bits_) < int64_t(mbs_) * num_tables_)
+            pos_bits_++;
+        if (31 + pos_bits_ > 62)
+            throw std::invalid_argument(
+                "CachePlanner: batch_size * num_tables too large to "
+                "pack positions next to 31-bit keys");
         caches_.resize(nrank_);
         for (auto &c : caches_)
             c.init(int(cache_rows), static_cast<Policy>(policy));
@@ -888,6 +910,8 @@ private:
         mp.flush_slots.resize(nrank_);
         mp.prefetch_ids.resize(nrank_);
         mp.prefetch_slots.resize(nrank_);
+        mp.uniq_keys.resize(nrank_);
+        mp.inv.resize(nrank_);
         if (hoisting_on()) {
             hoist_scratch_.assign(nrank_, HoistInfo{});
             pull_used_scratch_.assign(nrank_,
@@ -1101,18 +1125,45 @@ private:
                 mp.flush_slots[z].push_back(slot);
             };
 
-            // --- batch reads: sorted unique keys (device jnp.unique order)
+            // --- batch reads: sorted unique keys (device jnp.unique
+            // order), with each key's POSITION packed into the sort so
+            // the dedup walk also emits the jnp.unique inverse map for
+            // free (host-side dedup: the device step no longer runs a
+            // sort-based unique — the planner already paid for this
+            // sort). Keys are < 2^31 (checked at create), so
+            // (key << pos_bits) | pos fits 64 bits; the packed sort
+            // costs at most one extra byte-pass over the plain key sort.
+            const int pb = pos_bits_;
+            const key_t_ pmask = (key_t_(1) << pb) - 1;
             std::vector<key_t_> keys;
             keys.reserve(size_t(mbs_) * num_tables_);
             const key_t_ *base = &mp.assign[int64_t(z) * mbs_];
             for (int j = 0; j < mbs_; j++) {
                 const key_t_ *s = &ids_[base[j] * num_tables_];
-                keys.insert(keys.end(), s, s + num_tables_);
+                const key_t_ p0 = key_t_(j) * num_tables_;
+                for (int t = 0; t < num_tables_; t++)
+                    keys.push_back((s[t] << pb) | (p0 + t));
             }
             std::vector<key_t_> sort_tmp;
             radix_sort_keys(keys, sort_tmp);
-            keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
+            auto &inv = mp.inv[z];
+            inv.resize(size_t(mbs_) * num_tables_);
+            {
+                size_t u = 0;
+                key_t_ prev = ~key_t_(0);
+                for (size_t i = 0; i < keys.size(); i++) {
+                    const key_t_ v = keys[i];   // read BEFORE the in-
+                    const key_t_ k = v >> pb;   // place dedup write below
+                    if (k != prev) {
+                        keys[u++] = k;          // in-place (u <= i)
+                        prev = k;
+                    }
+                    inv[v & pmask] = int32_t(u - 1);
+                }
+                keys.resize(u);
+            }
             batch_keys_[z] = keys;          // phase 5 re-reads them
+            mp.uniq_keys[z] = keys;
 
             auto &slots = mp.slots[z];
             auto &pulls = mp.pulls[z];
@@ -1382,6 +1433,7 @@ private:
     const key_t_ *ids_;
     int64_t num_samples_;
     int num_tables_, nrank_, mbs_;
+    int pos_bits_ = 0;   // bits to pack a batch position next to a key
     int64_t batch_num_;
     int epochs_, flush_cap_, owner_cap_, num_shards_;
     int64_t rows_per_shard_;
@@ -1556,7 +1608,8 @@ static int pad_program(const herald::MicroProgram &cur, int64_t *assign_out,
                        int64_t cache_rows, int32_t *slots_out,
                        uint8_t *pulls_out, int32_t *flush_ids_out,
                        int32_t *flush_slots_out, int32_t *prefetch_ids_out,
-                       int32_t *prefetch_slots_out) {
+                       int32_t *prefetch_slots_out, int32_t *uniq_out,
+                       int32_t *inv_out) {
     std::memcpy(assign_out, cur.assign.data(),
                 cur.assign.size() * sizeof(int64_t));
     size_t nr = cur.slots.size();
@@ -1588,6 +1641,18 @@ static int pad_program(const herald::MicroProgram &cur, int64_t *assign_out,
             srow[q] = int32_t(cache_rows);
             prow[q] = 0;
         }
+        // host-side dedup: sorted unique keys (pad -1 = jnp.unique's
+        // fill sentinel) + the full-length inverse map (one entry per
+        // (sample, table) position, no padding needed)
+        auto &uk = cur.uniq_keys[z];
+        int32_t *urow = uniq_out + z * u_cap;
+        for (size_t q = 0; q < uk.size(); q++)
+            urow[q] = int32_t(uk[q]);
+        for (int64_t q = int64_t(uk.size()); q < u_cap; q++)
+            urow[q] = -1;
+        auto &iv = cur.inv[z];
+        std::memcpy(inv_out + z * int64_t(iv.size()), iv.data(),
+                    iv.size() * sizeof(int32_t));
         int32_t *firow = flush_ids_out + z * f_cap;
         int32_t *fsrow = flush_slots_out + z * f_cap;
         for (size_t q = 0; q < fi.size(); q++) {
@@ -1607,13 +1672,14 @@ int hplan_pop_padded(void *h, int64_t *assign_out, int64_t u_cap,
                      int32_t *slots_out, uint8_t *pulls_out,
                      int32_t *flush_ids_out, int32_t *flush_slots_out,
                      int32_t *prefetch_ids_out,
-                     int32_t *prefetch_slots_out) {
+                     int32_t *prefetch_slots_out, int32_t *uniq_out,
+                     int32_t *inv_out) {
     auto *p = static_cast<HPlanner *>(h);
     if (!p->planner->pop(p->current)) return -1;
     return pad_program(p->current, assign_out, u_cap, f_cap, p_cap,
                        cache_rows, slots_out, pulls_out, flush_ids_out,
                        flush_slots_out, prefetch_ids_out,
-                       prefetch_slots_out);
+                       prefetch_slots_out, uniq_out, inv_out);
 }
 
 // Pop up to `steps` programs in ONE call into STACKED padded buffers
@@ -1632,7 +1698,9 @@ int64_t hplan_pop_chunk_padded(void *h, int64_t steps, int64_t nrank_mbs,
                                uint8_t *pulls_out, int32_t *flush_ids_out,
                                int32_t *flush_slots_out,
                                int32_t *prefetch_ids_out,
-                               int32_t *prefetch_slots_out) {
+                               int32_t *prefetch_slots_out,
+                               int32_t *uniq_out, int32_t *inv_out,
+                               int64_t inv_row) {
     auto *p = static_cast<HPlanner *>(h);
     size_t nr = 0;
     for (int64_t k = 0; k < steps; k++) {
@@ -1645,7 +1713,9 @@ int64_t hplan_pop_chunk_padded(void *h, int64_t steps, int64_t nrank_mbs,
             flush_ids_out + k * int64_t(nr) * f_cap,
             flush_slots_out + k * int64_t(nr) * f_cap,
             prefetch_ids_out + k * int64_t(nr) * p_cap,
-            prefetch_slots_out + k * int64_t(nr) * p_cap);
+            prefetch_slots_out + k * int64_t(nr) * p_cap,
+            uniq_out + k * int64_t(nr) * u_cap,
+            inv_out + k * inv_row);
         if (rc != 0) return -2;
     }
     return steps;

@@ -589,7 +589,8 @@ def run_training(args) -> dict:
                 nrank=max(eng.num_shards, 1), batch_size=cfg.batch_size,
                 unique_cap=eng.U_cap, flush_cap=eng.F_cap,
                 cache_rows=eng.cache_rows, epochs=args.nepoch,
-                prefetch_cap=eng.P_cap)
+                prefetch_cap=eng.P_cap,
+                num_tables=eng.model.spec.num_sparse)
         elif args.plan_cache:
             from herald_tpu.sched.replay import plan_cache
             planner = plan_cache(eng, trn[1], args.plan_cache,

@@ -33,6 +33,11 @@ class StepProgram:
                               #   (pull smoothing); fetched + inserted
                               #   this step, read by a later batch
     prefetch_slots: np.ndarray = None  # [nrank, P_cap] int32, C padding
+    uniq: np.ndarray = None   # [nrank, U_cap] int32 sorted unique batch
+                              #   keys, -1 padding (host-side dedup: the
+                              #   device step's jnp.unique replacement)
+    inv: np.ndarray = None    # [nrank, mbs*num_tables] int32, position ->
+                              #   index into uniq (jnp.unique inverse)
 
 
 class _PlannerLib:
@@ -61,12 +66,13 @@ class _PlannerLib:
             lib.hplan_pop_padded.argtypes = [
                 ctypes.c_void_p, i64p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64, i32p, u8p, i32p, i32p,
-                i32p, i32p]
+                i32p, i32p, i32p, i32p]
             lib.hplan_pop_chunk_padded.restype = ctypes.c_int64
             lib.hplan_pop_chunk_padded.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, i64p,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_int64, i32p, u8p, i32p, i32p, i32p, i32p]
+                ctypes.c_int64, i32p, u8p, i32p, i32p, i32p, i32p,
+                i32p, i32p, ctypes.c_int64]
             lib.hplan_queue_length.restype = ctypes.c_int64
             lib.hplan_queue_length.argtypes = [ctypes.c_void_p]
             lib.hplan_perf.argtypes = [ctypes.c_void_p,
@@ -172,14 +178,16 @@ class CachePlanner:
         self._lib.hplan_start(self._h)
 
     def pop_into(self, assign, slots, pulls, flush_ids, flush_slots,
-                 prefetch_ids=None, prefetch_slots=None) -> bool:
+                 prefetch_ids=None, prefetch_slots=None, uniq=None,
+                 inv=None) -> bool:
         """Pop one program directly into caller-provided PADDED buffers
         (device layout: assign [nrank*mbs] i64, slots/pulls [nrank*U_cap]
         i32/u8, flush rows [nrank*F_cap] i32, prefetch rows
-        [nrank*max(P_cap,1)] i32). Returns False at end of stream; raises
-        if a program exceeds the static caps (truncating would corrupt
-        training). One C call per step — the pad-and-stack Python path
-        cost as much as the device step at single-chip scale.
+        [nrank*max(P_cap,1)] i32, uniq [nrank*U_cap] i32, inv
+        [nrank*mbs*num_tables] i32). Returns False at end of stream;
+        raises if a program exceeds the static caps (truncating would
+        corrupt training). One C call per step — the pad-and-stack Python
+        path cost as much as the device step at single-chip scale.
         """
         i64p = ctypes.POINTER(ctypes.c_int64)
         i32p = ctypes.POINTER(ctypes.c_int32)
@@ -188,6 +196,10 @@ class CachePlanner:
         if prefetch_ids is None:
             prefetch_ids = np.empty(self.nrank * P, np.int32)
             prefetch_slots = np.empty(self.nrank * P, np.int32)
+        if uniq is None:
+            uniq = np.empty(self.nrank * self.U_cap, np.int32)
+            inv = np.empty(self.nrank * self.mbs * self.num_tables,
+                           np.int32)
         rc = self._lib.hplan_pop_padded(
             self._h, assign.ctypes.data_as(i64p), self.U_cap, self.F_cap,
             P, self.cache_rows,
@@ -195,7 +207,8 @@ class CachePlanner:
             flush_ids.ctypes.data_as(i32p),
             flush_slots.ctypes.data_as(i32p),
             prefetch_ids.ctypes.data_as(i32p),
-            prefetch_slots.ctypes.data_as(i32p))
+            prefetch_slots.ctypes.data_as(i32p),
+            uniq.ctypes.data_as(i32p), inv.ctypes.data_as(i32p))
         if rc == -2:
             raise RuntimeError(
                 f"a program exceeds the static caps (unique_cap "
@@ -210,8 +223,8 @@ class CachePlanner:
         which blocks on the producer inside C instead of bouncing a
         Python/ctypes/condvar round trip per step. Returns (K, assign,
         slots, pulls, flush_ids, flush_slots, prefetch_ids,
-        prefetch_slots) with K <= steps actually filled (0 at end of
-        stream; rows beyond K are uninitialized)."""
+        prefetch_slots, uniq, inv) with K <= steps actually filled (0 at
+        end of stream; rows beyond K are uninitialized)."""
         nr = self.nrank
         P = max(self.P_cap, 1)
         assign = np.empty((steps, nr * self.mbs), np.int64)
@@ -221,6 +234,9 @@ class CachePlanner:
         fslots = np.empty((steps, nr * self.F_cap), np.int32)
         pf_ids = np.empty((steps, nr * P), np.int32)
         pf_slots = np.empty((steps, nr * P), np.int32)
+        inv_row = nr * self.mbs * self.num_tables
+        uniq = np.empty((steps, nr * self.U_cap), np.int32)
+        inv = np.empty((steps, inv_row), np.int32)
         i64p = ctypes.POINTER(ctypes.c_int64)
         i32p = ctypes.POINTER(ctypes.c_int32)
         u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -230,14 +246,16 @@ class CachePlanner:
             self.cache_rows, slots.ctypes.data_as(i32p),
             pulls.ctypes.data_as(u8p), fids.ctypes.data_as(i32p),
             fslots.ctypes.data_as(i32p), pf_ids.ctypes.data_as(i32p),
-            pf_slots.ctypes.data_as(i32p)))
+            pf_slots.ctypes.data_as(i32p), uniq.ctypes.data_as(i32p),
+            inv.ctypes.data_as(i32p), inv_row))
         if K == -2:
             raise RuntimeError(
                 f"a program exceeds the static caps (unique_cap "
                 f"{self.U_cap} / flush_cap {self.F_cap} / prefetch_cap "
                 f"{P}); size them from a probe pass (sched/sizing.py) or "
                 f"leave the defaults")
-        return K, assign, slots, pulls, fids, fslots, pf_ids, pf_slots
+        return (K, assign, slots, pulls, fids, fslots, pf_ids, pf_slots,
+                uniq, inv)
 
     def pop(self) -> Optional[StepProgram]:
         assign = np.empty(self.nrank * self.mbs, np.int64)
@@ -248,8 +266,10 @@ class CachePlanner:
         P = max(self.P_cap, 1)
         pf_ids = np.empty(self.nrank * P, np.int32)
         pf_slots = np.empty(self.nrank * P, np.int32)
+        uniq = np.empty(self.nrank * self.U_cap, np.int32)
+        inv = np.empty(self.nrank * self.mbs * self.num_tables, np.int32)
         if not self.pop_into(assign, slots, pulls, flush_ids, flush_slots,
-                             pf_ids, pf_slots):
+                             pf_ids, pf_slots, uniq, inv):
             return None
         nr = self.nrank
         return StepProgram(assign=assign.reshape(nr, self.mbs),
@@ -259,7 +279,9 @@ class CachePlanner:
                            flush_ids=flush_ids.reshape(nr, self.F_cap),
                            flush_slots=flush_slots.reshape(nr, self.F_cap),
                            prefetch_ids=pf_ids.reshape(nr, P),
-                           prefetch_slots=pf_slots.reshape(nr, P))
+                           prefetch_slots=pf_slots.reshape(nr, P),
+                           uniq=uniq.reshape(nr, self.U_cap),
+                           inv=inv.reshape(nr, -1))
 
     def fast_forward(self, k: int) -> int:
         """Advance the program stream past the first `k` batches.
@@ -278,9 +300,14 @@ class CachePlanner:
         pulls = np.empty(self.nrank * self.U_cap, np.uint8)
         fids = np.empty(self.nrank * self.F_cap, np.int32)
         fslots = np.empty(self.nrank * self.F_cap, np.int32)
+        P = max(self.P_cap, 1)
+        pfi = np.empty(self.nrank * P, np.int32)
+        pfs = np.empty(self.nrank * P, np.int32)
+        uniq = np.empty(self.nrank * self.U_cap, np.int32)
+        inv = np.empty(self.nrank * self.mbs * self.num_tables, np.int32)
         done = 0
         while done < k and self.pop_into(assign, slots, pulls, fids,
-                                         fslots):
+                                         fslots, pfi, pfs, uniq, inv):
             done += 1
         return done
 

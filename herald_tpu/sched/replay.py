@@ -31,7 +31,11 @@ from typing import Optional
 import numpy as np
 
 _ARRAYS = ("assign", "slots", "pulls", "fids", "fslots", "pfids",
-           "pfslots")
+           "pfslots", "uniq", "inv")
+
+# bump when the program-array set changes; a mismatched tape is
+# re-recorded (fmt 2: host-side dedup added uniq/inv)
+_TAPE_FMT = 2
 
 
 def record_plan(planner, path: str, key: str = "",
@@ -64,6 +68,7 @@ def record_plan(planner, path: str, key: str = "",
         np.save(os.path.join(tmp, f"dirty_ids_{z}.npy"), ids)
         np.save(os.path.join(tmp, f"dirty_slots_{z}.npy"), slots)
     meta = {
+        "fmt": _TAPE_FMT,
         "key": key, "steps": T, "nrank": planner.nrank,
         "batch_num": planner.batch_num,     # per-epoch, like the live one
         "mbs": planner.mbs, "U_cap": planner.U_cap,
@@ -100,6 +105,11 @@ class ReplayPlanner:
     def __init__(self, path: str, expect_key: Optional[str] = None):
         with open(os.path.join(path, "meta.json")) as f:
             self.meta = json.load(f)
+        if self.meta.get("fmt") != _TAPE_FMT:
+            raise ValueError(
+                f"plan tape at {path} has format "
+                f"{self.meta.get('fmt')} != {_TAPE_FMT} (pre-host-dedup "
+                f"tape): re-record it")
         if expect_key is not None and self.meta["key"] != expect_key:
             raise ValueError(
                 f"plan tape at {path} was recorded for a different "

@@ -34,7 +34,7 @@ class BroadcastPlanner:
                  num_samples: int, nrank: int, batch_size: int,
                  unique_cap: int, flush_cap: int, cache_rows: int,
                  epochs: int = 1, drop_last: bool = True,
-                 prefetch_cap: int = 0):
+                 prefetch_cap: int = 0, num_tables: int = 0):
         import jax
         self._leader = jax.process_index() == 0
         self.planner: Optional[CachePlanner] = \
@@ -45,6 +45,14 @@ class BroadcastPlanner:
         self.F_cap = int(flush_cap)
         self.P_cap = int(prefetch_cap)
         self.cache_rows = cache_rows
+        # follower-side inv buffer width needs the table count; the
+        # leader can derive it from its live planner
+        self.num_tables = int(num_tables) or (
+            self.planner.num_tables if self._leader else 0)
+        if not self.num_tables:
+            raise ValueError(
+                "BroadcastPlanner followers need num_tables (the "
+                "host-dedup inv buffer width is mbs * num_tables)")
         spw = num_samples // nrank
         per_epoch = (spw // batch_size if drop_last
                      else int(np.ceil(spw / batch_size)))
@@ -58,6 +66,8 @@ class BroadcastPlanner:
             assert self.planner.F_cap == self.F_cap
             assert self.planner.P_cap == self.P_cap, (
                 self.planner.P_cap, self.P_cap)
+            assert self.planner.num_tables == self.num_tables, (
+                self.planner.num_tables, self.num_tables)
 
     # ------------------------------------------------------------------
     def _bcast(self, tree):
@@ -69,10 +79,10 @@ class BroadcastPlanner:
         P = max(self.P_cap, 1)
         if self._leader:
             (K, assign, slots, pulls, fids, fslots,
-             pfids, pfslots) = self.planner.pop_chunk(steps)
+             pfids, pfslots, uniq, inv) = self.planner.pop_chunk(steps)
             if K < steps:   # broadcast needs fully-defined buffers
                 for a in (assign, slots, pulls, fids, fslots, pfids,
-                          pfslots):
+                          pfslots, uniq, inv):
                     a[K:] = 0
         else:
             K = 0
@@ -83,13 +93,17 @@ class BroadcastPlanner:
             fslots = np.zeros((steps, nr * self.F_cap), np.int32)
             pfids = np.zeros((steps, nr * P), np.int32)
             pfslots = np.zeros((steps, nr * P), np.int32)
+            uniq = np.zeros((steps, nr * self.U_cap), np.int32)
+            inv = np.zeros((steps, nr * self.mbs * self.num_tables),
+                           np.int32)
         (K, assign, slots, pulls, fids, fslots, pfids,
-         pfslots) = self._bcast(
+         pfslots, uniq, inv) = self._bcast(
             (np.int32(K), assign, slots, pulls, fids, fslots, pfids,
-             pfslots))
+             pfslots, uniq, inv))
         return (int(K), np.asarray(assign), np.asarray(slots),
                 np.asarray(pulls), np.asarray(fids), np.asarray(fslots),
-                np.asarray(pfids), np.asarray(pfslots))
+                np.asarray(pfids), np.asarray(pfslots), np.asarray(uniq),
+                np.asarray(inv))
 
     def fast_forward(self, k: int) -> int:
         n = self.planner.fast_forward(k) if self._leader else 0

@@ -270,12 +270,13 @@ class CachedEngine(Engine):
         cache = cache.at[flush_slots].set(zeroed, mode="drop")
         return table, new_table_slots, cache, flush_overflow
 
-    def _cached_step_body(self, state: CachedTrainState, dense_x, ids,
-                          labels, slots, pulls, flush_ids, flush_slots,
-                          pf_ids, pf_slots, do_flush: bool = True,
-                          do_pull: bool = True):
+    def _cached_step_body(self, state: CachedTrainState, dense_x,
+                          labels, uniq, inv, slots, pulls, flush_ids,
+                          flush_slots, pf_ids, pf_slots,
+                          do_flush: bool = True, do_pull: bool = True):
         C = self.cache_rows
-        B, F = ids.shape
+        B = labels.shape[0]
+        F = inv.shape[0] // B
         step = state.step + 1
 
         # phase 1: flush. do_flush=False compiles the FLUSH-FREE program
@@ -300,9 +301,15 @@ class CachedEngine(Engine):
         # PREFETCH rows hoisted here from later batches (pull smoothing:
         # the planner fills this step's spare all-to-all bucket room with
         # pulls a later batch needs, so the static capacity sits near the
-        # mean bucket size)
-        uniq, inv = jnp.unique(ids.reshape(-1), size=self.U_cap,
-                               return_inverse=True, fill_value=-1)
+        # mean bucket size).
+        # uniq/inv arrive FROM THE PLANNER (host-side dedup): the device
+        # previously re-derived them with a sort-based jnp.unique
+        # (~145 us/step at bench shape inside the scan) even though
+        # slots/pulls already ride the planner's sorted-unique order —
+        # the lookahead planner pays the dedup once per batch off the
+        # device's critical path, so the step sheds the sort entirely
+        # (the Herald lookahead idea applied to dedup itself; reference
+        # dedups on-GPU per step, src/ops/IndexedSlices.cu).
         if do_pull:
             pull_ids = jnp.where(pulls & (uniq >= 0), uniq, -1)
             all_ids = jnp.concatenate([pull_ids, pf_ids])
@@ -466,8 +473,8 @@ class CachedEngine(Engine):
         """
         def body_fn(state, *args):
             if idx_mode:
-                dev_d, dev_s, dev_y = args[:3]
-                ks = args[3:]
+                dev_d, dev_y = args[:2]
+                ks = args[2:]
             else:
                 ks = args
 
@@ -475,20 +482,19 @@ class CachedEngine(Engine):
                 if idx_mode:
                     idx_t, *rest = xs
                     d = jnp.take(dev_d, idx_t, axis=0)
-                    s = jnp.take(dev_s, idx_t, axis=0)
                     y = jnp.take(dev_y, idx_t, axis=0)
                 else:
-                    d, s, y, *rest = xs
+                    d, y, *rest = xs
                 if not do_pull:
-                    sl, = rest
+                    sl, uq, iv = rest
                     pu = fi = fs = pfi = pfs = None
                 elif do_flush:
-                    sl, pu, fi, fs, pfi, pfs = rest
+                    sl, pu, fi, fs, pfi, pfs, uq, iv = rest
                 else:
-                    sl, pu, pfi, pfs = rest
+                    sl, pu, pfi, pfs, uq, iv = rest
                     fi = fs = None
                 state, stats = self._cached_step_body(
-                    state, d, s, y, sl, pu, fi, fs, pfi, pfs,
+                    state, d, y, uq, iv, sl, pu, fi, fs, pfi, pfs,
                     do_flush=do_flush, do_pull=do_pull)
                 if self._dsync_on:
                     state = self._maybe_sync_dense(state)
@@ -537,16 +543,16 @@ class CachedEngine(Engine):
 
             self._cached_step = jax.jit(jax.shard_map(
                 step_body, mesh=self.mesh,
-                in_specs=(specs,) + (dsp,) * 9,
+                in_specs=(specs,) + (dsp,) * 10,
                 out_specs=(specs, stats), check_vma=False),
                 donate_argnums=(0,))
             # six scanned-epoch programs (direct/idx x flush/flush-free/
             # pull-free); each compiles lazily on its first qualifying
             # chunk
             def epoch_jit(idx_mode, do_flush, do_pull=True):
-                n_ks = 1 if not do_pull else (6 if do_flush else 4)
-                ins = ((specs, P(), P(), P()) if idx_mode else (specs,)) \
-                    + (ksp,) * ((1 if idx_mode else 3) + n_ks)
+                n_ks = 3 if not do_pull else (8 if do_flush else 6)
+                ins = ((specs, P(), P()) if idx_mode else (specs,)) \
+                    + (ksp,) * ((1 if idx_mode else 2) + n_ks)
                 return jax.jit(jax.shard_map(
                     self._make_epoch_body(idx_mode, do_flush, do_pull),
                     mesh=self.mesh, in_specs=ins,
@@ -595,12 +601,15 @@ class CachedEngine(Engine):
 
     def _program_to_device(self, prog: StepProgram, raw_dense, raw_sparse,
                            raw_labels):
-        """Index raw data by the planner's assignment; flatten worker axis."""
+        """Index raw data by the planner's assignment; flatten worker axis.
+        (raw_sparse is accepted for signature stability but unused — the
+        program's uniq/inv replace the sparse-id feed entirely.)"""
         idx = prog.assign.reshape(-1)
         nr = max(self.num_shards, 1)
         d = self._put(raw_dense[idx], np.float32)
-        s = self._put(raw_sparse[idx], np.int32)
         y = self._put(raw_labels[idx], np.float32)
+        uniq = self._put(prog.uniq.reshape(-1), np.int32)
+        inv = self._put(prog.inv.reshape(-1), np.int32)
         slots = self._put(prog.slots.reshape(-1), np.int32)
         pulls = self._put(prog.pulls.reshape(-1), bool)
         fids = self._put(prog.flush_ids.reshape(-1), np.int32)
@@ -614,7 +623,7 @@ class CachedEngine(Engine):
                            np.int32)
         pfids = self._put(pf_i, np.int32)
         pfslots = self._put(pf_s, np.int32)
-        return d, s, y, slots, pulls, fids, fslots, pfids, pfslots
+        return d, y, uniq, inv, slots, pulls, fids, fslots, pfids, pfslots
 
     def example_step_args(self):
         """Zero-filled device args of one cached step (HLO inspection)."""
@@ -623,8 +632,10 @@ class CachedEngine(Engine):
         nr = max(self.num_shards, 1)
         C = self.cache_rows
         d = self._put(np.zeros((gb, max(spec.num_dense, 0))), np.float32)
-        s = self._put(np.zeros((gb, spec.num_sparse)), np.int32)
         y = self._put(np.zeros((gb, 1)), np.float32)
+        uniq = self._put(np.full(nr * self.U_cap, -1), np.int32)
+        inv = self._put(
+            np.zeros(gb * spec.num_sparse), np.int32)
         slots = self._put(np.full(nr * self.U_cap, C), np.int32)
         pulls = self._put(np.zeros(nr * self.U_cap), bool)
         fids = self._put(np.full(nr * self.F_cap, -1), np.int32)
@@ -632,7 +643,7 @@ class CachedEngine(Engine):
         P = max(self.P_cap, 1)
         pfids = self._put(np.full(nr * P, -1), np.int32)
         pfslots = self._put(np.full(nr * P, C), np.int32)
-        return d, s, y, slots, pulls, fids, fslots, pfids, pfslots
+        return d, y, uniq, inv, slots, pulls, fids, fslots, pfids, pfslots
 
     def train_step_cached(self, state, planner: CachePlanner, raw_dense,
                           raw_sparse, raw_labels):
@@ -655,13 +666,14 @@ class CachedEngine(Engine):
         (criteo-at-reference-scale does NOT on one 16 GB chip; bench- and
         avazu-scale do). The reference makes the same residency call one
         level up: every worker holds the whole dataset in RAM
-        (`laia_dataloader.py:43`)."""
+        (`laia_dataloader.py:43`). The sparse ids are accepted but never
+        staged — the planner's uniq/inv (host-side dedup) replace the
+        sparse feed entirely."""
         host = (np.asarray(raw_dense, np.float32),
-                np.asarray(raw_sparse, np.int32),
                 np.asarray(raw_labels, np.float32))
         if self.num_shards > 1:
             rep = NamedSharding(self.mesh, P())
-            return jax.device_put(host, (rep,) * 3)
+            return jax.device_put(host, (rep,) * 2)
         return jax.device_put(host)
 
     def train_epoch_cached(self, state, planner: CachePlanner, raw_dense,
@@ -673,18 +685,18 @@ class CachedEngine(Engine):
         `stage_dataset`) the sample rows are gathered ON DEVICE by
         assignment index; the raw_* arrays are then ignored."""
         (K, assign, slots, pulls, fids, fslots,
-         pfids, pfslots) = planner.pop_chunk(steps)
+         pfids, pfslots, uniq, inv) = planner.pop_chunk(steps)
         if K == 0:
             return state, None
         return self.train_epoch_staged(
             state, self._stage_chunk(
                 K, assign, slots, pulls, fids, fslots, pfids, pfslots,
-                raw_dense, raw_sparse, raw_labels,
+                uniq, inv, raw_dense, raw_sparse, raw_labels,
                 index_feed=device_data is not None),
             device_data=device_data)
 
     def _stage_chunk(self, K, assign, slots, pulls, fids, fslots, pfids,
-                     pfslots, raw_dense=None, raw_sparse=None,
+                     pfslots, uniq, inv, raw_dense=None, raw_sparse=None,
                      raw_labels=None, *, index_feed: bool):
         """Ship one popped chunk's program arrays to device as ONE
         batched transfer (each individual device_put carries a fixed
@@ -713,17 +725,18 @@ class CachedEngine(Engine):
                   and not bool(pulls[:K].any())
                   and bool((pfids[:K] < 0).all()))
         if nopull:
-            prog = (slots[:K],)
+            prog = (slots[:K], uniq[:K], inv[:K])
         else:
             prog = (slots[:K], pulls[:K].view(bool),
                     *(() if noflush else (fids[:K], fslots[:K])),
-                    pfids[:K], pfslots[:K])
+                    pfids[:K], pfslots[:K], uniq[:K], inv[:K])
         if index_feed:
             host = (idx.astype(np.int32, copy=False),) + prog
         else:
+            # the sparse rows never ship: uniq/inv replace them (host-
+            # side dedup), removing the raw_sparse fancy-index too
             host = (
                 raw_dense[idx].astype(np.float32, copy=False),
-                raw_sparse[idx].astype(np.int32, copy=False),
                 raw_labels[idx].astype(np.float32, copy=False)) + prog
         if self.num_shards > 1:
             args = jax.device_put(host, (self._kdata_sharding,) * len(host))

@@ -66,7 +66,8 @@ _WORKER_A = textwrap.dedent("""
         lambda: eng.make_planner(sparse, epochs=1, n_threads=1),
         num_samples=len(sparse), nrank=8, batch_size=8,
         unique_cap=eng.U_cap, flush_cap=eng.F_cap,
-        cache_rows=eng.cache_rows)
+        cache_rows=eng.cache_rows,
+        num_tables=eng.model.spec.num_sparse)
     assert (planner.planner is not None) == (pid == 0)
     all_losses = []
     while True:

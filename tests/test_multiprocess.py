@@ -90,7 +90,8 @@ _WORKER = textwrap.dedent("""
         lambda: ceng.make_planner(sparse, epochs=1, n_threads=1),
         num_samples=len(sparse), nrank=8, batch_size=8,
         unique_cap=ceng.U_cap, flush_cap=ceng.F_cap,
-        cache_rows=ceng.cache_rows)
+        cache_rows=ceng.cache_rows,
+        num_tables=ceng.model.spec.num_sparse)
     # exactly one native planner per job
     assert (planner.planner is not None) == (pid == 0)
     cstate, cstats = ceng.train_epoch_cached(cstate, planner, dense,
@@ -116,7 +117,8 @@ _WORKER = textwrap.dedent("""
         lambda: ceng.make_planner(sparse, epochs=1, n_threads=1),
         num_samples=len(sparse), nrank=8, batch_size=8,
         unique_cap=ceng.U_cap, flush_cap=ceng.F_cap,
-        cache_rows=ceng.cache_rows)
+        cache_rows=ceng.cache_rows,
+        num_tables=ceng.model.spec.num_sparse)
     skipped = bp2.fast_forward(2)
     assert skipped == 2, skipped
     K2, assign2, *_rest = bp2.pop_chunk(2)

@@ -117,7 +117,7 @@ def test_noflush_program_drops_exactly_the_flush_leg():
                        cache_limit=int(0.25 * ROWS))
     eng = CachedEngine(cfg, table_rows=ROWS)
     st = eng.init_cached_state(0)
-    (d, s, y, slots, pulls, fids, fslots,
+    (d, y, uniq, inv, slots, pulls, fids, fslots,
      pfids, pfslots) = eng.example_step_args()
 
     def stack(a):
@@ -125,14 +125,15 @@ def test_noflush_program_drops_exactly_the_flush_leg():
             np.broadcast_to(np.asarray(a), (2,) + np.asarray(a).shape),
             eng._kdata_sharding)
 
-    full = collective_bytes(eng._cached_epoch, st, stack(d), stack(s),
+    full = collective_bytes(eng._cached_epoch, st, stack(d),
                             stack(y), stack(slots), stack(pulls),
                             stack(fids), stack(fslots), stack(pfids),
-                            stack(pfslots))
+                            stack(pfslots), stack(uniq), stack(inv))
     st2 = eng.init_cached_state(0)
     nofl = collective_bytes(eng._cached_epoch_noflush, st2, stack(d),
-                            stack(s), stack(y), stack(slots), stack(pulls),
-                            stack(pfids), stack(pfslots))
+                            stack(y), stack(slots), stack(pulls),
+                            stack(pfids), stack(pfslots), stack(uniq),
+                            stack(inv))
     W = eng.width
     flush_leg = exchange_a2a_bytes(eng.flush_exchange, id_bytes=4,
                                    vec_bytes=W * 4, directions=1)

@@ -178,7 +178,7 @@ def test_nopull_program_drops_exactly_the_pull_leg():
                        comm_mode="hybrid", use_cache=True,
                        cache_limit=int(0.25 * ROWS))
     eng = CachedEngine(cfg, table_rows=ROWS)
-    (d, s, y, slots, pulls, fids, fslots,
+    (d, y, uniq, inv, slots, pulls, fids, fslots,
      pfids, pfslots) = eng.example_step_args()
 
     def stack(a):
@@ -188,11 +188,13 @@ def test_nopull_program_drops_exactly_the_pull_leg():
 
     st = eng.init_cached_state(0)
     nofl = collective_bytes(eng._cached_epoch_noflush, st, stack(d),
-                            stack(s), stack(y), stack(slots), stack(pulls),
-                            stack(pfids), stack(pfslots))
+                            stack(y), stack(slots), stack(pulls),
+                            stack(pfids), stack(pfslots), stack(uniq),
+                            stack(inv))
     st2 = eng.init_cached_state(0)
     nopu = collective_bytes(eng._cached_epoch_nopull, st2, stack(d),
-                            stack(s), stack(y), stack(slots))
+                            stack(y), stack(slots), stack(uniq),
+                            stack(inv))
     pull_leg = exchange_a2a_bytes(eng.exchange, id_bytes=4,
                                   vec_bytes=eng.width * 4, directions=1)
     assert nofl["all-to-all"] - nopu["all-to-all"] == pull_leg, \
