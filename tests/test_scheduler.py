@@ -164,3 +164,38 @@ def test_affinity_beats_roundrobin_on_reuse_heavy_stream():
     rr = traffic("roundrobin")
     af = traffic("affinity")
     assert af < rr, (af, rr)
+
+
+def test_planner_uniq_inv_matches_numpy_unique():
+    """Host-side dedup contract: every micro-program's uniq/inv must be
+    exactly np.unique(assigned_batch_ids, return_inverse=True) — the
+    arrays the device step consumes in place of jnp.unique (uniq sorted
+    ascending, -1 padding at the tail, inv flat in (sample, table)
+    position order). The whole-step exactness suites cover this
+    end-to-end; this pins the arrays themselves for fast diagnosis."""
+    from herald_tpu.sched.planner import CachePlanner
+    rng = np.random.default_rng(11)
+    nrank, mbs, T, rows = 4, 8, 6, 500
+    n = nrank * mbs * 7
+    # skewed ids with plenty of duplicates
+    ids = (rng.zipf(1.3, size=(n, T)) % rows).astype(np.int64)
+    pl = CachePlanner(ids, nrank=nrank, batch_size=mbs, cache_rows=256,
+                      num_shards=1, rows_per_shard=rows, epochs=1,
+                      n_threads=2)
+    steps = 0
+    while True:
+        prog = pl.pop()
+        if prog is None:
+            break
+        steps += 1
+        for z in range(nrank):
+            batch = ids[prog.assign[z]]              # [mbs, T]
+            uq, iv = np.unique(batch.reshape(-1), return_inverse=True)
+            u = len(uq)
+            np.testing.assert_array_equal(prog.uniq[z][:u], uq)
+            assert (prog.uniq[z][u:] == -1).all()
+            np.testing.assert_array_equal(prog.inv[z], iv)
+            # slots/pulls ride the same order: one entry per unique key
+            assert (prog.slots[z][u:] == pl.cache_rows).all()
+    assert steps == 7
+    pl.close()
