@@ -110,13 +110,19 @@ def bench_engine():
     return eps
 
 
-def bench_scheduled():
+def bench_scheduled(tape_mode=None):
     """Herald path on one chip: hot-row cache + planner micro-programs.
 
     Single-chip has no exchange, so this measures the cache-path step cost
     (flush/pull/insert/update phases) against the plain engine — the
     driver-visible number VERDICT r1 asked for. The multi-chip comm win is
     measured separately by the mesh A/B (see main()).
+
+    tape_mode=True replays a recorded plan tape (--plan-cache production
+    mode: planning leaves the timed region); False runs the planner
+    IN-SITU on the loop's critical path, the reference's in-band scheduler
+    shape (laia/src/topk_scheduler.cc:259-360). main() measures BOTH and
+    emits them side by side (VERDICT r3 #2). None = HERALD_PLAN_TAPE env.
     """
     from herald_tpu.sched.sizing import (TrafficProfile,
                                          profile_planned_traffic)
@@ -155,7 +161,8 @@ def bench_scheduled():
     # chunk=ITERS); HERALD_SCHED_CHUNK overrides for experiments.
     chunk = int(os.environ.get("HERALD_SCHED_CHUNK", 32))
     assert ITERS % chunk == 0, (ITERS, chunk)
-    tape_mode = os.environ.get("HERALD_PLAN_TAPE", "1") != "0"
+    if tape_mode is None:
+        tape_mode = os.environ.get("HERALD_PLAN_TAPE", "1") != "0"
     if tape_mode:
         # production --plan-cache mode: the micro-program tape is
         # recorded ONCE (untimed setup, like the compile) and the timed
@@ -304,15 +311,38 @@ def main():
     # whatever was measured once the budget (plus slack for one slow
     # compile) is blown, instead of stalling the driver's capture forever
     import threading
-    partial = {"engines": [], "naives": [], "sched": None, "mesh": {},
-               "errors": []}
+    partial = {"engines": [], "naives": [], "sched": None,
+               "sched_live": None, "sched_spread": None,
+               "sched_live_spread": None, "mesh": {}, "errors": []}
     emitted = threading.Event()
 
-    def emit(ours, naive, sched, mesh, errors):
+    # embedding-lookup GB/s (BASELINE.json's north-star second half):
+    # bytes the embedding path moves through HBM per step, at the
+    # measured step rate. Host-side byte model (docs/PERF_NOTES.md):
+    #   naive:     B*F rows gathered (bf16) + scatter-add read+write
+    #   scheduled: steady state is the PULL-FREE program — one fused
+    #              cache-row gather + one set-write of U_mean unique rows,
+    #              each [2W] f32 (value+delta planes)
+    # NOTE the v5e lookup is per-index-descriptor-bound, not
+    # bandwidth-bound (~23 ns/row gather, ~72 ns/row scatter,
+    # PERF_NOTES), so the roofline fraction is structurally small; the
+    # metric tracks achieved bytes/s, the honest comparable.
+    from herald_tpu.models import get_model as _gm
+    _spec = _gm("wdl_criteo").spec
+    _sp = synthetic_ctr_data(_spec, BATCH * 64, seed=0, num_rows=ROWS)[1]
+    u_mean = float(np.mean([
+        len(np.unique(_sp[i * BATCH:(i + 1) * BATCH]))
+        for i in range(64)]))
+    naive_bytes = BATCH * _spec.num_sparse * EMB_DIM * 2 * 3
+    sched_bytes = u_mean * (2 * EMB_DIM) * 4 * 2
+    hbm_gbs = float(os.environ.get("HERALD_HBM_GBS", 819))
+
+    def emit(ours, naive, sched, sched_live, mesh, errors):
         if emitted.is_set():
             return
         emitted.set()
         spread = lambda v: [round(x, 1) for x in sorted(v)] if v else None
+        lookup = (sched_bytes * sched / BATCH / 1e9) if sched else None
         out = {
             "metric": "wdl_criteo_b256_e128_examples_per_sec_per_chip",
             "value": round(ours, 1) if ours else None,
@@ -323,21 +353,35 @@ def main():
                 round(sched, 1) if sched else None,
             "scheduled_vs_naive":
                 round(sched / naive, 3) if sched and naive else None,
-            # how the scheduled number was fed: "tape" = --plan-cache
-            # replay (planning recorded untimed, the production
-            # fixed-stream mode); "live" = in-situ planner
-            # (HERALD_PLAN_TAPE=0)
-            "scheduled_plan_mode":
-                ("tape" if os.environ.get("HERALD_PLAN_TAPE", "1") != "0"
-                 else "live"),
+            # tape = --plan-cache replay (planning recorded in untimed
+            # setup, the production fixed-stream mode) — the two fields
+            # above; live = the planner IN-SITU on this 1-core host's
+            # loop (the reference's in-band scheduler shape) — the two
+            # fields below. Both spreads are per-warm-epoch throughputs.
+            "scheduled_plan_mode": "tape",
+            "scheduled_live_examples_per_sec":
+                round(sched_live, 1) if sched_live else None,
+            "scheduled_live_vs_naive":
+                round(sched_live / naive, 3)
+                if sched_live and naive else None,
             # noise annotation: every fairness-round measurement, sorted —
             # the chip band moves +/-10% run to run (remote terminal
             # state), so round-over-round deltas inside the spread are
             # weather, not regressions
             "value_spread": spread(partial["engines"]),
             "naive_spread": spread(partial["naives"]),
-            "scheduled_spread":
-                spread(getattr(bench_scheduled, "epoch_eps", None)),
+            "scheduled_spread": spread(partial["sched_spread"]),
+            "scheduled_live_spread": spread(partial["sched_live_spread"]),
+            # embedding-lookup GB/s at the measured step rates (byte
+            # model above; per-index-bound, see PERF_NOTES)
+            "lookup_gbs": round(lookup, 2) if lookup else None,
+            "lookup_gbs_naive":
+                round(naive_bytes * naive / BATCH / 1e9, 2)
+                if naive else None,
+            "lookup_bytes_per_step_scheduled": int(sched_bytes),
+            "lookup_hbm_roofline_gbs": hbm_gbs,
+            "lookup_hbm_frac":
+                round(lookup / hbm_gbs, 4) if lookup else None,
             **mesh,
         }
         if errors:
@@ -352,7 +396,7 @@ def main():
                     "emitting partial result")
                 emit(max(partial["engines"], default=None) or None,
                      max(partial["naives"], default=None) or None,
-                     partial["sched"],
+                     partial["sched"], partial["sched_live"],
                      partial["mesh"] or {"mesh_ab_error": "watchdog"},
                      partial["errors"] + ["watchdog: measurement hung"])
                 os._exit(0)
@@ -445,19 +489,23 @@ def main():
     ours = max(engines) if engines else None
     naive = max(naives) if naives else None
 
-    # the cache-path measurement is secondary
-    sched = None
-    if time_left() > 90:
-        log("[bench] scheduled ...")
+    # the cache-path measurements: tape (production --plan-cache replay)
+    # and live (in-situ planner), side by side (VERDICT r3 #2)
+    for key, tape in (("sched", True), ("sched_live", False)):
+        if time_left() < 90:
+            break
+        log(f"[bench] scheduled ({'tape' if tape else 'live planner'}) ...")
         try:
-            sched = bench_scheduled()
-            partial["sched"] = sched
-            log("[bench] scheduled done")
+            partial[key] = bench_scheduled(tape_mode=tape)
+            partial[key + "_spread"] = getattr(
+                bench_scheduled, "epoch_eps", None)
+            log(f"[bench] scheduled {'tape' if tape else 'live'} done")
         except Exception as e:
-            errors.append(f"scheduled: {str(e)[:80]}")
+            errors.append(f"{key}: {str(e)[:80]}")
             _free(list(jax.live_arrays()))
 
-    emit(ours, naive, sched, partial["mesh"], errors)
+    emit(ours, naive, partial["sched"], partial["sched_live"],
+         partial["mesh"], errors)
 
 
 if __name__ == "__main__":

@@ -100,13 +100,22 @@ def generate_raw(path, n_rows, seed=0, chunk=1_000_000):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows-raw", type=int, default=10_000_000)
-    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--steps", type=int, default=0,
+                    help="0 = a FULL epoch (the canonical run; the "
+                         "reference's proof is one full epoch with AUC, "
+                         "run_laia.py:266-289)")
     ap.add_argument("--table-rows", type=int, default=33_762_577)
     ap.add_argument("--work-dir", default="/tmp/herald_rehearsal")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (default: the real chip)")
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--embedding-size", type=int, default=128)
+    ap.add_argument("--scan-steps", type=int, default=32)
+    ap.add_argument("--no-plan-cache", action="store_true",
+                    help="skip --plan-cache (tape record/replay); the "
+                         "planner then runs in-situ on the loop")
+    ap.add_argument("--no-device-data", action="store_true",
+                    help="skip --device-data (HBM-resident samples)")
     ap.add_argument("--keep-raw", action="store_true")
     args = ap.parse_args()
 
@@ -128,8 +137,14 @@ def main():
            "--rows", str(args.table_rows),
            "--batch-size", str(args.batch_size),
            "--embedding-size", str(args.embedding_size),
-           "--max-steps", str(args.steps), "--nepoch", "1",
-           "--scan-steps", "25"]
+           "--nepoch", "1",
+           "--scan-steps", str(args.scan_steps)]
+    if args.steps:
+        cli += ["--max-steps", str(args.steps)]
+    if not args.no_plan_cache:
+        cli += ["--plan-cache", os.path.join(args.work_dir, "tape")]
+    if not args.no_device_data:
+        cli += ["--device-data"]
     if args.platform:
         cli += ["--platform", args.platform]
     t0 = time.perf_counter()
@@ -146,7 +161,11 @@ def main():
         "steps": report["steps"],
         "overflow_rows": report["overflow_rows"],
         "train_loss_last": report["train_loss_last"],
+        "val_auc": report["val_auc"],
         "examples_per_sec": round(report["examples_per_sec"], 1),
+        "examples_per_sec_steady":
+            (round(report["examples_per_sec_steady"], 1)
+             if report.get("examples_per_sec_steady") else None),
         "generate_s": round(stages["generate_s"], 1),
         "cli_total_s": stages["cli_total_s"],
     }), flush=True)

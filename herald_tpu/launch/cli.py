@@ -156,6 +156,15 @@ def build_parser() -> argparse.ArgumentParser:
                    "hetu2onnx.export). Scheduled runs must finish "
                    "(fully-synced state)")
     p.add_argument("--ckpt", default=None, help="checkpoint dir")
+    p.add_argument("--ckpt-serve-view", action="store_true",
+                   help="scheduled mode, single process: write a "
+                        "serve-exact overlay (the synced values of rows "
+                        "whose deltas are still cache-parked) next to "
+                        "every checkpoint — mid-stream --ckpt-every "
+                        "saves then SERVE exactly (herald_tpu.serve "
+                        "applies it automatically) instead of the "
+                        "warn-path approximation; resume stays bit-exact "
+                        "either way (the raw state is unchanged)")
     p.add_argument("--ckpt-every", type=int, default=0,
                    help="also checkpoint every N steps (elastic/failure "
                         "recovery: kill + --resume continues bit-exactly; "
@@ -373,6 +382,9 @@ def run_training(args) -> dict:
     import os
 
     cfg = resolve_config(args)
+    if args.ckpt_serve_view and not args.scheduled:
+        raise ValueError("--ckpt-serve-view only applies to --scheduled "
+                         "runs (plain checkpoints already serve exactly)")
     if args.save_config:
         parent = os.path.dirname(args.save_config)
         if parent:
@@ -482,6 +494,7 @@ def run_training(args) -> dict:
         return report
 
     last_ckpt = [0]
+    ckpt_extras = [None]   # scheduled mode installs the serve-view hook
 
     def maybe_ckpt(state, done):
         # fire on CROSSING a multiple of ckpt_every: `done` advances in
@@ -489,7 +502,9 @@ def run_training(args) -> dict:
         # boundary (e.g. ckpt-every 50 with scan-steps 20)
         if args.ckpt and args.ckpt_every \
                 and done // args.ckpt_every > last_ckpt[0] // args.ckpt_every:
-            save_checkpoint(state, args.ckpt)
+            save_checkpoint(
+                state, args.ckpt,
+                extras=ckpt_extras[0](state) if ckpt_extras[0] else None)
             last_ckpt[0] = done
         if args.crash_after and not args.resume \
                 and done >= args.crash_after:
@@ -611,12 +626,53 @@ def run_training(args) -> dict:
             done = int(state.step)
             skipped = planner.fast_forward(done)
             assert skipped == done, (skipped, done)
+        if args.ckpt_serve_view:
+            if jax.process_count() > 1:
+                raise ValueError("--ckpt-serve-view is single-process "
+                                 "only (the overlay reads global arrays)")
+            mirror = None
+            if args.resume:
+                from herald_tpu.train.checkpoint import load_extra
+                ov = load_extra(args.resume, "serve_overlay")
+                if ov is None:
+                    raise ValueError(
+                        "--ckpt-serve-view --resume needs a checkpoint "
+                        "that was itself written with --ckpt-serve-view "
+                        "(the residency mirror rides the overlay)")
+                mirror = ov["mirror"]
+            eng.enable_residency_tracking(mirror)
+            if eng_cold is not None:
+                # cold-phase chunks dispatch through eng_cold: share ONE
+                # mirror object so both engines record into it
+                eng_cold._slot2id = eng._slot2id
+            ckpt_extras[0] = lambda st: {
+                "serve_overlay": eng.serve_overlay(st)}
         target = min(steps_total, args.max_steps) if args.max_steps \
             else steps_total
         dev_data = eng.stage_dataset(*trn) if args.device_data else None
         cs = _ChunkStats()
         spe = planner.batch_num          # steps per epoch
         start_done = done                # resume offset: only evaluate
+        # steady-state throughput: the first chunks pay compile (and the
+        # flush-free/pull-free variants compile on their first qualifying
+        # chunk, typically chunks 2-3); once past the warmup boundary,
+        # drain the pipeline, stamp the clock, and measure pure
+        # train-loop wall time to the final drain. This is the number to
+        # compare against bench.py's scheduled_examples_per_sec — the
+        # blended examples_per_sec below also carries probe/plan/compile
+        # /eval time (the reference's per-epoch wall-time logs are the
+        # analogous steady read, run_laia.py:70-81).
+        warm_chunks = int(os.environ.get("HERALD_STEADY_WARM_CHUNKS", 4))
+        steady = {"t0": None, "done0": 0, "chunks": 0,
+                  "elapsed": 0.0, "steps": 0}
+
+        def steady_close():
+            # close the open segment at a drained boundary (pre-eval /
+            # end-of-run) so eval wall time never pollutes the window
+            if steady["t0"] is not None:
+                steady["elapsed"] += time.perf_counter() - steady["t0"]
+                steady["steps"] += done - steady["done0"]
+                steady["t0"] = None
         while done < target:             # epochs this run trained into
             # cold steps run on the wide program (autosize mode)
             run_eng = eng_cold if (eng_cold is not None
@@ -636,15 +692,30 @@ def run_training(args) -> dict:
             # advance by the EXECUTED count (the planner stream can end
             # short of the request; .shape is static metadata, no sync)
             done += int(stats["loss"].shape[0])
+            steady["chunks"] += 1
+            if steady["chunks"] == warm_chunks and done < target:
+                cs.drain()                   # device fully drained: the
+                steady["t0"] = time.perf_counter()   # steady clock starts
+                steady["done0"] = done               # at a quiet boundary
             _fail_on_overflow(cs.overflow)   # never checkpoint a
             maybe_ckpt(state, done)          # zero-filled state
             if done % spe == 0 and done > start_done:
                 cs.drain()
+                steady_close()
                 eval_epoch(eng, state, done // spe - 1,
                            cs.losses[-(done - max(start_done,
                                                   done - spe)):],
                            approx=True)
+                if done < target and steady["chunks"] >= warm_chunks:
+                    # eval drained the pipeline; reopen at a quiet point
+                    steady["t0"] = time.perf_counter()
+                    steady["done0"] = done
         losses, overflow_total = cs.finish()
+        steady_close()
+        steady_eps = None
+        if steady["steps"]:
+            gb_s = cfg.batch_size * max(eng.num_shards, 1)
+            steady_eps = steady["steps"] * gb_s / steady["elapsed"]
         stopped_early = done < steps_total
         if not stopped_early:
             # early stop leaves the stream undrained: the unflushed cache
@@ -654,7 +725,14 @@ def run_training(args) -> dict:
             state = (eng_cold or eng).sync_cache(state, planner)
             eng._unsynced = False   # synced via the wide engine
         extra = {"cache": cache_report(planner, done,
-                                       eng.ids_per_worker)}
+                                       eng.ids_per_worker),
+                 # train-loop-only throughput, warm compiles, evals
+                 # excluded (the bench-comparable number); the top-level
+                 # examples_per_sec blends in probe/plan/compile/eval
+                 "examples_per_sec_steady": steady_eps,
+                 # the StepTimer blocks above time CHUNKS of up to
+                 # --scan-steps steps (async dispatch), not single steps
+                 "timing_steps_per_call": args.scan_steps}
     elif args.assign_only:
         eng = Engine(cfg, table_rows=rows)
         state = eng.init_state(cfg.seed)
@@ -786,7 +864,9 @@ def run_training(args) -> dict:
     res = {"auc": None, "acc": None} if (args.scheduled and stopped_early) \
         else eng.evaluate(state, *val)
     if args.ckpt:
-        save_checkpoint(state, args.ckpt)
+        save_checkpoint(
+            state, args.ckpt,
+            extras=ckpt_extras[0](state) if ckpt_extras[0] else None)
     if args.export_onnx:
         # serving handoff (reference hetu2onnx.export); cached states were
         # synced above unless the run stopped early with unflushed deltas

@@ -53,7 +53,9 @@ class Scorer:
                 "view: exact only if the checkpoint was written after "
                 "sync_cache (the CLI's end-of-run save is; a periodic "
                 "mid-stream --ckpt-every save is NOT — its owner table "
-                "is missing the unflushed deltas of the hottest rows)",
+                "is missing the unflushed deltas of the hottest rows). "
+                "Train with --ckpt-serve-view to make every checkpoint "
+                "serve-exact via the overlay sidecar",
                 UserWarning, stacklevel=2)
             state = engine.to_base_state(state)
         self.engine = engine
@@ -107,6 +109,16 @@ def load_scorer(ckpt: str, cfg: HeraldConfig,
     if state_type == "CachedTrainState":
         eng = CachedEngine(cfg, table_rows=table_rows)
         like = eng.init_cached_state(0)
+        state = load_checkpoint(ckpt, like)
+        from herald_tpu.train.checkpoint import (apply_serve_overlay,
+                                                 load_extra)
+        overlay = load_extra(ckpt, "serve_overlay")
+        if overlay is not None:
+            # a --ckpt-serve-view save: patch the synced values of the
+            # cache-parked rows into the base view — serve-EXACT even
+            # for mid-stream periodic checkpoints (no warn path)
+            state = apply_serve_overlay(eng.to_base_state(state), overlay)
+        return Scorer(eng, state)
     else:
         if cfg.use_cache:
             # a plain-state checkpoint (sync_cache + to_base_state before

@@ -73,7 +73,7 @@ def _bounds(index, shape) -> List[Tuple[int, int]]:
 
 
 def save_checkpoint(state: Union[TrainState, CachedTrainState],
-                    path: str) -> None:
+                    path: str, extras: Dict[str, Dict] = None) -> None:
     """Every process must call this (collectively); each writes only its
     own addressable shards.
 
@@ -81,7 +81,11 @@ def save_checkpoint(state: Union[TrainState, CachedTrainState],
     process 0 atomically repoints <path>/LATEST only after every file
     (barrier in multi-process runs) — a crash mid-save leaves the
     previous complete checkpoint intact, which is exactly the window the
-    elastic supervisor restarts in (launch/supervise.py)."""
+    elastic supervisor restarts in (launch/supervise.py).
+
+    `extras` ({name: {key: np.ndarray}}) are sidecar npz files written by
+    process 0 into the same version dir BEFORE LATEST flips (same crash
+    safety) — e.g. the serve overlay (CachedEngine.serve_overlay)."""
     pidx = jax.process_index()
     items, _ = _leaf_items(state)
     step_leaf = next((leaf for k, leaf in items
@@ -134,6 +138,9 @@ def save_checkpoint(state: Union[TrainState, CachedTrainState],
     if pidx == 0:
         write_atomic("replicated.npz",
                      lambda t: np.savez(open(t, "wb"), **replicated))
+        for name, arrs in (extras or {}).items():
+            write_atomic(f"{name}.npz",
+                         lambda t, a=arrs: np.savez(open(t, "wb"), **a))
         manifest = {
             "state_type": type(state).__name__,
             "num_processes": jax.process_count(),
@@ -330,3 +337,50 @@ def load_checkpoint(path: str, like: Union[TrainState, CachedTrainState]
             else:
                 new_leaves.append(arr.astype(dtype))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def load_extra(path: str, name: str):
+    """Read a sidecar npz written via save_checkpoint(extras=...) from
+    the checkpoint at `path` (a version dir, or a root whose LATEST is
+    followed). Returns {key: np.ndarray} or None if absent."""
+    latest = os.path.join(path, "LATEST")
+    if os.path.exists(latest):
+        with open(latest) as f:
+            path = os.path.join(path, f.read().strip())
+    f = os.path.join(path, f"{name}.npz")
+    if not os.path.exists(f):
+        return None
+    with np.load(f) as z:
+        return {k: z[k] for k in z.files}
+
+
+def apply_serve_overlay(state: TrainState, overlay: Dict) -> TrainState:
+    """Patch a base-view TrainState with a serve overlay
+    (CachedEngine.serve_overlay): the synced values of the rows whose
+    deltas were still parked in the cache at save time, plus the pinned
+    hot block. The result scores identically to a post-sync_cache state
+    (see cached.py serve_overlay for the exact-optimizer caveats)."""
+    import jax.numpy as jnp  # local: checkpoint.py stays import-light
+    rows = np.asarray(overlay["rows"], np.int64)
+    hot_rows = np.asarray(overlay.get("hot_rows", np.zeros(0, np.int64)),
+                          np.int64)
+    if not len(rows) and not len(hot_rows):
+        return state
+
+    def patch(arr, idx, vals):
+        return jax.jit(
+            lambda a, v: a.at[jnp.asarray(idx)].set(
+                v.astype(a.dtype), mode="drop"),
+            donate_argnums=(0,))(arr, jnp.asarray(vals))
+
+    table = state.table
+    slots = dict(state.table_slots)
+    if len(rows):
+        table = patch(table, rows, overlay["values"])
+        for k in slots:
+            sk = overlay.get(f"slot/{k}")
+            if sk is not None:
+                slots[k] = patch(slots[k], rows, sk)
+    if len(hot_rows):
+        table = patch(table, hot_rows, overlay["hot_values"])
+    return state._replace(table=table, table_slots=slots)
