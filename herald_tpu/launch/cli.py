@@ -307,22 +307,25 @@ def _dump_logs(args, report, losses) -> None:
 
 
 class _ChunkStats:
-    """Deferred per-chunk stats readback with a depth-1 pipeline: jax
-    dispatch is async, so the host stages chunk t+1 while the device runs
-    chunk t. Materializing all but the newest chunk keeps that overlap
-    while surfacing the overflow counter BEFORE the next periodic
-    checkpoint is written — checking only at end-of-run let maybe_ckpt
-    persist states trained on zero-filled rows, which the supervisor then
-    faithfully resumed from (ADVICE r2 #1)."""
+    """Deferred per-chunk stats readback with a depth-N pipeline: jax
+    dispatch is async, so the host stages upcoming chunks while the
+    device runs older ones. Each materialization is a host<->device
+    round trip (tens of ms on tunnel transports — at depth 1 it was the
+    production loop's single largest stall, ~60% of steady step time on
+    the 2026-08-19 chip run), so stats drain every `depth` chunks; the
+    overflow counter still surfaces BEFORE any periodic checkpoint is
+    written (maybe_ckpt drains first — checking only at end-of-run let
+    it persist states trained on zero-filled rows, ADVICE r2 #1)."""
 
-    def __init__(self):
+    def __init__(self, depth: int = 8):
+        self.depth = max(depth, 1)
         self.pending = []
         self.losses = []
         self.overflow = 0
 
     def push(self, stats) -> None:
         self.pending.append(stats)
-        while len(self.pending) > 1:
+        while len(self.pending) > self.depth:
             self._take(self.pending.pop(0))
 
     def _take(self, st) -> None:
@@ -496,12 +499,14 @@ def run_training(args) -> dict:
     last_ckpt = [0]
     ckpt_extras = [None]   # scheduled mode installs the serve-view hook
 
-    def maybe_ckpt(state, done):
+    def maybe_ckpt(state, done, pre=None):
         # fire on CROSSING a multiple of ckpt_every: `done` advances in
         # scan-chunk strides, so an exact-modulus test could miss every
         # boundary (e.g. ckpt-every 50 with scan-steps 20)
         if args.ckpt and args.ckpt_every \
                 and done // args.ckpt_every > last_ckpt[0] // args.ckpt_every:
+            if pre is not None:
+                pre()   # drain stats + overflow abort BEFORE the save
             save_checkpoint(
                 state, args.ckpt,
                 extras=ckpt_extras[0](state) if ckpt_extras[0] else None)
@@ -697,8 +702,10 @@ def run_training(args) -> dict:
                 cs.drain()                   # device fully drained: the
                 steady["t0"] = time.perf_counter()   # steady clock starts
                 steady["done0"] = done               # at a quiet boundary
-            _fail_on_overflow(cs.overflow)   # never checkpoint a
-            maybe_ckpt(state, done)          # zero-filled state
+            _fail_on_overflow(cs.overflow)   # materialized-so-far
+            maybe_ckpt(state, done,          # never checkpoint a
+                       pre=lambda: (cs.drain(),   # zero-filled state
+                                    _fail_on_overflow(cs.overflow)))
             if done % spe == 0 and done > start_done:
                 cs.drain()
                 steady_close()
@@ -777,7 +784,9 @@ def run_training(args) -> dict:
             cs.push(stats)
             done += int(stats["loss"].shape[0])   # executed count
             _fail_on_overflow(cs.overflow)
-            maybe_ckpt(state, done)
+            maybe_ckpt(state, done,
+                       pre=lambda: (cs.drain(),
+                                    _fail_on_overflow(cs.overflow)))
             if done % steps_per_epoch == 0 and done > start_done:
                 cs.drain()
                 ep = done // steps_per_epoch - 1
@@ -824,7 +833,9 @@ def run_training(args) -> dict:
                 cs.push(stats)
                 done += k
                 _fail_on_overflow(cs.overflow)
-                maybe_ckpt(state, done)
+                maybe_ckpt(state, done,
+                           pre=lambda: (cs.drain(),
+                                        _fail_on_overflow(cs.overflow)))
                 if done % spe_pf == 0:
                     cs.drain()
                     eval_epoch(eng, state, done // spe_pf - 1,

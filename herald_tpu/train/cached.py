@@ -278,6 +278,7 @@ class CachedEngine(Engine):
         C = self.cache_rows
         B = labels.shape[0]
         F = inv.shape[0] // B
+        inv = inv.astype(jnp.int32)   # may arrive int16 off the wire
         step = state.step + 1
 
         # phase 1: flush. do_flush=False compiles the FLUSH-FREE program
@@ -727,12 +728,21 @@ class CachedEngine(Engine):
         nopull = (noflush and self.cfg.sched_nopull_variant
                   and not bool(pulls[:K].any())
                   and bool((pfids[:K] < 0).all()))
+        # inv indexes the U_cap-wide unique list, so it rides the wire as
+        # int16 whenever U_cap fits — it is the WIDEST program array
+        # ([K, B*F], e.g. 850 KB/chunk at the flagship shape vs ~5K-row
+        # slots/uniq), and the per-chunk host->device transfer is the
+        # production loop's limiter on tunnel transports (the step casts
+        # back to i32 on device; values are unsigned indices, exactness
+        # untouched)
+        inv_w = (inv[:K].astype(np.int16)
+                 if self.U_cap <= np.iinfo(np.int16).max else inv[:K])
         if nopull:
-            prog = (slots[:K], uniq[:K], inv[:K])
+            prog = (slots[:K], uniq[:K], inv_w)
         else:
             prog = (slots[:K], pulls[:K].view(bool),
                     *(() if noflush else (fids[:K], fslots[:K])),
-                    pfids[:K], pfslots[:K], uniq[:K], inv[:K])
+                    pfids[:K], pfslots[:K], uniq[:K], inv_w)
         if index_feed:
             host = (idx.astype(np.int32, copy=False),) + prog
         else:
@@ -849,12 +859,23 @@ class CachedEngine(Engine):
         max_n = max((len(d[0]) for d in dumps), default=0)
         if max_n == 0:
             return state
-        for off in range(0, max_n, self.F_cap):
-            fids = np.full((nr, self.F_cap), -1, np.int64)
-            fslots = np.full((nr, self.F_cap), C, np.int32)
+        # final-sync width: the per-step flush program is F_cap wide
+        # (sized for the steady trickle), but the END dump can hold the
+        # whole resident dirty set — millions of rows in the solo
+        # big-cache regime, where F_cap-wide calls took minutes of
+        # dispatch round trips. Solo has no flush exchange (no capacity
+        # bound), so the dump flushes through ONE wide program (a few
+        # calls at <= 128K rows each; the jit specializes per width).
+        # Multi-shard keeps F_cap: the exchange buffer is sized for it.
+        Wf = self.F_cap
+        if self.num_shards <= 1 and max_n > 4 * self.F_cap:
+            Wf = 1 << min(int(np.ceil(np.log2(max_n))), 17)
+        for off in range(0, max_n, Wf):
+            fids = np.full((nr, Wf), -1, np.int64)
+            fslots = np.full((nr, Wf), C, np.int32)
             for z, (ids_z, slots_z) in enumerate(dumps):
-                chunk_ids = ids_z[off:off + self.F_cap]
-                chunk_slots = slots_z[off:off + self.F_cap]
+                chunk_ids = ids_z[off:off + Wf]
+                chunk_slots = slots_z[off:off + Wf]
                 fids[z, :len(chunk_ids)] = chunk_ids
                 fslots[z, :len(chunk_slots)] = chunk_slots
             state = self._flush_step(

@@ -210,3 +210,37 @@ def test_serve_view_resume_restores_mirror(tmp_path):
         run_training(build_parser().parse_args(
             common + ["--ckpt-serve-view", "--resume", ckpt2,
                       "--ckpt", ckpt2]))
+
+
+def test_wide_final_sync_matches_overlay():
+    """Solo end-of-run dumps can hold the WHOLE resident dirty set
+    (millions of rows at flagship scale); sync_cache then flushes through
+    a wide program instead of F_cap-sized dispatch round trips. Pinned
+    bit-exact against the independent overlay math."""
+    from herald_tpu.train.cached import CachedEngine
+
+    cfg = HeraldConfig(model="wdl_criteo", batch_size=B, embedding_dim=8,
+                       comm_mode="local", learning_rate=0.3,
+                       cache_limit_ratio=0.5)
+    rows = 20_000
+    model = get_model("wdl_criteo")
+    dense, sparse, labels = synthetic_ctr_data(
+        model.spec, B * 120, seed=7, num_rows=rows)
+    eng = CachedEngine(cfg, table_rows=rows)
+    pl = eng.make_planner(sparse, epochs=1, n_threads=1)
+    eng.enable_residency_tracking()
+    st = eng.init_cached_state(0)
+    while True:
+        st, stats = eng.train_epoch_cached(st, pl, dense, sparse, labels,
+                                           steps=8)
+        if stats is None:
+            break
+    n_dirty = len(pl.dirty_rows(0)[0])
+    assert n_dirty > 4 * eng.F_cap, (n_dirty, eng.F_cap)  # wide path on
+    overlay = eng.serve_overlay(st)
+    base = _host_base(eng, st)
+    patched = apply_serve_overlay(base, overlay)
+    synced = eng.sync_cache(st, pl)
+    pl.close()
+    np.testing.assert_array_equal(np.asarray(patched.table),
+                                  np.asarray(synced.table))
