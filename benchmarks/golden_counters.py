@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Numeric golden-counter parity vs the reference Laia fixture.
+
+The reference publishes ONE numeric scheduler/cache fixture
+(`/root/reference/laia/test/wdl_criteo_cache_perf.txt:1-2`): per-worker
+average cumulative counters on a wdl_criteo run at 8 workers with a
+~10%-of-ids cache —
+
+    miss_pull 8557   miss_push 2445   update_pull 3537   update_push 5471
+
+Counter semantics (`topk_scheduler.cc:306-331`): per batch, for each
+unique key of a worker's assigned minibatch, a cache-snapshot probe
+counts  miss_pull (key not resident), miss_push (its eviction victim was
+dirty), update_pull (resident but outdated by a remote update); planned
+flush keys count update_push. Our planner maintains the same four
+counters natively (csrc/herald_cache_planner.cc:1218-1317).
+
+The fixture's exact input (the Criteo Kaggle sample) cannot be downloaded
+here, so this run matches everything else — wdl_criteo's 26-table shape,
+the reference's hard-coded table frequency order (deviation #8: caller-
+supplied order for parity runs), 8 workers, mbs 128, cache 10% of ids,
+one epoch, a Zipf-skewed stream at the sample's scale — and compares
+RATIOS + orders of magnitude. Residual deviation comes from the sample
+distribution and the assignment order (deviation #9: descending
+best-affinity vs batch-order probing), which shifts traffic from misses
+to planned updates — the direction Herald optimizes for.
+
+    python benchmarks/golden_counters.py   # prints JSON; the canonical
+                                           # run is docs/golden_counters.json
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from herald_tpu.data import DATASETS, synthetic_ctr_data
+from herald_tpu.sched.planner import CachePlanner
+
+REFERENCE = {"miss_pull": 8557, "miss_push": 2445,
+             "update_pull": 3537, "update_push": 5471}
+
+NRANK = 8
+MBS = 128            # the reference entry scripts' argparse default
+BATCHES = 100        # ~102K samples = Criteo-sample scale
+NUM_ROWS = 150_000   # id space scaled to keep the run seconds-long
+ZIPF_A = 1.4         # hot-dominated reuse, like the real criteo fields
+BOUND = 10           # bounded staleness (the reference trains HET-style;
+                     # bound interpolates update_pull between refresh-all
+                     # and refresh-never)
+CACHE_RATIO = 0.10
+
+
+def run(seed=0):
+    spec = DATASETS["criteo"]
+    n = NRANK * MBS * BATCHES
+    _, sparse, _ = synthetic_ctr_data(spec, n, seed=seed,
+                                      num_rows=NUM_ROWS, zipf_a=ZIPF_A)
+    cache_rows = int(CACHE_RATIO * NUM_ROWS)
+    pl = CachePlanner(
+        sparse, nrank=NRANK, batch_size=MBS, cache_rows=cache_rows,
+        num_shards=NRANK,
+        rows_per_shard=(NUM_ROWS + NRANK - 1) // NRANK, epochs=1,
+        table_order=spec.table_frequency_order,   # deviation #8 parity
+        top_k=spec.default_top_k, n_threads=1, bound=BOUND)
+    while pl.pop_chunk(64)[0]:
+        pass
+    ours = pl.perf()
+    pl.close()
+    return ours
+
+
+def main():
+    ours = run()
+    ref = REFERENCE
+    norm = lambda d: {k: round(d[k] / max(d["miss_pull"], 1), 3) for k in d}
+    out = {
+        "config": {"nrank": NRANK, "mbs": MBS, "batches": BATCHES,
+                   "num_rows": NUM_ROWS, "cache_ratio": CACHE_RATIO,
+                   "zipf_a": ZIPF_A, "bound": BOUND,
+                   "table_order": "reference (topk_scheduler.cc:151-165)",
+                   "stream": "synthetic zipf at Criteo-sample scale"},
+        "ours_avg_per_worker": {k: ours[k] for k in ref},
+        "reference_fixture": ref,
+        "ours_ratios_vs_miss_pull": norm({k: ours[k] for k in ref}),
+        "reference_ratios_vs_miss_pull": norm(dict(ref)),
+        "update_over_miss_push_ours":
+            round(ours["update_push"] / max(ours["miss_push"], 1), 2),
+        "update_over_miss_push_reference":
+            round(ref["update_push"] / ref["miss_push"], 2),
+    }
+    print(json.dumps(out, indent=2))
+    return out
+
+
+if __name__ == "__main__":
+    main()
