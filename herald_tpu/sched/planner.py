@@ -136,6 +136,31 @@ class CachePlanner:
         spw = n // nrank
         self.batch_num = (spw // batch_size if drop_last
                           else int(np.ceil(spw / batch_size)))
+        # operating envelope (docs/OPERATIONS.md "Planner operating
+        # envelope"): 1-core planning cost measured at 7.5/13/47/134
+        # ms/batch for 8/16/32/64 ranks (benchmarks/planner_scale.py);
+        # an ONLINE planner keeps pace iff ms/batch / min(cores, nrank)
+        # <= device step ms. Warn when configured clearly outside it —
+        # the tape (sched/replay.py, CLI --plan-cache) removes the cost
+        # entirely for fixed streams.
+        if nrank >= 32:
+            import os as _os
+            import warnings as _warnings
+            pts = {8: 7.5, 16: 13.0, 32: 47.0, 64: 134.0}
+            ks = sorted(pts)
+            est = pts.get(nrank) or np.interp(
+                nrank, ks, [pts[k] for k in ks]) * max(1.0, nrank / 64)
+            cores = _os.cpu_count() or 1
+            per_core = est / max(min(cores, nrank), 1)
+            if per_core > 2.0:   # > ~2x a 1 ms TPU step: cannot keep pace
+                _warnings.warn(
+                    f"online planner at nrank={nrank} costs ~{est:.0f} "
+                    f"ms/batch measured on one core (~{per_core:.0f} ms "
+                    f"spread over {cores} cores) — outside the operating "
+                    f"envelope for ~1 ms device steps. Record a plan "
+                    f"tape (--plan-cache) or run the planner on a host "
+                    f"with >= {int(est / 2) + 1} cores; see "
+                    f"docs/OPERATIONS.md", UserWarning, stacklevel=2)
         self._lib = _PlannerLib().lib
         order_ptr = None
         if table_order is not None:
