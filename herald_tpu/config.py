@@ -121,6 +121,15 @@ class HeraldConfig:
     # masks and all-sentinel ids selects the resident rows everywhere);
     # dispatch is a pure function of the planner stream, like noflush.
     sched_nopull_variant: bool = True
+    # packed program wire (cached mode, single-shard): ship each chunk's
+    # 7-9 program arrays as ONE uint8 buffer per device_put instead of
+    # one put per array. On remote-transport backends every individual
+    # put pays a fixed dispatch latency comparable to a ~2 MB payload
+    # (docs/PERF_NOTES.md), so the per-chunk staging cost collapses ~8x;
+    # the epoch program unpacks on device with static slices + bitcasts
+    # (layout ops, ~free next to the step). Bit-exact by construction
+    # (tests/test_packed_wire.py pins it against the unpacked wire).
+    sched_packed_wire: bool = True
     # flush gradient-delta wire dtype (cached mode). None = the delta
     # dtype (f32, exact). jnp.bfloat16 halves the flush all-to-all bytes;
     # accumulation at the owner stays f32, so only the per-row delta is

@@ -198,6 +198,20 @@ def build_parser() -> argparse.ArgumentParser:
                              "(the residual rides the slot's delta "
                              "accumulator) — ~4x fewer flush bytes than "
                              "f32, ~2x fewer than bf16")
+    p.add_argument("--prestage", type=int, default=3, metavar="DEPTH",
+                   help="scheduled mode: keep up to DEPTH chunks popped "
+                        "+ staged to device AHEAD of the training loop "
+                        "(a pop thread + small staging pool), so the "
+                        "per-chunk host work and the host->device "
+                        "transfer overlap device execution instead of "
+                        "serializing with it. 0 disables (per-chunk "
+                        "depth-1 staging). Exactness is untouched: the "
+                        "chunk stream is identical and serve-view "
+                        "residency mirrors advance at dispatch time")
+    p.add_argument("--prestage-threads", type=int, default=2,
+                   help="staging pool width for --prestage (parallel "
+                        "device_puts; raise if staging wall time still "
+                        "exceeds device execution per chunk)")
     p.add_argument("--plan-cache", default=None, metavar="DIR",
                    help="scheduled mode, single process: record the "
                         "planner's micro-program tape here on first run "
@@ -340,6 +354,107 @@ class _ChunkStats:
     def finish(self):
         self.drain()
         return self.losses, self.overflow
+
+
+class _Prestager:
+    """Depth-N chunk staging pipeline for the scheduled path: a pop
+    thread walks the planner stream IN ORDER and fans `_stage_chunk`
+    (pack + device_put) out to a small thread pool; the train loop
+    consumes staged chunks in stream order. The per-chunk host work and
+    the host->device transfer — the production loop's limiter on tunnel
+    transports (docs/PERF_NOTES.md) — then overlap device execution of
+    earlier chunks instead of serializing with it.
+
+    Exactness is untouched: the chunk stream, order and contents are
+    identical to per-chunk dispatch (pop_chunk allocates fresh buffers,
+    so retained chunks never alias), the producer never pops past the
+    step target (stopped-early counters match), and serve-view residency
+    tracking is applied by the CONSUMER at dispatch time so the host
+    mirror never runs ahead of the executed stream. The reference's
+    analog is its background scheduler thread staying ahead of training
+    (laia/src/topk_scheduler.cc:259-360) — here the staging pipeline
+    covers transfer latency as well as planning."""
+
+    _END = object()
+
+    def __init__(self, eng, planner, trn, device_data, start_done,
+                 target, spe, scan_steps, depth, threads):
+        import queue as _queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+        self.eng = eng
+        self._queue_mod = _queue
+        self.q = _queue.Queue(maxsize=max(depth, 1))
+        self._stop = threading.Event()
+        self._pool = ThreadPoolExecutor(max_workers=max(threads, 1))
+        self._cfg = (planner, trn, device_data, start_done, target,
+                     spe, scan_steps)
+        self._err = None
+        self._thread = threading.Thread(target=self._produce, daemon=True,
+                                        name="herald-prestager")
+        self._thread.start()
+
+    def _produce(self):
+        planner, trn, device_data, done, target, spe, scan = self._cfg
+        track = self.eng._slot2id is not None
+        idx_feed = device_data is not None
+        try:
+            while done < target and not self._stop.is_set():
+                # the same chunk clamping the per-chunk loop applies
+                # (epoch boundaries for per-epoch eval, the step target)
+                k = min(scan, target - done,
+                        spe - done % spe if done % spe else spe)
+                out = planner.pop_chunk(k)
+                K = out[0]
+                if K == 0:
+                    break
+                tr = ((K, out[2], out[6], out[7], out[8])
+                      if track else None)
+                fut = self._pool.submit(
+                    self.eng._stage_chunk, *out,
+                    raw_dense=None if idx_feed else trn[0],
+                    raw_sparse=None if idx_feed else trn[1],
+                    raw_labels=None if idx_feed else trn[2],
+                    index_feed=idx_feed)
+                if not self._put((fut, K, tr)):
+                    return
+                done += K
+                if K < k:       # stream ended short of the request
+                    break
+        except BaseException as e:      # surfaced by the consumer
+            self._err = e
+        finally:
+            self._put(self._END)
+
+    def _put(self, item) -> bool:
+        while not self._stop.is_set():
+            try:
+                self.q.put(item, timeout=0.2)
+                return True
+            except self._queue_mod.Full:
+                continue
+        return False
+
+    def get(self):
+        """Next staged chunk as (staged, K, track_args) — or None at
+        stream end (re-raising any producer error)."""
+        item = self.q.get()
+        if item is self._END:
+            if self._err is not None:
+                raise self._err
+            return None
+        fut, K, tr = item
+        return fut.result(), K, tr
+
+    def close(self):
+        self._stop.set()
+        while True:     # unblock a producer waiting on a full queue
+            try:
+                self.q.get_nowait()
+            except self._queue_mod.Empty:
+                break
+        self._thread.join(timeout=10)
+        self._pool.shutdown(wait=False)
 
 
 def _fail_on_overflow(total: int) -> None:
@@ -678,21 +793,43 @@ def run_training(args) -> dict:
                 steady["elapsed"] += time.perf_counter() - steady["t0"]
                 steady["steps"] += done - steady["done0"]
                 steady["t0"] = None
+        prestager = None
         while done < target:             # epochs this run trained into
             # cold steps run on the wide program (autosize mode)
             run_eng = eng_cold if (eng_cold is not None
                                    and done < warm_steps) else eng
-            # clamp chunks to epoch boundaries so per-epoch eval sees
-            # exactly one epoch of steps
-            k = min(args.scan_steps, target - done,
-                    spe - done % spe if done % spe else spe)
-            if run_eng is eng_cold:
-                k = min(k, warm_steps - done)
-            with timer:
-                state, stats = run_eng.train_epoch_cached(
-                    state, planner, *trn, steps=k, device_data=dev_data)
-            if stats is None:
-                break
+            if (args.prestage and prestager is None
+                    and run_eng is eng):
+                # steady phase reached: start the staging pipeline from
+                # the CURRENT stream position (cold/autosize chunks went
+                # through the per-chunk path on the wide engine)
+                prestager = _Prestager(
+                    eng, planner, trn, dev_data, done, target, spe,
+                    args.scan_steps, depth=args.prestage,
+                    threads=args.prestage_threads)
+            if prestager is not None:
+                item = prestager.get()   # blocks on the pipeline
+                if item is None:
+                    break
+                staged, _, tr = item
+                if tr is not None:
+                    eng._track_residency(*tr)
+                with timer:
+                    state, stats = eng.train_epoch_staged(
+                        state, staged, device_data=dev_data)
+            else:
+                # clamp chunks to epoch boundaries so per-epoch eval sees
+                # exactly one epoch of steps
+                k = min(args.scan_steps, target - done,
+                        spe - done % spe if done % spe else spe)
+                if run_eng is eng_cold:
+                    k = min(k, warm_steps - done)
+                with timer:
+                    state, stats = run_eng.train_epoch_cached(
+                        state, planner, *trn, steps=k,
+                        device_data=dev_data)
+                if stats is None:
+                    break
             cs.push(stats)
             # advance by the EXECUTED count (the planner stream can end
             # short of the request; .shape is static metadata, no sync)
@@ -717,6 +854,8 @@ def run_training(args) -> dict:
                     # eval drained the pipeline; reopen at a quiet point
                     steady["t0"] = time.perf_counter()
                     steady["done0"] = done
+        if prestager is not None:
+            prestager.close()
         losses, overflow_total = cs.finish()
         steady_close()
         steady_eps = None

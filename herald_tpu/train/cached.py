@@ -72,6 +72,51 @@ class CachedTrainState(NamedTuple):
     hot_slots: Dict[str, jnp.ndarray]
 
 
+class PackedChunk(NamedTuple):
+    """One staged chunk shipped as a SINGLE uint8 wire buffer.
+
+    On remote-transport backends each individual device_put pays a fixed
+    dispatch latency comparable to a ~2 MB payload (docs/PERF_NOTES.md);
+    the 7-9 program arrays of a chunk therefore cost ~8x one batched
+    transfer. _pack_wire concatenates their bytes host-side; the epoch
+    program unpacks with static slices + bitcasts on device (layout ops,
+    ~free next to the step). `layout` records each segment's (shape,
+    dtype.str) — static per (chunk size, caps, variant), so the jitted
+    unpack specializes exactly like the unpacked programs do."""
+    buf: jnp.ndarray            # uint8 [total_bytes] on device
+    layout: tuple               # ((shape, dtype.str), ...) in feed order
+    idx: bool                   # True = index-feed (pair w/ stage_dataset)
+
+
+def _pack_wire(host):
+    """Concatenate host arrays into one uint8 buffer (+ static layout)."""
+    segs = [np.ascontiguousarray(a) for a in host]
+    layout = tuple((a.shape, a.dtype.str) for a in segs)
+    buf = np.concatenate([a.view(np.uint8).reshape(-1) for a in segs])
+    return buf, layout
+
+
+def _unpack_wire(buf, layout):
+    """Device-side inverse of _pack_wire (trace-time static offsets)."""
+    args, off = [], 0
+    for shape, dstr in layout:
+        dt = np.dtype(dstr)
+        n = int(np.prod(shape)) * dt.itemsize
+        seg = jax.lax.slice_in_dim(buf, off, off + n, axis=0)
+        off += n
+        if dt.itemsize == 1:
+            a = seg.reshape(shape)
+            if dt == np.bool_:
+                # planner pulls are 0/1 bytes; != 0 matches .view(bool)
+                a = a != 0
+        else:
+            a = jax.lax.bitcast_convert_type(
+                seg.reshape(shape + (dt.itemsize,)), jnp.dtype(dt.name))
+        args.append(a)
+    assert off == buf.shape[0], (off, buf.shape)
+    return tuple(args)
+
+
 class CachedEngine(Engine):
     """Engine variant executing planner micro-programs."""
 
@@ -97,6 +142,7 @@ class CachedEngine(Engine):
         self._slot2id = None        # host residency mirror (serve views)
         self.noflush_chunks = 0     # chunks that took the flush-free path
         self.nopull_chunks = 0      # chunks that also took the pull-free path
+        self._packed_epochs = {}    # (idx, flush, pull, layout) -> jit
         self.U_cap = int(cfg.sched_unique_slots or self.ids_per_worker)
         self.F_cap = int(cfg.sched_flush_slots or self.U_cap)
         # pull smoothing: prefetch arrays are only materialized when the
@@ -751,11 +797,20 @@ class CachedEngine(Engine):
             host = (
                 raw_dense[idx].astype(np.float32, copy=False),
                 raw_labels[idx].astype(np.float32, copy=False)) + prog
+        variant = 2 if nopull else 1 if noflush else 0
+        if self.num_shards <= 1 and self.cfg.sched_packed_wire:
+            # single-shard packed wire: ONE device_put per chunk (see
+            # PackedChunk). Multi-shard keeps per-array puts — each
+            # array shards differently over the mesh, and the virtual-
+            # mesh/multi-host paths are not put-latency-bound.
+            buf, layout = _pack_wire(host)
+            return variant, PackedChunk(jax.device_put(buf), layout,
+                                        index_feed)
         if self.num_shards > 1:
             args = jax.device_put(host, (self._kdata_sharding,) * len(host))
         else:
             args = jax.device_put(host)
-        return (2 if nopull else 1 if noflush else 0), args
+        return variant, args
 
     def stage_program_chunks(self, planner, steps_per_chunk: int,
                              max_chunks: Optional[int] = None, raw=None):
@@ -785,6 +840,26 @@ class CachedEngine(Engine):
                     raw_labels=raw[2], index_feed=False))
         return staged
 
+    def _packed_epoch_fn(self, idx_mode: bool, do_flush: bool,
+                         do_pull: bool, layout):
+        """Jitted epoch program over the packed wire: unpack (static
+        slices + bitcasts) then the same scanned body as the unpacked
+        variants — bit-identical math, one host->device put per chunk."""
+        key = (idx_mode, do_flush, do_pull, layout)
+        fn = self._packed_epochs.get(key)
+        if fn is None:
+            inner = self._make_epoch_body(idx_mode, do_flush, do_pull)
+            if idx_mode:
+                def outer(state, dev_d, dev_y, buf):
+                    return inner(state, dev_d, dev_y,
+                                 *_unpack_wire(buf, layout))
+            else:
+                def outer(state, buf):
+                    return inner(state, *_unpack_wire(buf, layout))
+            fn = jax.jit(outer, donate_argnums=(0,))
+            self._packed_epochs[key] = fn
+        return fn
+
     def train_epoch_staged(self, state, staged, device_data=None):
         """Dispatch one pre-staged chunk (from _stage_chunk /
         stage_program_chunks). index-feed chunks require `device_data`
@@ -795,6 +870,14 @@ class CachedEngine(Engine):
             self.noflush_chunks += 1
         if variant == 2:
             self.nopull_chunks += 1
+        if isinstance(args, PackedChunk):
+            fn = self._packed_epoch_fn(args.idx, variant == 0,
+                                       variant != 2, args.layout)
+            if args.idx:
+                assert device_data is not None, \
+                    "packed index-feed chunk needs stage_dataset data"
+                return fn(state, *device_data, args.buf)
+            return fn(state, args.buf)
         if device_data is not None:
             fn = (self._cached_epoch_idx_nopull,
                   self._cached_epoch_idx_noflush,
@@ -899,9 +982,11 @@ class CachedEngine(Engine):
                                   ) -> None:
         """Start mirroring cache residency on the host. Must be enabled
         BEFORE the first dispatched chunk (or pass the `mirror` saved by a
-        checkpoint when resuming). Only valid with per-chunk dispatch
-        (train_epoch_cached); pre-staged chunks (stage_program_chunks)
-        would advance the mirror past the executed stream."""
+        checkpoint when resuming). train_epoch_cached tracks at pop time
+        (pop == dispatch there); a prestaging consumer must instead call
+        _track_residency itself at DISPATCH time with the popped chunk's
+        (K, slots, pfids, pfslots, uniq) — the CLI's _Prestager does —
+        so the mirror never runs ahead of the executed stream."""
         nr = max(self.num_shards, 1)
         if mirror is not None:
             mirror = np.asarray(mirror, np.int64)

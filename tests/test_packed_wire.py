@@ -1,0 +1,160 @@
+"""Packed program wire + CLI prestage pipeline (round-4 CLI-gap work).
+
+The production loop's limiter on tunnel transports is per-chunk staging:
+each individual device_put pays a fixed dispatch latency comparable to a
+~2 MB payload, so shipping a chunk's 7-9 program arrays separately cost
+~8x one batched transfer (docs/dress_rehearsal_report.json 2026-08-19:
+p50 device time 18.6 ms/chunk vs ~127 ms/chunk host staging). Two fixes,
+both exactness-preserving by construction and pinned here bit-for-bit:
+
+  * packed wire (cfg.sched_packed_wire, single-shard): one uint8 buffer
+    per chunk, unpacked on device with static slices + bitcasts inside
+    the SAME scanned epoch body (train/cached.py _pack_wire/_unpack_wire);
+  * CLI --prestage: a pop thread + staging pool keeps N chunks staged
+    ahead of the loop, overlapping transfer with device execution
+    (launch/cli.py _Prestager); serve-view residency mirrors advance at
+    DISPATCH time, so mid-stream checkpoints stay serve-exact.
+
+Reference bar: the scheduler runs ahead of training on a background
+thread (laia/src/topk_scheduler.cc:259-360); the staging pipeline extends
+that overlap to transfer latency, which the reference's PCIe-local GPUs
+never paid.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from herald_tpu import HeraldConfig
+from herald_tpu.data import synthetic_ctr_data
+from herald_tpu.launch.cli import build_parser, run_training
+from herald_tpu.models import get_model
+from herald_tpu.train.cached import (CachedEngine, PackedChunk, _pack_wire,
+                                     _unpack_wire)
+
+B, STEPS = 16, 24
+
+
+def _train(packed: bool, device_data: bool, ratio: float, epochs: int,
+           rows: int = 900):
+    cfg = HeraldConfig(model="wdl_criteo", batch_size=B, embedding_dim=8,
+                       comm_mode="local", learning_rate=0.5,
+                       cache_limit_ratio=ratio, sched_packed_wire=packed)
+    model = get_model(cfg.model)
+    dense, sparse, labels = synthetic_ctr_data(model.spec, B * STEPS,
+                                               seed=9, num_rows=rows)
+    eng = CachedEngine(cfg, table_rows=rows)
+    planner = eng.make_planner(sparse, epochs=epochs, n_threads=1)
+    st = eng.init_cached_state(0)
+    dd = (eng.stage_dataset(dense, sparse.astype(np.int32), labels)
+          if device_data else None)
+    losses = []
+    while True:
+        st, stats = eng.train_epoch_cached(st, planner, dense, sparse,
+                                           labels, steps=6, device_data=dd)
+        if stats is None:
+            break
+        losses.append(np.asarray(stats["loss"]))
+    st = eng.sync_cache(st, planner)
+    planner.close()
+    return (np.asarray(st.table), np.concatenate(losses),
+            eng.noflush_chunks, eng.nopull_chunks)
+
+
+def test_roundtrip_unpack_inverts_pack():
+    rng = np.random.default_rng(0)
+    # the production wire carries f32/i32/i16/bool only (idx is cast to
+    # int32 before packing; int64 would need jax_enable_x64)
+    host = (rng.standard_normal((3, 4)).astype(np.float32),
+            rng.integers(-5, 5, (2, 7)).astype(np.int32),
+            rng.integers(0, 2, (5,)).astype(bool),
+            rng.integers(-9, 9, (4, 3)).astype(np.int16))
+    buf, layout = _pack_wire(host)
+    assert buf.dtype == np.uint8
+    out = jax.jit(lambda b: _unpack_wire(b, layout))(buf)
+    for a, b in zip(host, out):
+        assert a.dtype == np.asarray(b).dtype
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
+@pytest.mark.parametrize("device_data", [False, True])
+def test_packed_wire_bit_exact_full_variant(device_data):
+    t0, l0, _, _ = _train(False, device_data, ratio=0.6, epochs=2)
+    t1, l1, _, _ = _train(True, device_data, ratio=0.6, epochs=2)
+    np.testing.assert_array_equal(t0, t1)
+    np.testing.assert_array_equal(l0, l1)
+
+
+@pytest.mark.parametrize("device_data", [False, True])
+def test_packed_wire_bit_exact_noflush_nopull(device_data):
+    """cache_limit_ratio=1.0 + 3 epochs drives chunks through the
+    flush-free AND pull-free packed programs; all three variants must
+    match the unpacked wire bit-for-bit."""
+    t0, l0, nf0, np0 = _train(False, device_data, ratio=1.0, epochs=3,
+                              rows=600)
+    t1, l1, nf1, np1 = _train(True, device_data, ratio=1.0, epochs=3,
+                              rows=600)
+    assert nf1 > 0 and np1 > 0, "variant programs were not exercised"
+    assert (nf0, np0) == (nf1, np1)
+    np.testing.assert_array_equal(t0, t1)
+    np.testing.assert_array_equal(l0, l1)
+
+
+def test_stage_chunk_returns_packed_single_buffer():
+    """Single-shard staging must ship exactly ONE device array."""
+    cfg = HeraldConfig(model="wdl_criteo", batch_size=B, embedding_dim=8,
+                       comm_mode="local", cache_limit_ratio=0.6)
+    model = get_model(cfg.model)
+    dense, sparse, labels = synthetic_ctr_data(model.spec, B * 4, seed=1,
+                                               num_rows=900)
+    eng = CachedEngine(cfg, table_rows=900)
+    planner = eng.make_planner(sparse, epochs=1, n_threads=1)
+    staged = eng.stage_program_chunks(planner, 4,
+                                      raw=(dense, sparse, labels))
+    planner.close()
+    variant, args = staged[0]
+    assert isinstance(args, PackedChunk)
+    assert args.buf.dtype == np.uint8 and args.buf.ndim == 1
+    assert not args.idx
+
+
+def _cli(extra, seed=5):
+    common = ["--model", "wdl_criteo", "--comm", "local", "--scheduled",
+              "--batch-size", "16", "--samples", "2560", "--rows", "3000",
+              "--cache-limit-ratio", "0.5", "--lr", "0.5", "--nepoch", "2",
+              "--scan-steps", "8", "--val-ratio", "0.2", "--seed",
+              str(seed), "--device-data"]
+    return run_training(build_parser().parse_args(common + extra))
+
+
+def test_cli_prestage_bit_exact():
+    r0 = _cli(["--prestage", "0"])
+    r1 = _cli(["--prestage", "3", "--prestage-threads", "2"])
+    assert r0["steps"] == r1["steps"]
+    assert r0["train_loss_last"] == r1["train_loss_last"]
+    assert r0["val_auc"] == r1["val_auc"]
+    assert [e["val_auc"] for e in r0["epochs"]] \
+        == [e["val_auc"] for e in r1["epochs"]]
+
+
+def test_cli_prestage_serve_view_checkpoint_identical(tmp_path):
+    """Mid-stream --ckpt-every + --ckpt-serve-view under --prestage:
+    the serve overlay (host residency mirror -> synced dirty-row values)
+    must equal the per-chunk path's bit-for-bit — i.e. the mirror
+    advances with the EXECUTED stream, not the prestaged one."""
+    from herald_tpu.train.checkpoint import load_extra
+    outs = []
+    for name, depth in (("a", "0"), ("b", "4")):
+        ck = tmp_path / name
+        _cli(["--prestage", depth, "--ckpt", str(ck),
+              "--ckpt-every", "40", "--ckpt-serve-view",
+              "--max-steps", "56"])
+        ov = load_extra(str(ck), "serve_overlay")
+        assert ov is not None
+        outs.append(ov)
+    a, b = outs
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)
