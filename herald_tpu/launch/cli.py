@@ -25,8 +25,19 @@ import argparse
 import json
 import sys
 import time
+from typing import Optional
 
 import numpy as np
+
+
+def _prestage_arg(v: str) -> int:
+    """--prestage accepts an int depth or 'all' (-1)."""
+    if v == "all":
+        return -1
+    n = int(v)
+    if n < 0:
+        raise argparse.ArgumentTypeError("--prestage must be >= 0 or 'all'")
+    return n
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -198,14 +209,19 @@ def build_parser() -> argparse.ArgumentParser:
                              "(the residual rides the slot's delta "
                              "accumulator) — ~4x fewer flush bytes than "
                              "f32, ~2x fewer than bf16")
-    p.add_argument("--prestage", type=int, default=3, metavar="DEPTH",
+    p.add_argument("--prestage", type=_prestage_arg, default=3,
+                   metavar="DEPTH|all",
                    help="scheduled mode: keep up to DEPTH chunks popped "
                         "+ staged to device AHEAD of the training loop "
-                        "(a pop thread + small staging pool), so the "
-                        "per-chunk host work and the host->device "
-                        "transfer overlap device execution instead of "
-                        "serializing with it. 0 disables (per-chunk "
-                        "depth-1 staging). Exactness is untouched: the "
+                        "(a pop thread + small staging pool). 0 disables "
+                        "(per-chunk depth-1 staging). 'all' stages the "
+                        "ENTIRE stream to HBM before the first dispatch "
+                        "— the timed loop is then pure dispatch, which "
+                        "is the device-ceiling mode on transports where "
+                        "transfers serialize with compute (budget: "
+                        "~wire-bytes-per-step x total steps of HBM; "
+                        "pair with --plan-cache + --device-data). "
+                        "Exactness is untouched in every mode: the "
                         "chunk stream is identical and serve-view "
                         "residency mirrors advance at dispatch time")
     p.add_argument("--prestage-threads", type=int, default=2,
@@ -331,7 +347,19 @@ class _ChunkStats:
     written (maybe_ckpt drains first — checking only at end-of-run let
     it persist states trained on zero-filled rows, ADVICE r2 #1)."""
 
-    def __init__(self, depth: int = 8):
+    def __init__(self, depth: Optional[int] = None):
+        import os as _os
+        if depth is None:
+            # boundary-drain by default: on remote/tunnel transports ANY
+            # per-chunk materialization costs a queue flush + round trip
+            # (~60-130 ms measured 2026-08-19 — 3-7x the chunk's own
+            # device time), so the loop holds everything in flight and
+            # drains only at epoch/checkpoint boundaries, exactly like
+            # bench.py's once-per-epoch readback. Pending stats are tiny
+            # ([scan_steps] losses + a scalar, ~0.5 KB device each), so
+            # a full rehearsal epoch (~1000 chunks) holds < 1 MB.
+            # HERALD_STATS_DEPTH restores a bounded pipeline.
+            depth = int(_os.environ.get("HERALD_STATS_DEPTH", 1 << 20))
         self.depth = max(depth, 1)
         self.pending = []
         self.losses = []
@@ -347,9 +375,20 @@ class _ChunkStats:
         self.overflow += int(np.asarray(st["overflow"]).sum())
 
     def drain(self) -> None:
-        """Materialize every in-flight chunk (epoch-boundary use)."""
-        while self.pending:
-            self._take(self.pending.pop(0))
+        """Materialize every in-flight chunk (epoch-boundary use).
+        One jax.device_get over the whole pending list: transfers are
+        issued async then gathered, so a 1000-chunk epoch pays ~one
+        round-trip latency instead of one per array (sequential
+        np.asarray readbacks cost ~20 ms each on tunnel transports —
+        they were eating half the steady window after the per-chunk
+        materializations were removed)."""
+        if not self.pending:
+            return
+        import jax
+        host = jax.device_get(self.pending)
+        self.pending = []
+        for st in host:
+            self._take(st)
 
     def finish(self):
         self.drain()
@@ -384,7 +423,9 @@ class _Prestager:
         from concurrent.futures import ThreadPoolExecutor
         self.eng = eng
         self._queue_mod = _queue
-        self.q = _queue.Queue(maxsize=max(depth, 1))
+        # depth 0 = unbounded (prestage-all mode: the whole stream is
+        # staged to HBM before the first dispatch — await_staged)
+        self.q = _queue.Queue(maxsize=max(depth, 0))
         self._stop = threading.Event()
         self._pool = ThreadPoolExecutor(max_workers=max(threads, 1))
         self._cfg = (planner, trn, device_data, start_done, target,
@@ -434,6 +475,17 @@ class _Prestager:
             except self._queue_mod.Full:
                 continue
         return False
+
+    def await_staged(self):
+        """Block until the ENTIRE stream is popped and staged to device
+        (prestage-all mode, unbounded queue). The timed loop is then
+        pure dispatch — zero host->device transfers interleave with
+        execution, which matters on transports where transfers
+        serialize with compute (measured 2026-08-19: interleaved puts
+        move ~125 MB/s and stall the device; the same loop fully
+        prestaged runs at the 430K ex/s device ceiling)."""
+        self._thread.join()
+        self._pool.shutdown(wait=True)   # staging puts all issued
 
     def get(self):
         """Next staged chunk as (staged, K, track_args) — or None at
@@ -805,8 +857,13 @@ def run_training(args) -> dict:
                 # through the per-chunk path on the wide engine)
                 prestager = _Prestager(
                     eng, planner, trn, dev_data, done, target, spe,
-                    args.scan_steps, depth=args.prestage,
+                    args.scan_steps,
+                    depth=0 if args.prestage == -1 else args.prestage,
                     threads=args.prestage_threads)
+                if args.prestage == -1:
+                    # prestage-all: every transfer lands BEFORE the first
+                    # dispatch; the loop below is pure dispatch
+                    prestager.await_staged()
             if prestager is not None:
                 item = prestager.get()   # blocks on the pipeline
                 if item is None:
