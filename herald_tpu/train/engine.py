@@ -493,6 +493,20 @@ class Engine:
             overflow = jax.lax.psum(overflow, self.flat_axes)
         return jax.nn.sigmoid(logits), overflow
 
+    def _eval_scan_body(self, state: TrainState, dense_k, ids_k):
+        """Scanned eval: T batches per device call. Per-batch eval paid
+        ~3 transport round trips (2 puts + 1 readback) per batch — on
+        tunnel transports that is minutes per 1M-row epoch eval; the
+        scan folds T batches into one put + one dispatch + one readback.
+        Same math as _eval_step_body (the reference's per-epoch val loop
+        is examples/ctr/run_laia.py:266-289)."""
+        def body(c, xs):
+            d, s = xs
+            p, ov = self._eval_step_body(state, d, s)
+            return c, (p, ov)
+        _, (probs, ov) = jax.lax.scan(body, 0, (dense_k, ids_k))
+        return probs, ov.sum()
+
     # ------------------------------------------------------------------
     # jit / shard_map wiring
     # ------------------------------------------------------------------
@@ -552,9 +566,15 @@ class Engine:
                 in_specs=(state_specs, kdata_spec, kdata_spec, kdata_spec),
                 out_specs=(state_specs, stats_spec),
                 check_vma=False)
+            eval_scan_sm = jax.shard_map(
+                self._eval_scan_body, mesh=self.mesh,
+                in_specs=(state_specs, kdata_spec, kdata_spec),
+                out_specs=(kdata_spec, P()),
+                check_vma=False)
             self._train_step = jax.jit(train_sm, donate_argnums=(0,))
             self._train_epoch = jax.jit(epoch_sm, donate_argnums=(0,))
             self._eval_step = jax.jit(eval_sm)
+            self._eval_scan = jax.jit(eval_scan_sm)
             self._data_sharding = NamedSharding(self.mesh, P(ax))
             self._kdata_sharding = NamedSharding(self.mesh, P(None, ax))
         else:
@@ -563,6 +583,7 @@ class Engine:
             self._train_epoch = jax.jit(self._epoch_body,
                                         donate_argnums=(0,))
             self._eval_step = jax.jit(self._eval_step_body)
+            self._eval_scan = jax.jit(self._eval_scan_body)
             self._data_sharding = None
             self._kdata_sharding = None
 
@@ -674,17 +695,43 @@ class Engine:
             # the all-to-all exchange capacity is sized for gb; a larger
             # eval batch would overflow it and zero-fill embeddings
             batch = gb
+        # scanned blocks of up to T batches: one put + one dispatch +
+        # one readback per BLOCK instead of per batch (per-batch eval
+        # cost ~3 transport round trips each — minutes per 1M-row epoch
+        # eval on tunnel transports). The tail pads by repeating the
+        # last sample; padded predictions are discarded below, so every
+        # real sample is scored exactly once.
+        nb = -(-n // batch)
+        T = min(32, nb)
+        blocks = -(-nb // T)
+        rows = T * batch
+        d_all = np.asarray(dense_x, np.float32)
+        s_all = np.asarray(sparse_ids, np.int32)
+        total = blocks * rows
+        if total > n:
+            pad = total - n
+            d_all = np.concatenate([d_all,
+                                    np.repeat(d_all[-1:], pad, axis=0)])
+            s_all = np.concatenate([s_all,
+                                    np.repeat(s_all[-1:], pad, axis=0)])
         preds = []
-        for i in range(0, n, batch):
-            d, s = dense_x[i:i + batch], sparse_ids[i:i + batch]
-            m = len(s)
-            if m < batch:   # pad the tail by repeating the last sample
-                pad = batch - m
-                d = np.concatenate([d, np.repeat(d[-1:], pad, axis=0)])
-                s = np.concatenate([s, np.repeat(s[-1:], pad, axis=0)])
-            p = np.asarray(self.predict(state, d, s))[:m]
-            preds.append(p)
-        y_score = np.concatenate(preds) if preds else np.zeros(0)
+        for b in range(blocks):
+            dk = d_all[b * rows:(b + 1) * rows].reshape(
+                T, batch, *d_all.shape[1:])
+            sk = s_all[b * rows:(b + 1) * rows].reshape(
+                T, batch, *s_all.shape[1:])
+            if self.num_shards > 1:
+                dk, sk = jax.device_put(
+                    (dk, sk), (self._kdata_sharding,) * 2)
+            p, ov = self._eval_scan(state, dk, sk)
+            p = np.asarray(p)
+            if int(np.asarray(ov)) > 0:
+                raise RuntimeError(
+                    "eval exchange overflow: predictions would be "
+                    "computed on zero-filled embeddings; raise "
+                    "a2a_capacity_factor")
+            preds.append(p.reshape(-1))
+        y_score = np.concatenate(preds)[:n]
         y_true = np.asarray(labels).reshape(-1)[: len(y_score)]
         return {
             "auc": M.auc_score(y_true, y_score),
