@@ -845,6 +845,30 @@ def run_training(args) -> dict:
                 steady["elapsed"] += time.perf_counter() - steady["t0"]
                 steady["steps"] += done - steady["done0"]
                 steady["t0"] = None
+        if (args.prestage > 0 and args.plan_cache and args.device_data
+                and jax.process_count() == 1):
+            # auto-upgrade to prestage-all when the WHOLE program stream
+            # fits the HBM budget: the timed loop is then pure dispatch,
+            # the device-ceiling mode on transports where transfers
+            # serialize with compute (PERF_NOTES round 4). Conservative
+            # wire estimate from the static caps (packed layout).
+            nr = max(eng.num_shards, 1)
+            gb_est = cfg.batch_size * nr
+            inv_b = 2 if eng.U_cap <= 32767 else 4
+            per_step = (nr * (eng.U_cap * 9 + eng.F_cap * 8
+                              + max(eng.P_cap, 1) * 8)
+                        + gb_est * 4
+                        + gb_est * eng.model.spec.num_sparse * inv_b)
+            budget = int(os.environ.get("HERALD_PRESTAGE_BUDGET",
+                                        1 << 30))
+            if per_step * (target - done) <= budget:
+                print(json.dumps({
+                    "prestage": "all",
+                    "est_bytes": per_step * (target - done),
+                    "note": "program stream fits HERALD_PRESTAGE_BUDGET; "
+                            "staging everything before the first "
+                            "dispatch"}), flush=True)
+                args.prestage = -1
         prestager = None
         while done < target:             # epochs this run trained into
             # cold steps run on the wide program (autosize mode)
