@@ -117,6 +117,14 @@ def main():
     ap.add_argument("--no-device-data", action="store_true",
                     help="skip --device-data (HBM-resident samples)")
     ap.add_argument("--keep-raw", action="store_true")
+    ap.add_argument("--benchdist", action="store_true",
+                    help="skip raw generation: run the CLI on the "
+                         "bench-matched synthetic Zipf stream "
+                         "(--samples rows-raw). This is the hot-stream "
+                         "leg of VERDICT r3 #1 — same distribution "
+                         "bench.py measures, through the production "
+                         "entry point; artifact committed at "
+                         "docs/dress_rehearsal_report_hotstream.json")
     args = ap.parse_args()
 
     os.makedirs(args.work_dir, exist_ok=True)
@@ -125,20 +133,25 @@ def main():
     log_dir = os.path.join(args.work_dir, "logs")
     stages = {}
 
-    log(f"stage 1: generating {args.rows_raw:,} raw rows ...")
-    stages["generate_s"], stages["raw_bytes"] = generate_raw(
-        raw, args.rows_raw)
-
-    log("stage 2+3: --preprocess-raw -> mmap load -> scheduled steps ...")
     from herald_tpu.launch.cli import build_parser, run_training
     cli = ["--model", "wdl_criteo", "--comm", "local", "--scheduled",
            "--autosize", "--bf16-table",
-           "--preprocess-raw", raw, "--data-path", data_dir,
            "--rows", str(args.table_rows),
            "--batch-size", str(args.batch_size),
            "--embedding-size", str(args.embedding_size),
            "--nepoch", "1",
            "--scan-steps", str(args.scan_steps)]
+    if args.benchdist:
+        log(f"benchdist mode: {args.rows_raw:,} synthetic hot-stream "
+            "samples (no raw stage)")
+        cli += ["--samples", str(args.rows_raw)]
+    else:
+        log(f"stage 1: generating {args.rows_raw:,} raw rows ...")
+        stages["generate_s"], stages["raw_bytes"] = generate_raw(
+            raw, args.rows_raw)
+        log("stage 2+3: --preprocess-raw -> mmap load -> scheduled "
+            "steps ...")
+        cli += ["--preprocess-raw", raw, "--data-path", data_dir]
     if args.steps:
         cli += ["--max-steps", str(args.steps)]
     if not args.no_plan_cache:
@@ -169,7 +182,7 @@ def main():
         "generate_s": round(stages["generate_s"], 1),
         "cli_total_s": stages["cli_total_s"],
     }), flush=True)
-    if not args.keep_raw:
+    if not args.benchdist and not args.keep_raw:
         os.remove(raw)
 
 
