@@ -111,6 +111,10 @@ def main():
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--embedding-size", type=int, default=128)
     ap.add_argument("--scan-steps", type=int, default=32)
+    ap.add_argument("--nepoch", type=int, default=1,
+                    help=">1 separates cold first-pass vs warm "
+                         "repeated-epoch steady throughput (the bench's "
+                         "5-epoch shape) via steady segments")
     ap.add_argument("--no-plan-cache", action="store_true",
                     help="skip --plan-cache (tape record/replay); the "
                          "planner then runs in-situ on the loop")
@@ -139,7 +143,7 @@ def main():
            "--rows", str(args.table_rows),
            "--batch-size", str(args.batch_size),
            "--embedding-size", str(args.embedding_size),
-           "--nepoch", "1",
+           "--nepoch", str(args.nepoch),
            "--scan-steps", str(args.scan_steps)]
     if args.benchdist:
         log(f"benchdist mode: {args.rows_raw:,} synthetic hot-stream "
@@ -179,7 +183,10 @@ def main():
         "examples_per_sec_steady":
             (round(report["examples_per_sec_steady"], 1)
              if report.get("examples_per_sec_steady") else None),
-        "generate_s": round(stages["generate_s"], 1),
+        "examples_per_sec_steady_segments":
+            report.get("examples_per_sec_steady_segments"),
+        "generate_s": (round(stages["generate_s"], 1)
+                       if "generate_s" in stages else None),
         "cli_total_s": stages["cli_total_s"],
     }), flush=True)
     if not args.benchdist and not args.keep_raw:

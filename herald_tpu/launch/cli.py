@@ -836,14 +836,21 @@ def run_training(args) -> dict:
         # analogous steady read, run_laia.py:70-81).
         warm_chunks = int(os.environ.get("HERALD_STEADY_WARM_CHUNKS", 4))
         steady = {"t0": None, "done0": 0, "chunks": 0,
-                  "elapsed": 0.0, "steps": 0}
+                  "elapsed": 0.0, "steps": 0, "segments": []}
 
         def steady_close():
             # close the open segment at a drained boundary (pre-eval /
-            # end-of-run) so eval wall time never pollutes the window
+            # end-of-run) so eval wall time never pollutes the window.
+            # Segments align with epochs (eval closes one per epoch), so
+            # the per-segment list separates the cold first pass (cache
+            # misses) from warm repeated epochs (pull-free steady state)
             if steady["t0"] is not None:
-                steady["elapsed"] += time.perf_counter() - steady["t0"]
-                steady["steps"] += done - steady["done0"]
+                dt = time.perf_counter() - steady["t0"]
+                ds = done - steady["done0"]
+                steady["elapsed"] += dt
+                steady["steps"] += ds
+                if ds:
+                    steady["segments"].append((ds, dt))
                 steady["t0"] = None
         if (args.prestage > 0 and args.plan_cache and args.device_data
                 and jax.process_count() == 1):
@@ -957,6 +964,12 @@ def run_training(args) -> dict:
                  # excluded (the bench-comparable number); the top-level
                  # examples_per_sec blends in probe/plan/compile/eval
                  "examples_per_sec_steady": steady_eps,
+                 # one entry per drained segment (~ per epoch): cold
+                 # first-pass vs warm repeated-epoch throughput
+                 "examples_per_sec_steady_segments": [
+                     round(ds * cfg.batch_size * max(eng.num_shards, 1)
+                           / dt, 1)
+                     for ds, dt in steady["segments"]],
                  # the StepTimer blocks above time CHUNKS of up to
                  # --scan-steps steps (async dispatch), not single steps
                  "timing_steps_per_call": args.scan_steps}
