@@ -350,34 +350,47 @@ private:
     int fb_low_ = -1;
 };
 
-// LSD radix sort for program keys (non-negative, < 2^31 by the planner's
-// id checks): 4 byte-passes with counting. The per-batch key sort is on
+// LSD radix sort for program keys (non-negative): byte-passes with
+// counting, enough passes to cover `maxv` (callers pass the largest
+// possible value — the batch-read sort packs (key << pos_bits) | pos,
+// which reaches 31 + pos_bits bits at full id range, NOT 32; a fixed
+// 4-pass sort silently left bits >= 32 unsorted, interleaving keys that
+// share their low 32-pos_bits bits and corrupting the dedup walk's
+// uniq/inv at reference-scale tables). The per-batch key sort is on
 // the single-chip critical path (plan_batch phase 3) and std::sort's
 // branchy comparisons lose to counting passes at the ~10^4-element sizes
 // batches produce. Skipped passes (all keys share a byte) cost one
 // counting scan only.
 static void radix_sort_keys(std::vector<key_t_> &v,
-                            std::vector<key_t_> &tmp) {
+                            std::vector<key_t_> &tmp, key_t_ maxv) {
     size_t n = v.size();
     if (n < 64) {            // tiny batches: std::sort wins
         std::sort(v.begin(), v.end());
         return;
     }
+    int passes = 1;
+    while (passes < 8 && (maxv >> (8 * passes)) != 0) passes++;
     tmp.resize(n);
     key_t_ *a = v.data(), *b = tmp.data();
-    uint32_t cnt[256];
-    for (int pass = 0; pass < 4; pass++) {
+    // ONE read pass builds every level's histogram (the data is read
+    // `passes`+1 times total instead of 2x `passes`)
+    uint32_t cnt[8][256];
+    std::memset(cnt, 0, size_t(passes) * sizeof cnt[0]);
+    for (size_t i = 0; i < n; i++) {
+        key_t_ x = a[i];
+        for (int p = 0; p < passes; p++) cnt[p][(x >> (p * 8)) & 255]++;
+    }
+    for (int pass = 0; pass < passes; pass++) {
+        uint32_t *c = cnt[pass];
         int sh = pass * 8;
-        std::memset(cnt, 0, sizeof cnt);
-        for (size_t i = 0; i < n; i++) cnt[(a[i] >> sh) & 255]++;
-        if (cnt[(a[0] >> sh) & 255] == n) continue;   // single bucket
+        if (c[(a[0] >> sh) & 255] == n) continue;   // single bucket
         uint32_t sum = 0;
         for (int j = 0; j < 256; j++) {
-            uint32_t c2 = cnt[j];
-            cnt[j] = sum;
+            uint32_t c2 = c[j];
+            c[j] = sum;
             sum += c2;
         }
-        for (size_t i = 0; i < n; i++) b[cnt[(a[i] >> sh) & 255]++] = a[i];
+        for (size_t i = 0; i < n; i++) b[c[(a[i] >> sh) & 255]++] = a[i];
         std::swap(a, b);
     }
     if (a != v.data()) std::memcpy(v.data(), a, n * sizeof(key_t_));
@@ -1145,7 +1158,8 @@ private:
                     keys.push_back((s[t] << pb) | (p0 + t));
             }
             std::vector<key_t_> sort_tmp;
-            radix_sort_keys(keys, sort_tmp);
+            radix_sort_keys(keys, sort_tmp,
+                            ((key_space_ - 1) << pb) | pmask);
             auto &inv = mp.inv[z];
             inv.resize(size_t(mbs_) * num_tables_);
             {
@@ -1274,7 +1288,7 @@ private:
             std::vector<key_t_> cand;
             for (auto &cc : cand_)
                 cand.insert(cand.end(), cc[z].begin(), cc[z].end());
-            radix_sort_keys(cand, sort_tmp);
+            radix_sort_keys(cand, sort_tmp, key_space_ - 1);
             struct PFlush { int32_t age; key_t_ key; int slot; };
             std::vector<PFlush> elig;
             elig.reserve(cand.size());
@@ -1761,3 +1775,9 @@ void hplan_destroy(void *h) {
 }
 
 } // extern "C"
+
+// ABI guard — see herald_sched.cc tail note.
+#ifndef HERALD_ABI_HASH
+#define HERALD_ABI_HASH 0L
+#endif
+extern "C" long herald_abi_hash() { return HERALD_ABI_HASH; }

@@ -173,3 +173,9 @@ extern "C" int64_t hprep_table(
     fclose(fl);
     return n;
 }
+
+// ABI guard — see herald_sched.cc tail note.
+#ifndef HERALD_ABI_HASH
+#define HERALD_ABI_HASH 0L
+#endif
+extern "C" long herald_abi_hash() { return HERALD_ABI_HASH; }

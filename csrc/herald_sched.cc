@@ -709,3 +709,13 @@ void hsched_destroy(void *h) {
 }
 
 } // extern "C"
+
+// ABI guard: build.py compiles each library with -DHERALD_ABI_HASH=<hash
+// of its sources> and verifies this symbol at load, so a stale .so next
+// to edited sources fails loudly instead of corrupting memory through a
+// changed struct layout or function signature (ctypes has no linker to
+// catch it).
+#ifndef HERALD_ABI_HASH
+#define HERALD_ABI_HASH 0L
+#endif
+extern "C" long herald_abi_hash() { return HERALD_ABI_HASH; }

@@ -325,6 +325,12 @@ class CachedEngine(Engine):
         B = labels.shape[0]
         F = inv.shape[0] // B
         inv = inv.astype(jnp.int32)   # may arrive int16 off the wire
+        # uniq=None: the PULL-FREE unpinned wire omits the uniq array
+        # entirely (it was only consumed for the padding mask, which the
+        # slot sentinel C already encodes, and for the pinned-tier mask)
+        # — ~1/3 of the steady-state program bytes on the host->device
+        # wire, the live loop's limiter on tunnel transports.
+        assert uniq is not None or (not do_pull and not self.pinned_rows)
         step = state.step + 1
 
         # phase 1: flush. do_flush=False compiles the FLUSH-FREE program
@@ -451,7 +457,11 @@ class CachedEngine(Engine):
         g_uniq = jax.ops.segment_sum(
             emb_grad.reshape(-1, self.width), inv.reshape(-1),
             num_segments=self.U_cap)
-        upd_slots = jnp.where(uniq >= 0, slots, C + 1)
+        # padding entries carry slot C (OOB for the [C, 2W] cache block),
+        # so with no uniq array the scatter below drops them already;
+        # with uniq present the mask also drops pinned keys' sentinel
+        upd_slots = (slots if uniq is None
+                     else jnp.where(uniq >= 0, slots, C + 1))
         lr = self._elr_fn(step)
         new_data = (emb_uniq.astype(jnp.float32) - lr * g_uniq).astype(
             self.cfg.table_dtype).astype(jnp.float32)
@@ -534,7 +544,11 @@ class CachedEngine(Engine):
                 else:
                     d, y, *rest = xs
                 if not do_pull:
-                    sl, uq, iv = rest
+                    if self.pinned_rows:
+                        sl, uq, iv = rest
+                    else:
+                        sl, iv = rest     # no-uniq wire (see step body)
+                        uq = None
                     pu = fi = fs = pfi = pfs = None
                 elif do_flush:
                     sl, pu, fi, fs, pfi, pfs, uq, iv = rest
@@ -598,7 +612,8 @@ class CachedEngine(Engine):
             # pull-free); each compiles lazily on its first qualifying
             # chunk
             def epoch_jit(idx_mode, do_flush, do_pull=True):
-                n_ks = 3 if not do_pull else (8 if do_flush else 6)
+                n_ks = ((3 if self.pinned_rows else 2) if not do_pull
+                        else (8 if do_flush else 6))
                 ins = ((specs, P(), P()) if idx_mode else (specs,)) \
                     + (ksp,) * ((1 if idx_mode else 2) + n_ks)
                 return jax.jit(jax.shard_map(
@@ -784,7 +799,8 @@ class CachedEngine(Engine):
         inv_w = (inv[:K].astype(np.int16)
                  if self.U_cap <= np.iinfo(np.int16).max else inv[:K])
         if nopull:
-            prog = (slots[:K], uniq[:K], inv_w)
+            prog = ((slots[:K], uniq[:K], inv_w) if self.pinned_rows
+                    else (slots[:K], inv_w))
         else:
             prog = (slots[:K], pulls[:K].view(bool),
                     *(() if noflush else (fids[:K], fslots[:K])),

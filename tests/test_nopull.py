@@ -192,9 +192,9 @@ def test_nopull_program_drops_exactly_the_pull_leg():
                             stack(pfids), stack(pfslots), stack(uniq),
                             stack(inv))
     st2 = eng.init_cached_state(0)
+    # unpinned pull-free wire omits uniq (train/cached.py step body note)
     nopu = collective_bytes(eng._cached_epoch_nopull, st2, stack(d),
-                            stack(y), stack(slots), stack(uniq),
-                            stack(inv))
+                            stack(y), stack(slots), stack(inv))
     pull_leg = exchange_a2a_bytes(eng.exchange, id_bytes=4,
                                   vec_bytes=eng.width * 4, directions=1)
     assert nofl["all-to-all"] - nopu["all-to-all"] == pull_leg, \

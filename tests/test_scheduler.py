@@ -199,3 +199,46 @@ def test_planner_uniq_inv_matches_numpy_unique():
             assert (prog.slots[z][u:] == pl.cache_rows).all()
     assert steps == 7
     pl.close()
+
+def test_planner_uniq_inv_exact_at_reference_scale():
+    """Regression: the batch-read sort packs (key << pos_bits) | pos and
+    a fixed 4-byte-pass radix sort left bits >= 32 unsorted — keys that
+    share their low (32 - pos_bits) bits interleaved, the dedup walk
+    emitted duplicate uniq entries, and the device then split a row's
+    gradient across the duplicates (last scatter wins => silently lost
+    deltas) at reference-scale tables. Engineered collisions: ids that
+    agree in their low 19 bits but differ at bit 19+ must still dedup to
+    exactly np.unique at criteo's 33.7M-row id range."""
+    from herald_tpu.sched.planner import CachePlanner
+    rng = np.random.default_rng(5)
+    mbs, T, rows = 32, 8, 33_762_577
+    n = mbs * 4
+    base = rng.integers(0, 1 << 19, size=(n, T))
+    high = rng.integers(0, rows >> 19, size=(n, T))
+    ids = ((high << 19) | base).astype(np.int64) % rows
+    # force explicit same-batch collision pairs: same low 19 bits,
+    # different high bits
+    ids[1] = ids[0] | (1 << 20)
+    ids[2] = ids[0] | (1 << 23)
+    ids = np.clip(ids, 0, rows - 1)
+    pl = CachePlanner(ids, nrank=1, batch_size=mbs,
+                      cache_rows=4 * mbs * T, num_shards=1,
+                      rows_per_shard=rows, epochs=1, n_threads=2)
+    steps = 0
+    while True:
+        prog = pl.pop()
+        if prog is None:
+            break
+        steps += 1
+        batch = ids[prog.assign[0]]
+        uq, iv = np.unique(batch.reshape(-1), return_inverse=True)
+        u = len(uq)
+        np.testing.assert_array_equal(prog.uniq[0][:u], uq)
+        assert (prog.uniq[0][u:] == -1).all()
+        np.testing.assert_array_equal(prog.inv[0], iv)
+        # no duplicate slots among the live entries: a duplicated uniq
+        # key would surface as two entries sharing one cache slot
+        live = prog.slots[0][:u]
+        assert len(np.unique(live)) == u
+    assert steps == 4
+    pl.close()
