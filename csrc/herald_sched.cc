@@ -708,6 +708,49 @@ void hsched_destroy(void *h) {
     delete s;
 }
 
+// ---------------------------------------------------------------------
+// Standalone LruSim handle: the cache simulator alone, for exact
+// counter-parity harnesses that replay one op stream through this sim
+// AND the reference's header-only MiniLRUCache
+// (laia/include/mini_lru_cache.h) and assert identical return codes
+// (tests/test_golden_sim_parity.py). Same -1/-2/0/1 get contract the
+// scheduler uses internally.
+// ---------------------------------------------------------------------
+struct HSim {
+    std::vector<uint64_t> masks;
+    herald::LruSim<uint64_t> sim;
+};
+
+void *hsim_create(int64_t capacity, int64_t key_space) {
+    auto *s = new HSim;
+    s->masks.assign(size_t(key_space), 0);
+    s->sim.init(size_t(capacity), s->masks.data(), 0);
+    return s;
+}
+
+int hsim_get(void *h, int64_t key) {
+    return static_cast<HSim *>(h)->sim.get(key);
+}
+
+void hsim_outdate(void *h, int64_t key) {
+    static_cast<HSim *>(h)->sim.outdate(key);
+}
+
+int hsim_check(void *h, int64_t key) {
+    return static_cast<HSim *>(h)->sim.check(key) ? 1 : 0;
+}
+
+// fill `out` (caller-sized via a first call with out=null) with the
+// sorted currently-valid keys; returns the count
+int64_t hsim_valid_keys(void *h, int64_t *out) {
+    auto keys = static_cast<HSim *>(h)->sim.valid_keys();
+    if (out)
+        std::memcpy(out, keys.data(), keys.size() * sizeof(int64_t));
+    return int64_t(keys.size());
+}
+
+void hsim_destroy(void *h) { delete static_cast<HSim *>(h); }
+
 } // extern "C"
 
 // ABI guard: build.py compiles each library with -DHERALD_ABI_HASH=<hash

@@ -1,0 +1,127 @@
+"""EXACT cache-simulator parity vs the reference's own MiniLRUCache.
+
+The reference's cache simulator is header-only
+(`/root/reference/laia/include/mini_lru_cache.h:54-136`), so it can be
+compiled directly into an oracle shim and replayed on the SAME op
+stream as our `LruSim` (csrc/herald_sched.cc) — asserting exact
+equality of every `get` return code (hit -1 / outdated-hit -2 /
+insert 0 / insert-evicting-fresh 1), of the resulting four traffic
+counters under the reference's replay discipline
+(`topk_scheduler.cc:306-344`: outdate the comm plan, probe the sorted
+unique batch keys, book miss_pull/miss_push/update_pull; update_push =
+|comm plan|), and of the surviving valid-key sets.
+
+This isolates the SIMULATION layer: any residual divergence in
+benchmarks/golden_counters.py is then attributable to planning policy
+(assignment order, deviation #9), not to a cache-contract bug
+(VERDICT r4 missing #3). Skips cleanly when the reference tree or g++
+is absent — the shim #includes the reference header in place, it is
+never copied into this repo.
+"""
+
+import ctypes
+
+import numpy as np
+import pytest
+
+from benchmarks.ref_sim_oracle import load_our_sim, load_ref_oracle
+
+
+@pytest.fixture(scope="module")
+def libs():
+    ref = load_ref_oracle()
+    if ref is None:
+        pytest.skip("reference tree or g++ unavailable")
+    return ref, load_our_sim()
+
+
+def _valid_sets(ref, ours, rh, oh):
+    n = ref.ref_valid_keys(rh, None)
+    rbuf = (ctypes.c_long * max(int(n), 1))()
+    ref.ref_valid_keys(rh, rbuf)
+    m = ours.hsim_valid_keys(oh, None)
+    obuf = (ctypes.c_int64 * max(int(m), 1))()
+    ours.hsim_valid_keys(oh, obuf)
+    return list(rbuf[:n]), list(obuf[:m])
+
+
+def test_op_stream_return_codes_exact(libs):
+    """Every get/outdate on a randomized eviction-heavy stream returns
+    the identical code from both simulators, and the surviving valid-key
+    sets match after every 500 ops."""
+    ref, ours = libs
+    rng = np.random.default_rng(3)
+    keys_space, cap = 400, 64
+    rh = ref.ref_create(keys_space, cap)
+    oh = ours.hsim_create(cap, keys_space)
+    # Zipf-ish hot keys force hits, misses, evictions and re-inserts
+    stream = (rng.zipf(1.3, size=8000) % keys_space).astype(np.int64)
+    ops = rng.random(8000)
+    for i, (k, p) in enumerate(zip(stream, ops)):
+        k = int(k)
+        if p < 0.15:
+            ref.ref_outdate(rh, k)
+            ours.hsim_outdate(oh, k)
+        else:
+            rc_ref = ref.ref_get(rh, k)
+            rc_ours = ours.hsim_get(oh, k)
+            assert rc_ref == rc_ours, (i, k, rc_ref, rc_ours)
+        assert ref.ref_check(rh, k) == ours.hsim_check(oh, k), (i, k)
+        if i % 500 == 499:
+            rset, oset = _valid_sets(ref, ours, rh, oh)
+            assert rset == oset, i
+    ref.ref_destroy(rh)
+    ours.hsim_destroy(oh)
+
+
+def test_replay_discipline_counters_exact(libs):
+    """The reference's full counter discipline (topk_scheduler.cc:306-344)
+    replayed through both sims on an identical multi-worker stream books
+    EXACTLY equal miss_pull / miss_push / update_pull / update_push."""
+    ref, ours = libs
+    rng = np.random.default_rng(11)
+    nrank, mbs, T = 4, 32, 8
+    keys_space = 5000
+    cap = keys_space // 10
+    batches = 120
+    rhs = [ref.ref_create(keys_space, cap) for _ in range(nrank)]
+    ohs = [ours.hsim_create(cap, keys_space) for _ in range(nrank)]
+    cnt_ref = np.zeros((nrank, 4), np.int64)   # mp, mpu, up, upu
+    cnt_ours = np.zeros((nrank, 4), np.int64)
+    for b in range(batches):
+        batch = (rng.zipf(1.3, size=(nrank, mbs, T)) % keys_space)
+        uniq = [np.unique(batch[z]) for z in range(nrank)]
+        # comm plan for worker z: keys OTHER workers read this batch that
+        # z currently caches (the reference computes it from its comm
+        # plans; any identical-for-both deterministic rule exercises the
+        # outdate path the same way). Use the ORACLE's check() for both
+        # sides so the plan never depends on the system under test.
+        for z in range(nrank):
+            others = np.unique(np.concatenate(
+                [uniq[w] for w in range(nrank) if w != z]))
+            cplan = [int(k) for k in others if ref.ref_check(rhs[z], int(k))]
+            for k in cplan:
+                ref.ref_outdate(rhs[z], k)
+                ours.hsim_outdate(ohs[z], k)
+            cnt_ref[z, 3] += len(cplan)
+            cnt_ours[z, 3] += len(cplan)
+            for k in uniq[z]:
+                k = int(k)
+                rc_r = ref.ref_get(rhs[z], k)
+                rc_o = ours.hsim_get(ohs[z], k)
+                assert rc_r == rc_o, (b, z, k, rc_r, rc_o)
+                for cnt, rc in ((cnt_ref[z], rc_r), (cnt_ours[z], rc_o)):
+                    if rc == -2:
+                        cnt[2] += 1
+                    elif rc >= 0:
+                        cnt[0] += 1
+                        if rc > 0:
+                            cnt[1] += 1
+    np.testing.assert_array_equal(cnt_ref, cnt_ours)
+    # sanity: the stream actually exercised every counter
+    assert (cnt_ref.sum(axis=0) > 0).all(), cnt_ref
+    for rh, oh in zip(rhs, ohs):
+        rset, oset = _valid_sets(ref, ours, rh, oh)
+        assert rset == oset
+        ref.ref_destroy(rh)
+        ours.hsim_destroy(oh)
