@@ -68,11 +68,24 @@ def main():
     ap.add_argument("--top-k", type=int, default=0)
     ap.add_argument("--threads", type=int,
                     default=min(16, os.cpu_count() or 1))
+    ap.add_argument("--thread-sweep", action="store_true",
+                    help="measure n_threads in {1,2,4,8} at each nrank "
+                         "(VERDICT r4 #7: the envelope's multi-core "
+                         "division must be measured, not extrapolated; "
+                         "on a 1-core host the sweep exposes the "
+                         "synchronization overhead the division ignores)")
     args = ap.parse_args()
     for nrank in (8, 16, 32, 64):
-        r = measure(nrank, args.mbs, args.batches, args.tables, args.rows,
-                    args.top_k, args.threads)
-        print(json.dumps(r))
+        if args.thread_sweep:
+            for nt in (1, 2, 4, 8):
+                r = measure(nrank, args.mbs, args.batches, args.tables,
+                            args.rows, args.top_k, nt)
+                r["n_threads"] = nt
+                print(json.dumps(r), flush=True)
+        else:
+            r = measure(nrank, args.mbs, args.batches, args.tables,
+                        args.rows, args.top_k, args.threads)
+            print(json.dumps(r), flush=True)
 
 
 if __name__ == "__main__":
