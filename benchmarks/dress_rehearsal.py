@@ -101,9 +101,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows-raw", type=int, default=10_000_000)
     ap.add_argument("--steps", type=int, default=0,
-                    help="0 = a FULL epoch (the canonical run; the "
-                         "reference's proof is one full epoch with AUC, "
-                         "run_laia.py:266-289)")
+                    help="0 = all --nepoch full epochs (default 1, the "
+                         "canonical run; the reference's proof is full "
+                         "epochs with AUC, run_laia.py:266-289)")
     ap.add_argument("--table-rows", type=int, default=33_762_577)
     ap.add_argument("--work-dir", default="/tmp/herald_rehearsal")
     ap.add_argument("--platform", default=None,

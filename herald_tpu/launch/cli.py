@@ -670,6 +670,7 @@ def run_training(args) -> dict:
         # fire on CROSSING a multiple of ckpt_every: `done` advances in
         # scan-chunk strides, so an exact-modulus test could miss every
         # boundary (e.g. ckpt-every 50 with scan-steps 20)
+        fired = False
         if args.ckpt and args.ckpt_every \
                 and done // args.ckpt_every > last_ckpt[0] // args.ckpt_every:
             if pre is not None:
@@ -678,11 +679,13 @@ def run_training(args) -> dict:
                 state, args.ckpt,
                 extras=ckpt_extras[0](state) if ckpt_extras[0] else None)
             last_ckpt[0] = done
+            fired = True
         if args.crash_after and not args.resume \
                 and done >= args.crash_after:
             import os as _os
             print(json.dumps({"crashed_at": done}), flush=True)
             _os._exit(17)
+        return fired
 
     if args.scheduled:
         eng_cold = None
@@ -928,9 +931,18 @@ def run_training(args) -> dict:
                 steady["t0"] = time.perf_counter()   # steady clock starts
                 steady["done0"] = done               # at a quiet boundary
             _fail_on_overflow(cs.overflow)   # materialized-so-far
-            maybe_ckpt(state, done,          # never checkpoint a
-                       pre=lambda: (cs.drain(),   # zero-filled state
-                                    _fail_on_overflow(cs.overflow)))
+            # a firing checkpoint drains and writes inside what would be
+            # an open steady window: close the segment at the drained
+            # boundary first and reopen after the save, mirroring the
+            # eval-boundary handling, so warm-epoch throughput never
+            # absorbs checkpoint wall time
+            if maybe_ckpt(state, done,       # never checkpoint a
+                          pre=lambda: (cs.drain(),  # zero-filled state
+                                       steady_close(),
+                                       _fail_on_overflow(cs.overflow))) \
+                    and done < target and steady["chunks"] >= warm_chunks:
+                steady["t0"] = time.perf_counter()
+                steady["done0"] = done
             if done % spe == 0 and done > start_done:
                 cs.drain()
                 steady_close()
@@ -966,9 +978,12 @@ def run_training(args) -> dict:
                  "examples_per_sec_steady": steady_eps,
                  # one entry per drained segment (~ per epoch): cold
                  # first-pass vs warm repeated-epoch throughput
+                 # dt floor: a degenerate near-zero segment (a tiny scan
+                 # chunk closing right at an epoch boundary) must not
+                 # report an absurd outlier rate
                  "examples_per_sec_steady_segments": [
                      round(ds * cfg.batch_size * max(eng.num_shards, 1)
-                           / dt, 1)
+                           / max(dt, 1e-6), 1)
                      for ds, dt in steady["segments"]],
                  # the StepTimer blocks above time CHUNKS of up to
                  # --scan-steps steps (async dispatch), not single steps
