@@ -88,6 +88,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--embedding-size", type=int, default=128)
     p.add_argument("--opt", default="sgd")
     p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--embed-lr", type=float, default=None,
+                   help="embedding-table learning rate (default: --lr). "
+                        "Sparse per-row updates tolerate a much higher "
+                        "rate than the dense tower — the reference runs "
+                        "the same split (run_laia.py passes separate "
+                        "optimizer configs to the PS tier)")
+    p.add_argument("--embed-opt", default=None,
+                   help="embedding-table optimizer (default: --opt). "
+                        "sgd keeps the cached path's deferred-flush "
+                        "delta accumulation EXACTLY equivalent to "
+                        "per-step updates; stateful optimizers see one "
+                        "batched delta per flush instead "
+                        "(docs/deviations.md)")
     p.add_argument("--nepoch", type=int, default=1)
     p.add_argument("--cache-limit-ratio", type=float, default=0.1)
     p.add_argument("--cache-policy", default="lru",
@@ -281,6 +294,10 @@ def resolve_config(args) -> "HeraldConfig":
             cfg.embed_learning_rate = args.lr
         if args.opt != dflt.opt:
             cfg.embed_optimizer = args.opt
+        if args.embed_lr is not None:
+            cfg.embed_learning_rate = args.embed_lr
+        if args.embed_opt is not None:
+            cfg.embed_optimizer = args.embed_opt
         if args.scheduled:
             cfg.use_cache = cfg.use_scheduler = True
         if not (cfg.use_scheduler and cfg.use_cache):
@@ -304,6 +321,8 @@ def resolve_config(args) -> "HeraldConfig":
             model=args.model, batch_size=args.batch_size,
             embedding_dim=args.embedding_size, comm_mode=args.comm,
             optimizer=args.opt, learning_rate=args.lr,
+            embed_learning_rate=args.embed_lr,
+            embed_optimizer=args.embed_opt,
             cache_limit_ratio=args.cache_limit_ratio,
             cache_policy=args.cache_policy, seed=args.seed,
             use_cache=args.scheduled, use_scheduler=args.scheduled,
