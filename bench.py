@@ -110,7 +110,7 @@ def bench_engine():
     return eps
 
 
-def bench_scheduled(tape_mode=None):
+def bench_scheduled(tape_mode=None, force_full=0):
     """Herald path on one chip: hot-row cache + planner micro-programs.
 
     Single-chip has no exchange, so this measures the cache-path step cost
@@ -149,7 +149,6 @@ def bench_scheduled(tape_mode=None):
     prof = TrafficProfile.from_steps(steps_prof)
     cfg.sched_flush_slots = prof.flush_slots()
     cfg.sched_unique_slots = prof.unique_slots()
-    eng = CachedEngine(cfg, table_rows=ROWS)
     epochs = 5   # epochs 1-2 warm the compiles (epoch 2 triggers the
     # pull-free chunk program); min over the fully-warm rest
     # (the chip band swings +/-20%; scheduled_spread carries the rest)
@@ -160,9 +159,28 @@ def bench_scheduled(tape_mode=None):
     # tunnel's fixed per-put/per-dispatch overhead (one put per epoch at
     # chunk=ITERS); HERALD_SCHED_CHUNK overrides for experiments.
     chunk = int(os.environ.get("HERALD_SCHED_CHUNK", 32))
-    assert ITERS % chunk == 0, (ITERS, chunk)
     if tape_mode is None:
         tape_mode = os.environ.get("HERALD_PLAN_TAPE", "1") != "0"
+    if not tape_mode:
+        # live-planner tuning: larger chunks amortize the per-put/
+        # per-dispatch fixed cost that dominates the in-situ loop on
+        # tunnel transports (planning itself keeps pace: ~0.3 ms/step
+        # vs the 0.58 ms device step), and a deeper producer queue lets
+        # the planner run ahead through the put/dispatch phases
+        chunk = int(os.environ.get("HERALD_SCHED_CHUNK_LIVE", 64))
+        cfg.sched_queue_size = 4 * chunk
+    # step-breakdown support (VERDICT r4 #8): force_full=1 disables the
+    # pull-free program (steady chunks run the FLUSH-FREE one, keeping
+    # the pull leg), force_full=2 disables both (steady chunks run the
+    # FULL program, keeping flush + pull legs). The tape stream is
+    # identical — a flush program fed all-sentinel ids is a no-op
+    # (tests/test_noflush.py) — so timed deltas isolate the legs.
+    if force_full >= 1:
+        cfg.sched_nopull_variant = False
+    if force_full >= 2:
+        cfg.sched_noflush_variant = False
+    assert ITERS % chunk == 0, (ITERS, chunk)
+    eng = CachedEngine(cfg, table_rows=ROWS)
     if tape_mode:
         # production --plan-cache mode: the micro-program tape is
         # recorded ONCE (untimed setup, like the compile) and the timed
@@ -301,7 +319,9 @@ def main():
     # generous by default: a degraded remote terminal can stall the FIRST
     # big allocation for 5-12 min before succeeding (observed); a completed
     # slow capture beats a fast null one. Healthy totals stay ~5 min.
-    deadline = float(os.environ.get("HERALD_BENCH_DEADLINE_S", 900))
+    # (raised 900 -> 1200 after a 2026-08-20 capture where one slow
+    # engine leg ate 863 s and the scheduled legs were skipped entirely)
+    deadline = float(os.environ.get("HERALD_BENCH_DEADLINE_S", 1200))
 
     def time_left():
         return deadline - (time.perf_counter() - t_bench0)
@@ -313,7 +333,8 @@ def main():
     import threading
     partial = {"engines": [], "naives": [], "sched": None,
                "sched_live": None, "sched_spread": None,
-               "sched_live_spread": None, "mesh": {}, "errors": []}
+               "sched_live_spread": None, "sched_noflush": None,
+               "sched_full": None, "mesh": {}, "errors": []}
     emitted = threading.Event()
 
     # embedding-lookup GB/s (BASELINE.json's north-star second half):
@@ -336,6 +357,18 @@ def main():
     naive_bytes = BATCH * _spec.num_sparse * EMB_DIM * 2 * 3
     sched_bytes = u_mean * (2 * EMB_DIM) * 4 * 2
     hbm_gbs = float(os.environ.get("HERALD_HBM_GBS", 819))
+    # analytic dense-tower FLOPs (2 MACs per 2-D-param element, train ~=
+    # 3x forward) for the explicit MFU line: these CTR models are
+    # lookup-bound by design — the MXU share is structurally tiny and
+    # the honest roofline axis is per-index scatter/gather descriptors
+    # (docs/PERF_NOTES.md "Per-op costs")
+    _shapes = jax.eval_shape(
+        lambda k: _gm("wdl_criteo").init_dense(k, EMB_DIM),
+        jax.random.PRNGKey(0))
+    _mac = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(_shapes)
+               if len(s.shape) == 2)
+    flops_per_ex_train = 2 * _mac * 3
+    peak_tflops = float(os.environ.get("HERALD_PEAK_TFLOPS", 394))
 
     def emit(ours, naive, sched, sched_live, mesh, errors):
         if emitted.is_set():
@@ -372,6 +405,36 @@ def main():
             "naive_spread": spread(partial["naives"]),
             "scheduled_spread": spread(partial["sched_spread"]),
             "scheduled_live_spread": spread(partial["sched_live_spread"]),
+            # step-phase device-time decomposition (VERDICT r4 #8):
+            # ms/step of the three compiled program variants on the SAME
+            # tape; leg costs are their differences. NOTE the chip band
+            # moves +/-10% between measurements, so leg deltas smaller
+            # than ~0.05 ms are weather, not structure.
+            "step_breakdown": (lambda s, nf, fl: {
+                "steady_pull_free_ms_per_step":
+                    round(BATCH / s * 1e3, 4),
+                "flush_free_ms_per_step":
+                    round(BATCH / nf * 1e3, 4) if nf else None,
+                "full_ms_per_step":
+                    round(BATCH / fl * 1e3, 4) if fl else None,
+                "pull_leg_ms":
+                    round(BATCH / nf * 1e3 - BATCH / s * 1e3, 4)
+                    if nf else None,
+                "flush_leg_ms":
+                    round(BATCH / fl * 1e3 - BATCH / nf * 1e3, 4)
+                    if nf and fl else None,
+            })(sched, partial["sched_noflush"], partial["sched_full"])
+            if sched else None,
+            # explicit roofline/MFU line: the dense tower's analytic
+            # FLOPs at the measured rate vs MXU peak — structurally tiny
+            # for CTR models; the binding axis is per-index
+            # scatter/gather (lookup_* keys), not FLOPs
+            "tower_flops_per_example": int(flops_per_ex_train),
+            "tower_mfu": (round(flops_per_ex_train * sched
+                                / (peak_tflops * 1e12), 6)
+                          if sched else None),
+            "roofline_bottleneck": "per-index scatter/gather descriptors"
+                                   " (PERF_NOTES per-op costs)",
             # embedding-lookup GB/s at the measured step rates (byte
             # model above; per-index-bound, see PERF_NOTES)
             "lookup_gbs": round(lookup, 2) if lookup else None,
@@ -469,25 +532,32 @@ def main():
     naives, engines, errors = partial["naives"], partial["engines"], \
         partial["errors"]
     acc = {"engine": engines, "naive": naives}
-    # alternating fairness rounds; later rounds are skippable on deadline
-    for i, mode in enumerate(("engine", "naive", "naive", "engine")):
-        if i >= 2 and time_left() < 120:
-            log("[bench] skipping second fairness round (deadline)")
-            break
-        log(f"[bench] {mode} ...")
-        t0 = time.perf_counter()
-        try:
-            acc[mode].append(fns[mode]())
-            log(f"[bench] {mode} done in {time.perf_counter() - t0:.0f}s")
-        except Exception as e:
-            errors.append(f"{mode}: {str(e)[:80]}")
-            log(f"[bench] {mode} FAILED: {e}")
-            # a failed measurement skipped its own _free: drop EVERY
-            # live device buffer so the next stage's 8.6 GB table
-            # doesn't land next to the leaked one
-            _free(list(jax.live_arrays()))
-    ours = max(engines) if engines else None
-    naive = max(naives) if naives else None
+
+    def fairness_round(modes, skippable):
+        for mode in modes:
+            if skippable and time_left() < 120:
+                log("[bench] skipping second fairness round (deadline)")
+                return
+            log(f"[bench] {mode} ...")
+            t0 = time.perf_counter()
+            try:
+                acc[mode].append(fns[mode]())
+                log(f"[bench] {mode} done in "
+                    f"{time.perf_counter() - t0:.0f}s")
+            except Exception as e:
+                errors.append(f"{mode}: {str(e)[:80]}")
+                log(f"[bench] {mode} FAILED: {e}")
+                # a failed measurement skipped its own _free: drop EVERY
+                # live device buffer so the next stage's 8.6 GB table
+                # doesn't land next to the leaked one
+                _free(list(jax.live_arrays()))
+
+    # one fairness round first (the scheduled ratio needs a naive
+    # denominator), then the SCHEDULED legs — the round's real story —
+    # then the second fairness round only with time to spare (a single
+    # weather-slowed engine leg used to eat the whole deadline and skip
+    # the scheduled legs entirely)
+    fairness_round(("engine", "naive"), skippable=False)
 
     # the cache-path measurements: tape (production --plan-cache replay)
     # and live (in-situ planner), side by side (VERDICT r3 #2)
@@ -503,6 +573,27 @@ def main():
         except Exception as e:
             errors.append(f"{key}: {str(e)[:80]}")
             _free(list(jax.live_arrays()))
+
+    # step-phase breakdown (VERDICT r4 #8): replay the SAME tape through
+    # the flush-free (pull leg kept) and full (flush + pull legs kept)
+    # programs; timed deltas against the steady pull-free number isolate
+    # each leg's device cost. Optional — skipped when the deadline is
+    # tight (each leg pays one extra compile).
+    for key, level in (("sched_noflush", 1), ("sched_full", 2)):
+        if time_left() < 420 or not partial["sched"]:
+            break
+        log(f"[bench] scheduled breakdown (force_full={level}) ...")
+        try:
+            partial[key] = bench_scheduled(tape_mode=True,
+                                           force_full=level)
+            log(f"[bench] breakdown {key} done")
+        except Exception as e:
+            errors.append(f"{key}: {str(e)[:80]}")
+            _free(list(jax.live_arrays()))
+
+    fairness_round(("naive", "engine"), skippable=True)
+    ours = max(engines) if engines else None
+    naive = max(naives) if naives else None
 
     emit(ours, naive, partial["sched"], partial["sched_live"],
          partial["mesh"], errors)
