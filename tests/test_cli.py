@@ -235,3 +235,33 @@ def test_cli_plan_cache_records_then_replays(tmp_path):
     assert rec["steps"] == rep["steps"] == live["steps"]
     assert rec["val_auc"] == pytest.approx(live["val_auc"], abs=1e-12)
     assert rep["val_auc"] == pytest.approx(live["val_auc"], abs=1e-12)
+
+
+def test_embed_lr_opt_split_flags(tmp_path):
+    """--embed-lr/--embed-opt split table vs tower optimization on both
+    config paths (flags and --config override)."""
+    from herald_tpu import HeraldConfig
+    from herald_tpu.launch.cli import resolve_config
+    args = build_parser().parse_args(
+        ["--opt", "adagrad", "--lr", "0.05",
+         "--embed-opt", "sgd", "--embed-lr", "1.0"])
+    cfg = resolve_config(args)
+    assert cfg.optimizer == "adagrad" and cfg.learning_rate == 0.05
+    assert cfg.embed_optimizer == "sgd"
+    assert cfg.embed_learning_rate == 1.0
+    # defaults: embed fields mirror the dense ones
+    cfg2 = resolve_config(build_parser().parse_args(
+        ["--opt", "adam", "--lr", "0.2"]))
+    assert cfg2.embed_optimizer == "adam"
+    assert cfg2.embed_learning_rate == 0.2
+    # --config + explicit embed overrides win over the file's resolved
+    # fields
+    cfgf = tmp_path / "c.json"
+    cfgf.write_text(HeraldConfig(learning_rate=0.5,
+                                 optimizer="sgd").to_json())
+    cfg3 = resolve_config(build_parser().parse_args(
+        ["--config", str(cfgf), "--embed-opt", "adagrad",
+         "--embed-lr", "0.7"]))
+    assert cfg3.optimizer == "sgd" and cfg3.learning_rate == 0.5
+    assert cfg3.embed_optimizer == "adagrad"
+    assert cfg3.embed_learning_rate == 0.7
