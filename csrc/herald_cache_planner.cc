@@ -362,12 +362,20 @@ private:
 // batches produce. Skipped passes (all keys share a byte) cost one
 // counting scan only.
 static void radix_sort_keys(std::vector<key_t_> &v,
-                            std::vector<key_t_> &tmp, key_t_ maxv) {
+                            std::vector<key_t_> &tmp, key_t_ maxv,
+                            int shift = 0) {
     size_t n = v.size();
     if (n < 64) {            // tiny batches: std::sort wins
         std::sort(v.begin(), v.end());
         return;
     }
+    // `shift` skips sorting the low bits entirely: the batch-read sort
+    // packs (key << pos_bits) | pos and only needs keys grouped/ordered
+    // — LSD passes are stable, so positions keep their original order
+    // inside a key group and the dedup walk + inv map are unchanged,
+    // while the pass count follows the KEY range (e.g. 25-bit criteo
+    // ids = 4 passes) instead of the packed width (38 bits = 5).
+    maxv >>= shift;
     int passes = 1;
     while (passes < 8 && (maxv >> (8 * passes)) != 0) passes++;
     tmp.resize(n);
@@ -377,12 +385,12 @@ static void radix_sort_keys(std::vector<key_t_> &v,
     uint32_t cnt[8][256];
     std::memset(cnt, 0, size_t(passes) * sizeof cnt[0]);
     for (size_t i = 0; i < n; i++) {
-        key_t_ x = a[i];
+        key_t_ x = a[i] >> shift;
         for (int p = 0; p < passes; p++) cnt[p][(x >> (p * 8)) & 255]++;
     }
     for (int pass = 0; pass < passes; pass++) {
         uint32_t *c = cnt[pass];
-        int sh = pass * 8;
+        int sh = shift + pass * 8;
         if (c[(a[0] >> sh) & 255] == n) continue;   // single bucket
         uint32_t sum = 0;
         for (int j = 0; j < 256; j++) {
@@ -1159,7 +1167,7 @@ private:
             }
             std::vector<key_t_> sort_tmp;
             radix_sort_keys(keys, sort_tmp,
-                            ((key_space_ - 1) << pb) | pmask);
+                            ((key_space_ - 1) << pb) | pmask, pb);
             auto &inv = mp.inv[z];
             inv.resize(size_t(mbs_) * num_tables_);
             {

@@ -569,6 +569,12 @@ class CachedEngine(Engine):
             def body(state, xs):
                 if idx_mode:
                     idx_t, *rest = xs
+                    gb = self.cfg.batch_size * max(self.num_shards, 1)
+                    if idx_t.shape[0] == 1 and gb > 1:
+                        # sequential-assign wire: width-1 base + iota
+                        # (see _stage_chunk elision note)
+                        idx_t = idx_t[0] + jnp.arange(
+                            gb, dtype=idx_t.dtype)
                     d = jnp.take(dev_d, idx_t, axis=0)
                     y = jnp.take(dev_y, idx_t, axis=0)
                 else:
@@ -839,7 +845,20 @@ class CachedEngine(Engine):
                     *(() if noflush else (fids[:K], fslots[:K])),
                     pfids[:K], pfslots[:K], uniq[:K], inv_w)
         if index_feed:
-            host = (idx.astype(np.int32, copy=False),) + prog
+            idx32 = idx.astype(np.int32, copy=False)
+            # sequential-assign elision (solo packed wire): unshuffled
+            # solo planning assigns samples in stream order, so each
+            # step's index row is base + arange(gb) — ship the [K, 1]
+            # bases instead of [K, gb] indices and let the device
+            # rebuild the row with an iota (the scanned body expands
+            # width-1 index rows; bit-identical values)
+            if (self.num_shards <= 1 and self.cfg.sched_packed_wire
+                    and idx32.ndim == 2 and idx32.shape[1] > 1
+                    and np.array_equal(
+                        idx32, idx32[:, :1]
+                        + np.arange(idx32.shape[1], dtype=np.int32))):
+                idx32 = np.ascontiguousarray(idx32[:, :1])
+            host = (idx32,) + prog
         else:
             # the sparse rows never ship: uniq/inv replace them (host-
             # side dedup), removing the raw_sparse fancy-index too
