@@ -130,6 +130,21 @@ class HeraldConfig:
     # (layout ops, ~free next to the step). Bit-exact by construction
     # (tests/test_packed_wire.py pins it against the unpacked wire).
     sched_packed_wire: bool = True
+    # staged-chunk memo (cached mode, single-shard packed wire): an
+    # epoch-repeat stream re-plans byte-identical chunk programs, so the
+    # engine keeps up to sched_chunk_memo_mb MB of recently staged
+    # packed buffers (host copy + device array) keyed by content; when a
+    # freshly planned chunk's bytes EQUAL a memoized buffer — verified
+    # by a full memcmp, so reuse is bit-exact by construction — the
+    # device_put is skipped and the resident buffer dispatches again.
+    # Live (in-situ) planning then converges to plan-tape throughput on
+    # fixed streams while the planner still plans and verifies every
+    # step online; shuffled or oversized streams see one cheap sampled-
+    # key probe per chunk, and a stream whose distinct programs exceed
+    # the budget disables the memo (sequential reuse under LRU would
+    # evict each entry right before its hit — thrash, not caching).
+    sched_chunk_memo: bool = True
+    sched_chunk_memo_mb: int = 256
     # flush gradient-delta wire dtype (cached mode). None = the delta
     # dtype (f32, exact). jnp.bfloat16 halves the flush all-to-all bytes;
     # accumulation at the owner stays f32, so only the per-row delta is

@@ -34,6 +34,8 @@ push path never overflows.
 
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
 from typing import Dict, NamedTuple, Optional
 
 import jax
@@ -173,6 +175,13 @@ class CachedEngine(Engine):
         self.noflush_chunks = 0     # chunks that took the flush-free path
         self.nopull_chunks = 0      # chunks that also took the pull-free path
         self._packed_epochs = {}    # (idx, flush, pull, layout) -> jit
+        # staged-chunk memo (sched_chunk_memo): content-keyed reuse of
+        # packed program buffers across repeated epochs (see _stage_chunk)
+        self._chunk_memo = OrderedDict()
+        self._memo_bytes = 0
+        self._memo_on = bool(cfg.sched_chunk_memo)
+        self._memo_lock = threading.Lock()   # _Prestager stages from a pool
+        self.memo_hits = 0          # chunks whose put was elided
         self.U_cap = int(cfg.sched_unique_slots or self.ids_per_worker)
         self.F_cap = int(cfg.sched_flush_slots or self.U_cap)
         # pull smoothing: prefetch arrays are only materialized when the
@@ -870,6 +879,47 @@ class CachedEngine(Engine):
             if self.num_shards <= 1:
                 # single-shard packed wire: ONE device_put per chunk
                 buf, layout = _pack_wire(host)
+                if self._memo_on:
+                    # staged-chunk memo: an epoch-repeat stream re-plans
+                    # byte-identical programs, so keep recent packed
+                    # buffers (host copy + device array) keyed by
+                    # content and skip the put when the fresh plan's
+                    # bytes EQUAL a resident one — the live planner then
+                    # converges to tape throughput on fixed streams
+                    # while still planning (and verifying) every step
+                    # online. Reuse is gated on a FULL memcmp, so it is
+                    # bit-exact by construction (no hash-collision
+                    # risk); the sampled key only routes the lookup.
+                    key = (variant, index_feed, layout, buf.nbytes,
+                           buf[:64].tobytes(), buf[-64:].tobytes())
+                    with self._memo_lock:
+                        hit = self._chunk_memo.get(key)
+                    # full compare outside the lock (entries are
+                    # immutable once published, never edited in place)
+                    if hit is not None and np.array_equal(buf, hit[0]):
+                        with self._memo_lock:
+                            if key in self._chunk_memo:
+                                self._chunk_memo.move_to_end(key)
+                            self.memo_hits += 1
+                        return variant, hit[1]
+                    staged = PackedChunk(jax.device_put(buf), layout,
+                                         index_feed)
+                    with self._memo_lock:
+                        if self._chunk_memo.get(key) is None:
+                            self._memo_bytes += buf.nbytes
+                        self._chunk_memo[key] = (buf, staged)
+                        overflow = (self._memo_bytes
+                                    > self.cfg.sched_chunk_memo_mb << 20)
+                    if overflow:
+                        # the stream's distinct programs exceed the
+                        # budget: sequential reuse under LRU would evict
+                        # every entry right before its hit — disable
+                        # instead of thrashing host RAM + HBM
+                        with self._memo_lock:
+                            self._chunk_memo.clear()
+                            self._memo_bytes = 0
+                            self._memo_on = False
+                    return variant, staged
                 return variant, PackedChunk(jax.device_put(buf), layout,
                                             index_feed)
             # mesh packed wire: [nr, B] rows sharded over the mesh — one

@@ -229,3 +229,54 @@ def test_mesh_stage_chunk_single_sharded_buffer():
     assert args.buf.shape[0] == 8
     from jax.sharding import PartitionSpec
     assert args.buf.sharding.spec == PartitionSpec(eng.axis, None)
+
+
+def _train_memo(memo: bool, memo_mb: int = 256, epochs: int = 3):
+    """3 epochs over a fixed fully-cacheable stream: epochs 2+ re-plan
+    byte-identical programs, the staged-chunk memo's target regime."""
+    cfg = HeraldConfig(model="wdl_criteo", batch_size=B, embedding_dim=8,
+                       comm_mode="local", learning_rate=0.5,
+                       cache_limit_ratio=1.0, sched_chunk_memo=memo,
+                       sched_chunk_memo_mb=memo_mb)
+    model = get_model(cfg.model)
+    dense, sparse, labels = synthetic_ctr_data(model.spec, B * STEPS,
+                                               seed=9, num_rows=600)
+    eng = CachedEngine(cfg, table_rows=600)
+    planner = eng.make_planner(sparse, epochs=epochs, n_threads=1)
+    st = eng.init_cached_state(0)
+    dd = eng.stage_dataset(dense, sparse.astype(np.int32), labels)
+    losses = []
+    while True:
+        st, stats = eng.train_epoch_cached(st, planner, dense, sparse,
+                                           labels, steps=6,
+                                           device_data=dd)
+        if stats is None:
+            break
+        losses.append(np.asarray(stats["loss"]))
+    st = eng.sync_cache(st, planner)
+    planner.close()
+    return np.asarray(st.table), np.concatenate(losses), eng.memo_hits
+
+
+def test_chunk_memo_hits_and_stays_bit_exact():
+    """Epoch-repeat streams must HIT the memo (puts elided) and train
+    bit-identically to the memo-off run — reuse is gated on a full
+    memcmp of the packed bytes, so this is exactness by construction."""
+    t1, l1, h1 = _train_memo(True)
+    t0, l0, h0 = _train_memo(False)
+    assert h0 == 0
+    # 3 epochs x 4 chunks: epoch 1 plans cold programs; at least the
+    # epoch-3 chunks must replay epoch 2's bytes verbatim
+    assert h1 >= 4, f"expected steady-state memo hits, got {h1}"
+    np.testing.assert_array_equal(t0, t1)
+    np.testing.assert_array_equal(l0, l1)
+
+
+def test_chunk_memo_budget_overflow_disables():
+    """A stream whose distinct programs exceed the budget must disable
+    the memo (no thrash) and still train bit-exactly."""
+    t1, l1, h1 = _train_memo(True, memo_mb=0)
+    t0, l0, h0 = _train_memo(False)
+    assert h0 == 0 and h1 == 0
+    np.testing.assert_array_equal(t0, t1)
+    np.testing.assert_array_equal(l0, l1)
