@@ -879,62 +879,71 @@ class CachedEngine(Engine):
             if self.num_shards <= 1:
                 # single-shard packed wire: ONE device_put per chunk
                 buf, layout = _pack_wire(host)
-                if self._memo_on:
-                    # staged-chunk memo: an epoch-repeat stream re-plans
-                    # byte-identical programs, so keep recent packed
-                    # buffers (host copy + device array) keyed by
-                    # content and skip the put when the fresh plan's
-                    # bytes EQUAL a resident one — the live planner then
-                    # converges to tape throughput on fixed streams
-                    # while still planning (and verifying) every step
-                    # online. Reuse is gated on a FULL memcmp, so it is
-                    # bit-exact by construction (no hash-collision
-                    # risk); the sampled key only routes the lookup.
-                    key = (variant, index_feed, layout, buf.nbytes,
-                           buf[:64].tobytes(), buf[-64:].tobytes())
-                    with self._memo_lock:
-                        hit = self._chunk_memo.get(key)
-                    # full compare outside the lock (entries are
-                    # immutable once published, never edited in place)
-                    if hit is not None and np.array_equal(buf, hit[0]):
-                        with self._memo_lock:
-                            if key in self._chunk_memo:
-                                self._chunk_memo.move_to_end(key)
-                            self.memo_hits += 1
-                        return variant, hit[1]
-                    staged = PackedChunk(jax.device_put(buf), layout,
-                                         index_feed)
-                    with self._memo_lock:
-                        if self._chunk_memo.get(key) is None:
-                            self._memo_bytes += buf.nbytes
-                        self._chunk_memo[key] = (buf, staged)
-                        overflow = (self._memo_bytes
-                                    > self.cfg.sched_chunk_memo_mb << 20)
-                    if overflow:
-                        # the stream's distinct programs exceed the
-                        # budget: sequential reuse under LRU would evict
-                        # every entry right before its hit — disable
-                        # instead of thrashing host RAM + HBM
-                        with self._memo_lock:
-                            self._chunk_memo.clear()
-                            self._memo_bytes = 0
-                            self._memo_on = False
-                    return variant, staged
-                return variant, PackedChunk(jax.device_put(buf), layout,
-                                            index_feed)
+                return variant, self._memo_stage(
+                    variant, buf, layout, index_feed,
+                    lambda b: jax.device_put(b), mesh=False)
             # mesh packed wire: [nr, B] rows sharded over the mesh — one
             # put (one per process on multi-host) instead of one per
             # array, which re-hits the per-put dispatch-latency wall on
             # tunnel-like transports (PackedChunk docstring)
             buf, layout = _pack_wire_sharded(host, max(self.num_shards, 1))
             sh = NamedSharding(self.mesh, P(self.axis, None))
-            return variant, PackedChunk(jax.device_put(buf, sh), layout,
-                                        index_feed, mesh=True)
+            return variant, self._memo_stage(
+                variant, buf, layout, index_feed,
+                lambda b: jax.device_put(b, sh), mesh=True)
         if self.num_shards > 1:
             args = jax.device_put(host, (self._kdata_sharding,) * len(host))
         else:
             args = jax.device_put(host)
         return variant, args
+
+    def _memo_stage(self, variant, buf, layout, index_feed, put,
+                    *, mesh: bool) -> PackedChunk:
+        """Stage one packed chunk buffer, reusing a memoized device copy
+        when the bytes match (sched_chunk_memo). An epoch-repeat stream
+        re-plans byte-identical programs, so the engine keeps recent
+        packed buffers (host copy + device array) keyed by content and
+        skips the put when the fresh plan's bytes EQUAL a resident one —
+        the live planner then converges to tape throughput on fixed
+        streams while still planning (and verifying) every step online.
+        Reuse is gated on a FULL memcmp, so it is bit-exact by
+        construction (no hash-collision risk); the sampled key only
+        routes the lookup. On a mesh, each process compares its full
+        [nr, B] host buffer and elides its own per-process transfer —
+        the same win the reference's PS-side caching buys its workers.
+        The lock covers the CLI prestager's staging pool."""
+        if not self._memo_on:
+            return PackedChunk(put(buf), layout, index_feed, mesh=mesh)
+        flat = buf.reshape(-1)
+        key = (variant, index_feed, mesh, layout, buf.shape, buf.nbytes,
+               flat[:64].tobytes(), flat[-64:].tobytes())
+        with self._memo_lock:
+            hit = self._chunk_memo.get(key)
+        # full compare outside the lock (entries are immutable once
+        # published, never edited in place)
+        if hit is not None and np.array_equal(buf, hit[0]):
+            with self._memo_lock:
+                if key in self._chunk_memo:
+                    self._chunk_memo.move_to_end(key)
+                self.memo_hits += 1
+            return hit[1]
+        staged = PackedChunk(put(buf), layout, index_feed, mesh=mesh)
+        with self._memo_lock:
+            if self._chunk_memo.get(key) is None:
+                self._memo_bytes += buf.nbytes
+            self._chunk_memo[key] = (buf, staged)
+            overflow = (self._memo_bytes
+                        > self.cfg.sched_chunk_memo_mb << 20)
+        if overflow:
+            # the stream's distinct programs exceed the budget:
+            # sequential reuse under LRU would evict every entry right
+            # before its hit — disable instead of thrashing host
+            # RAM + HBM
+            with self._memo_lock:
+                self._chunk_memo.clear()
+                self._memo_bytes = 0
+                self._memo_on = False
+        return staged
 
     def stage_program_chunks(self, planner, steps_per_chunk: int,
                              max_chunks: Optional[int] = None, raw=None):

@@ -280,3 +280,36 @@ def test_chunk_memo_budget_overflow_disables():
     assert h0 == 0 and h1 == 0
     np.testing.assert_array_equal(t0, t1)
     np.testing.assert_array_equal(l0, l1)
+
+
+def test_mesh_chunk_memo_reuses_identical_buffers():
+    """The memo must also cover the MESH packed wire (multi-host runs
+    pay the same per-put dispatch wall). Multi-worker planning does not
+    reach an epoch-periodic fixed point (assignment rides evolving
+    affinity/LRU state), so this pins the MECHANISM directly: staging
+    the same popped chunk twice must return the identical staged object
+    (put elided), and a one-byte perturbation must miss — the full
+    memcmp, not the sampled key, decides reuse."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = HeraldConfig(model="wdl_criteo", batch_size=B, embedding_dim=8,
+                       comm_mode="hybrid", cache_limit_ratio=0.6)
+    model = get_model(cfg.model)
+    n = B * 8 * 4
+    dense, sparse, labels = synthetic_ctr_data(model.spec, n, seed=1,
+                                               num_rows=1200)
+    eng = CachedEngine(cfg, table_rows=1200)
+    planner = eng.make_planner(sparse, epochs=1, n_threads=1)
+    out = planner.pop_chunk(4)
+    K = out[0]
+    stage = lambda: eng._stage_chunk(
+        K, *out[1:], dense, sparse, labels, index_feed=False)
+    v1, s1 = stage()
+    v2, s2 = stage()
+    assert eng.memo_hits == 1 and s2 is s1 and v2 == v1
+    assert isinstance(s1, PackedChunk) and s1.mesh
+    # perturb one byte of the flush ids: must MISS (full-compare gate)
+    out[5][0, 0] ^= 1
+    v3, s3 = stage()
+    assert eng.memo_hits == 1 and s3 is not s1
+    planner.close()
