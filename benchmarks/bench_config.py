@@ -37,7 +37,7 @@ def bench_scheduled(args, cfg, model):
                                          profile_planned_traffic)
     from herald_tpu.train.cached import CachedEngine
     cfg.use_cache = cfg.use_scheduler = True
-    cfg.cache_limit_ratio = 0.1
+    cfg.cache_limit_ratio = args.cache_ratio
     K = args.iters
     dense, sparse, labels = synthetic_ctr_data(
         model.spec, args.batch_size * K, seed=0, num_rows=args.rows)
@@ -121,6 +121,15 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (the smoke test pins the "
                          "script on cpu; default: the real chip)")
+    ap.add_argument("--cache-ratio", type=float, default=0.1,
+                    help="cache_limit_ratio for --scheduled (reference "
+                         "canonical 0.1). Size it so the cache covers "
+                         "the stream's working set to reach the "
+                         "pull-free steady regime — dfm_criteo's "
+                         "rows-scaled stream carries ~314K uniques vs "
+                         "the 200K rows a 0.1 ratio buys, so it can "
+                         "never leave the full flush+pull programs at "
+                         "the canonical ratio")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
