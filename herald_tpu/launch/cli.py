@@ -150,6 +150,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-prefetch", action="store_true",
                    help="disable the async host->device input pipeline "
                         "(data/prefetch.py DevicePrefetcher)")
+    p.add_argument("--no-chunk-memo", action="store_true",
+                   help="disable the staged-chunk memo (scheduled mode: "
+                        "repeated epochs reuse byte-identical staged "
+                        "program buffers, eliding the device_put; "
+                        "bit-exact — this flag exists for staging "
+                        "debugging and ablation)")
     p.add_argument("--autosize", action="store_true",
                    help="scheduled mode: run a host-only probe plan first "
                         "and size everything from measurements — program "
@@ -331,6 +337,7 @@ def resolve_config(args) -> "HeraldConfig":
             sched_shuffle_seed=args.shuffle_seed,
             a2a_capacity_factor=args.a2a_capacity_factor,
             prefetch=not args.no_prefetch,
+            sched_chunk_memo=not args.no_chunk_memo,
             log_dir=args.log_dir,
             flush_wire_dtype=(jnp.int8 if args.int8_flush
                               else jnp.bfloat16 if args.bf16_flush

@@ -271,3 +271,22 @@ def test_embed_lr_opt_split_flags(tmp_path):
     assert cfg3.optimizer == "sgd" and cfg3.learning_rate == 0.5
     assert cfg3.embed_optimizer == "adagrad"
     assert cfg3.embed_learning_rate == 0.7
+
+
+def test_cli_chunk_memo_threaded_prestage_bit_exact():
+    """The staged-chunk memo under the CLI's threaded prestager pool
+    (multi-epoch solo run, comm local => single-shard packed wire with
+    memo hits from epoch 3 on) must train identically to --no-chunk-memo
+    — the memo only elides redundant transfers, never changes the
+    dispatched programs, and the engine lock keeps the pool safe."""
+    common = ["--model", "wdl_criteo", "--comm", "local", "--scheduled",
+              "--batch-size", "16", "--samples", "1536", "--rows", "900",
+              "--cache-limit-ratio", "1.0", "--lr", "0.5",
+              "--nepoch", "4", "--scan-steps", "8", "--val-ratio", "0.25",
+              "--prestage", "3", "--prestage-threads", "2", "--seed", "11"]
+    memo = run_training(build_parser().parse_args(common))
+    plain = run_training(build_parser().parse_args(
+        common + ["--no-chunk-memo"]))
+    assert memo["steps"] == plain["steps"]
+    assert memo["overflow_rows"] == 0
+    assert memo["val_auc"] == pytest.approx(plain["val_auc"], abs=1e-12)
