@@ -90,3 +90,60 @@ def load_our_sim():
                                      ctypes.POINTER(ctypes.c_int64)]
     ours.hsim_destroy.argtypes = [ctypes.c_void_p]
     return ours
+
+
+def replay_counters(ref, ours, *, batches, nrank, mbs, T, keys_space,
+                    cap, zipf_a, seed):
+    """The reference's counter replay discipline
+    (`topk_scheduler.cc:306-344`), applied to BOTH simulators on one
+    identical multi-worker stream: per batch, worker z's comm plan =
+    keys other workers read that z currently caches (computed with the
+    ORACLE's check() for both sides so the plan never depends on the
+    system under test) -> outdate them, book update_push; then per
+    unique key a get() books miss_pull (>= 0) / miss_push (> 0, evicted
+    fresh) / update_pull (-2, resident-but-outdated).
+
+    Shared by tests/test_golden_sim_parity.py and
+    benchmarks/golden_counters.py so the discipline cannot drift
+    between the test and the committed artifact.
+
+    Returns (cnt_ref, cnt_ours, mismatches, rhs, ohs): [nrank, 4]
+    counter matrices (miss_pull, miss_push, update_pull, update_push),
+    the list of per-op return-code mismatches (batch, worker, key,
+    rc_ref, rc_ours), and the LIVE handles — callers inspect valid-key
+    sets if they want, then destroy.
+    """
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    rhs = [ref.ref_create(keys_space, cap) for _ in range(nrank)]
+    ohs = [ours.hsim_create(cap, keys_space) for _ in range(nrank)]
+    cnt_ref = np.zeros((nrank, 4), np.int64)
+    cnt_ours = np.zeros((nrank, 4), np.int64)
+    mismatches = []
+    for b in range(batches):
+        batch = rng.zipf(zipf_a, size=(nrank, mbs, T)) % keys_space
+        uniq = [np.unique(batch[z]) for z in range(nrank)]
+        for z in range(nrank):
+            others = np.unique(np.concatenate(
+                [uniq[w] for w in range(nrank) if w != z]))
+            cplan = [int(k) for k in others
+                     if ref.ref_check(rhs[z], int(k))]
+            for k in cplan:
+                ref.ref_outdate(rhs[z], k)
+                ours.hsim_outdate(ohs[z], k)
+            cnt_ref[z, 3] += len(cplan)
+            cnt_ours[z, 3] += len(cplan)
+            for k in uniq[z]:
+                k = int(k)
+                rc_r = ref.ref_get(rhs[z], k)
+                rc_o = ours.hsim_get(ohs[z], k)
+                if rc_r != rc_o:
+                    mismatches.append((b, z, k, rc_r, rc_o))
+                for cnt, rc in ((cnt_ref[z], rc_r), (cnt_ours[z], rc_o)):
+                    if rc == -2:
+                        cnt[2] += 1
+                    elif rc >= 0:
+                        cnt[0] += 1
+                        if rc > 0:
+                            cnt[1] += 1
+    return cnt_ref, cnt_ours, mismatches, rhs, ohs

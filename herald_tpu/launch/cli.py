@@ -310,6 +310,8 @@ def resolve_config(args) -> "HeraldConfig":
             cfg.pinned_rows = 0     # same gate as the flag path
         if args.no_prefetch:
             cfg.prefetch = False
+        if args.no_chunk_memo:
+            cfg.sched_chunk_memo = False
         if args.bf16_table:
             cfg.table_dtype = jnp.bfloat16
         if args.bf16_flush:
@@ -976,7 +978,14 @@ def run_training(args) -> dict:
                     # the record is EXACT instead of
                     # val_approx_unsynced_cache (VERDICT r4 weak #5; the
                     # serve-overlay alternative would copy the table,
-                    # which does not fit next to itself at full scale)
+                    # which does not fit next to itself at full scale).
+                    # Drain FIRST: under boundary-drain the epoch's
+                    # losses still sit in cs.pending, and slicing
+                    # cs.losses undrained would hand the record the
+                    # PREVIOUS epoch's losses (this is the stream-end
+                    # drain finish() would do moments later)
+                    cs.drain()
+                    steady_close()
                     final_eval_losses = cs.losses[
                         -(done - max(start_done, done - spe)):]
                     continue

@@ -55,19 +55,33 @@ def _build(src_name: str, lib_name: str, rebuild: bool) -> str:
             and os.path.getmtime(d) > os.path.getmtime(lib)
             for d in deps) or _lib_abi(lib) != expected)
         if stale:
+            # build to a TEMP path + atomic rename: the staleness probe
+            # above dlopened the old .so, and relinking over the same
+            # mapped inode is undefined behavior AND makes the post-
+            # build re-dlopen resolve the pinned old image (spurious
+            # hash mismatch on exactly the stale-content case the guard
+            # targets). A fresh inode sidesteps both; an already-loaded
+            # old image in this process stays mapped (harmless leak),
+            # while every later CDLL(lib) resolves the new file.
+            tmp = lib + ".build.tmp"
             # -mcx16/-latomic: the planner's 128-bit residency words (64
             # workers) use 16-byte atomic RMW (cmpxchg16b)
             cmd = ["g++", "-O3", "-std=c++17", "-mcx16", "-shared",
                    "-fPIC", f"-DHERALD_ABI_HASH={expected}L",
-                   "-o", lib, src, "-lpthread", "-latomic"]
-            subprocess.run(cmd, check=True, capture_output=True, text=True)
-            got = _lib_abi(lib)
-            if got != expected:
-                raise RuntimeError(
-                    f"{lib_name}: rebuilt library reports ABI hash {got}, "
-                    f"sources hash to {expected} — the .so on disk does "
-                    f"not match csrc/{src_name} (dlopen may have pinned an "
-                    f"older image in this process; restart the process)")
+                   "-o", tmp, src, "-lpthread", "-latomic"]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True,
+                               text=True)
+                got = _lib_abi(tmp)
+                if got != expected:
+                    raise RuntimeError(
+                        f"{lib_name}: rebuilt library reports ABI hash "
+                        f"{got}, sources hash to {expected} — the "
+                        f"compiler output does not match csrc/{src_name}")
+                os.replace(tmp, lib)
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
         return lib
 
 

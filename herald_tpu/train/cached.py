@@ -578,10 +578,14 @@ class CachedEngine(Engine):
             def body(state, xs):
                 if idx_mode:
                     idx_t, *rest = xs
-                    gb = self.cfg.batch_size * max(self.num_shards, 1)
-                    if idx_t.shape[0] == 1 and gb > 1:
-                        # sequential-assign wire: width-1 base + iota
-                        # (see _stage_chunk elision note)
+                    # sequential-assign wire: width-1 base + iota (see
+                    # _stage_chunk elision note). SOLO only — the
+                    # elision never fires on a mesh, where the scanned
+                    # per-shard row is legitimately batch_size wide (a
+                    # width-1 row at batch_size=1 must stay width 1)
+                    gb = self.cfg.batch_size
+                    if (self.num_shards <= 1 and idx_t.shape[0] == 1
+                            and gb > 1):
                         idx_t = idx_t[0] + jnp.arange(
                             gb, dtype=idx_t.dtype)
                     d = jnp.take(dev_d, idx_t, axis=0)

@@ -163,6 +163,12 @@ def test_cli_per_epoch_eval_records():
                for r in sched["epochs"][:-1])
     assert "val_approx_unsynced_cache" not in sched["epochs"][-1]
     assert sched["epochs"][-1]["val_auc"] == sched["val_auc"]
+    # the deferred final eval must drain THIS epoch's losses first:
+    # under boundary-drain the pending chunks would otherwise hand the
+    # final record the previous epoch's mean (each epoch trains at
+    # lr=0.5, so equal consecutive means indicate the stale slice)
+    sched_losses = [r["train_loss"] for r in sched["epochs"]]
+    assert sched_losses[-1] != sched_losses[-2]
 
     # prefetcher path (default) vs direct both record epochs
     nopf = run_training(build_parser().parse_args(common + ["--no-prefetch"]))

@@ -79,44 +79,16 @@ def test_replay_discipline_counters_exact(libs):
     replayed through both sims on an identical multi-worker stream books
     EXACTLY equal miss_pull / miss_push / update_pull / update_push."""
     ref, ours = libs
-    rng = np.random.default_rng(11)
-    nrank, mbs, T = 4, 32, 8
+    from benchmarks.ref_sim_oracle import replay_counters
+    # comm plans use the ORACLE's check() for both sides so the plan
+    # never depends on the system under test (see replay_counters — the
+    # SAME shared loop produces docs/golden_counters.json, so the test
+    # and the committed artifact cannot drift apart)
     keys_space = 5000
-    cap = keys_space // 10
-    batches = 120
-    rhs = [ref.ref_create(keys_space, cap) for _ in range(nrank)]
-    ohs = [ours.hsim_create(cap, keys_space) for _ in range(nrank)]
-    cnt_ref = np.zeros((nrank, 4), np.int64)   # mp, mpu, up, upu
-    cnt_ours = np.zeros((nrank, 4), np.int64)
-    for b in range(batches):
-        batch = (rng.zipf(1.3, size=(nrank, mbs, T)) % keys_space)
-        uniq = [np.unique(batch[z]) for z in range(nrank)]
-        # comm plan for worker z: keys OTHER workers read this batch that
-        # z currently caches (the reference computes it from its comm
-        # plans; any identical-for-both deterministic rule exercises the
-        # outdate path the same way). Use the ORACLE's check() for both
-        # sides so the plan never depends on the system under test.
-        for z in range(nrank):
-            others = np.unique(np.concatenate(
-                [uniq[w] for w in range(nrank) if w != z]))
-            cplan = [int(k) for k in others if ref.ref_check(rhs[z], int(k))]
-            for k in cplan:
-                ref.ref_outdate(rhs[z], k)
-                ours.hsim_outdate(ohs[z], k)
-            cnt_ref[z, 3] += len(cplan)
-            cnt_ours[z, 3] += len(cplan)
-            for k in uniq[z]:
-                k = int(k)
-                rc_r = ref.ref_get(rhs[z], k)
-                rc_o = ours.hsim_get(ohs[z], k)
-                assert rc_r == rc_o, (b, z, k, rc_r, rc_o)
-                for cnt, rc in ((cnt_ref[z], rc_r), (cnt_ours[z], rc_o)):
-                    if rc == -2:
-                        cnt[2] += 1
-                    elif rc >= 0:
-                        cnt[0] += 1
-                        if rc > 0:
-                            cnt[1] += 1
+    cnt_ref, cnt_ours, mismatches, rhs, ohs = replay_counters(
+        ref, ours, batches=120, nrank=4, mbs=32, T=8,
+        keys_space=keys_space, cap=keys_space // 10, zipf_a=1.3, seed=11)
+    assert not mismatches, mismatches[:5]
     np.testing.assert_array_equal(cnt_ref, cnt_ours)
     # sanity: the stream actually exercised every counter
     assert (cnt_ref.sum(axis=0) > 0).all(), cnt_ref
