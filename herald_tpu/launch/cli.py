@@ -156,6 +156,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "program buffers, eliding the device_put; "
                         "bit-exact — this flag exists for staging "
                         "debugging and ablation)")
+    p.add_argument("--chunk-memo-mb", type=int, default=None,
+                   help="staged-chunk memo budget in MB (default 256). "
+                        "Size it to one epoch's distinct program bytes "
+                        "to hold big repeated streams at tape "
+                        "throughput from epoch 3 on — the memo "
+                        "disables itself when the stream's distinct "
+                        "programs exceed the budget, so oversizing "
+                        "only risks HBM, never correctness")
     p.add_argument("--autosize", action="store_true",
                    help="scheduled mode: run a host-only probe plan first "
                         "and size everything from measurements — program "
@@ -312,6 +320,8 @@ def resolve_config(args) -> "HeraldConfig":
             cfg.prefetch = False
         if args.no_chunk_memo:
             cfg.sched_chunk_memo = False
+        if args.chunk_memo_mb is not None:
+            cfg.sched_chunk_memo_mb = args.chunk_memo_mb
         if args.bf16_table:
             cfg.table_dtype = jnp.bfloat16
         if args.bf16_flush:
@@ -340,6 +350,9 @@ def resolve_config(args) -> "HeraldConfig":
             a2a_capacity_factor=args.a2a_capacity_factor,
             prefetch=not args.no_prefetch,
             sched_chunk_memo=not args.no_chunk_memo,
+            sched_chunk_memo_mb=(args.chunk_memo_mb
+                                 if args.chunk_memo_mb is not None
+                                 else 256),
             log_dir=args.log_dir,
             flush_wire_dtype=(jnp.int8 if args.int8_flush
                               else jnp.bfloat16 if args.bf16_flush
