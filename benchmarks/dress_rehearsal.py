@@ -184,6 +184,12 @@ def main():
                          "scheduled-vs-baseline AUC gap indicates a "
                          "bug, not an optimizer-semantics deviation")
     ap.add_argument("--embed-lr", type=float, default=None)
+    ap.add_argument("--chunk-memo-mb", type=int, default=None,
+                    help="staged-chunk memo budget passed through to the "
+                         "CLI: sized to one epoch's distinct program "
+                         "bytes (~1.8 GB at the 10M benchdist shape), "
+                         "epochs 3+ of a repeated big stream memcmp-hit "
+                         "and run put-free")
     args = ap.parse_args()
     if args.ab:
         args.opt = args.opt or "adagrad"
@@ -218,6 +224,8 @@ def main():
         cli += ["--preprocess-raw", raw, "--data-path", data_dir]
     if args.steps:
         cli += ["--max-steps", str(args.steps)]
+    if args.chunk_memo_mb is not None:
+        cli += ["--chunk-memo-mb", str(args.chunk_memo_mb)]
     if not args.no_plan_cache:
         cli += ["--plan-cache", os.path.join(args.work_dir, "tape")]
     if not args.no_device_data:

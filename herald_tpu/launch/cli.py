@@ -1049,7 +1049,12 @@ def run_training(args) -> dict:
                      for ds, dt in steady["segments"]],
                  # the StepTimer blocks above time CHUNKS of up to
                  # --scan-steps steps (async dispatch), not single steps
-                 "timing_steps_per_call": args.scan_steps}
+                 "timing_steps_per_call": args.scan_steps,
+                 # staged-chunk memo observability: chunks whose put was
+                 # elided (epoch-repeat hits), and whether the stream's
+                 # distinct programs stayed inside --chunk-memo-mb
+                 "chunk_memo_hits": eng.memo_hits,
+                 "chunk_memo_active": eng._memo_on}
     elif args.assign_only:
         eng = Engine(cfg, table_rows=rows)
         state = eng.init_state(cfg.seed)
