@@ -139,10 +139,12 @@ class HeraldConfig:
     # device_put is skipped and the resident buffer dispatches again.
     # Live (in-situ) planning then converges to plan-tape throughput on
     # fixed streams while the planner still plans and verifies every
-    # step online; shuffled or oversized streams see one cheap sampled-
-    # key probe per chunk, and a stream whose distinct programs exceed
-    # the budget disables the memo (sequential reuse under LRU would
-    # evict each entry right before its hit — thrash, not caching).
+    # step online. The memo is a sliding LRU window over the stream:
+    # when the budget holds at least one epoch's distinct programs, the
+    # window converges to "the previous epoch" — exactly what the next
+    # epoch replays. A stream that churns 4x the budget without one
+    # reuse (shuffled, or budget under an epoch) disables the memo and
+    # costs only a sampled-key probe per chunk until then.
     sched_chunk_memo: bool = True
     sched_chunk_memo_mb: int = 256
     # flush gradient-delta wire dtype (cached mode). None = the delta

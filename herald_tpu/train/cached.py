@@ -179,6 +179,7 @@ class CachedEngine(Engine):
         # packed program buffers across repeated epochs (see _stage_chunk)
         self._chunk_memo = OrderedDict()
         self._memo_bytes = 0
+        self._memo_evicted = 0      # bytes LRU-evicted before any hit
         self._memo_on = bool(cfg.sched_chunk_memo)
         self._memo_lock = threading.Lock()   # _Prestager stages from a pool
         self.memo_hits = 0          # chunks whose put was elided
@@ -936,14 +937,21 @@ class CachedEngine(Engine):
             if self._chunk_memo.get(key) is None:
                 self._memo_bytes += buf.nbytes
             self._chunk_memo[key] = (buf, staged)
-            overflow = (self._memo_bytes
-                        > self.cfg.sched_chunk_memo_mb << 20)
-        if overflow:
-            # the stream's distinct programs exceed the budget:
-            # sequential reuse under LRU would evict every entry right
-            # before its hit — disable instead of thrashing host
-            # RAM + HBM
-            with self._memo_lock:
+            # sliding-window LRU eviction: insertion follows stream
+            # order, so when the budget holds at least one epoch the
+            # window naturally converges to "the previous epoch's
+            # programs" — exactly what the next epoch will replay —
+            # while older (cold-epoch) entries fall out first
+            cap = self.cfg.sched_chunk_memo_mb << 20
+            while self._memo_bytes > cap and self._chunk_memo:
+                _, (old_buf, _s) = self._chunk_memo.popitem(last=False)
+                self._memo_bytes -= old_buf.nbytes
+                self._memo_evicted += old_buf.nbytes
+            if self.memo_hits == 0 and self._memo_evicted > 4 * cap:
+                # churned 4x the budget without a single reuse: the
+                # stream is not repeating inside the window (shuffled,
+                # or the budget is under one epoch) — stop paying the
+                # copies and probes
                 self._chunk_memo.clear()
                 self._memo_bytes = 0
                 self._memo_on = False
