@@ -151,8 +151,15 @@ def main():
         rep = run_mesh(args.rows, args.steps, args.batch_size or 64,
                        args.dim or 8)
     else:
-        rep = run_chip(args.rows, args.steps, args.batch_size or 256,
-                       args.dim or 64)
+        # dim 128, rows 50M: a bf16 row narrower than the 128-lane tile
+        # still allocates 128 lanes physically (bf16[100M,64] costs
+        # 25.6 GB, not 12.8 — measured OOM on the 16 GB chip), so the
+        # single-chip DLRM anchor is 50M x 128 = 12.8 GB with zero
+        # padding waste; 100M+ rows is the MESH leg's regime (sharded)
+        rep = run_chip(args.rows if args.rows != 100_000_000
+                       else 50_000_000,
+                       args.steps, args.batch_size or 256,
+                       args.dim or 128)
     print(json.dumps(rep, indent=2))
 
 
