@@ -296,3 +296,40 @@ def test_cli_chunk_memo_threaded_prestage_bit_exact():
     assert memo["steps"] == plain["steps"]
     assert memo["overflow_rows"] == 0
     assert memo["val_auc"] == pytest.approx(plain["val_auc"], abs=1e-12)
+
+
+def test_cli_chunk_memo_flag_wiring(tmp_path):
+    """--no-chunk-memo / --chunk-memo-mb must reach HeraldConfig on BOTH
+    resolve paths (flags-only and --config file) — the config-file
+    branch silently dropping a flag is a bug class a review already
+    caught once."""
+    from herald_tpu.launch.cli import resolve_config
+    base = ["--model", "wdl_criteo", "--comm", "local", "--scheduled",
+            "--batch-size", "16", "--rows", "900",
+            "--cache-limit-ratio", "0.6"]
+    cfg = resolve_config(build_parser().parse_args(base))
+    assert cfg.sched_chunk_memo and cfg.sched_chunk_memo_mb == 256
+    cfg = resolve_config(build_parser().parse_args(
+        base + ["--no-chunk-memo", "--chunk-memo-mb", "17"]))
+    assert not cfg.sched_chunk_memo and cfg.sched_chunk_memo_mb == 17
+    # config-file path
+    cfgf = str(tmp_path / "memo.json")
+    run_training(build_parser().parse_args(
+        base + ["--samples", "256", "--nepoch", "1", "--scan-steps", "4",
+                "--val-ratio", "0.25", "--save-config", cfgf]))
+    cfg = resolve_config(build_parser().parse_args(
+        ["--config", cfgf, "--no-chunk-memo", "--chunk-memo-mb", "33"]))
+    assert not cfg.sched_chunk_memo and cfg.sched_chunk_memo_mb == 33
+
+
+def test_cli_scheduled_report_carries_memo_observability():
+    """Scheduled CLI reports must expose chunk_memo_hits/active so memo
+    attribution is auditable from artifacts (the 10M big-stream
+    attribution relied on exactly these fields)."""
+    rep = run_training(build_parser().parse_args(
+        ["--model", "wdl_criteo", "--comm", "local", "--scheduled",
+         "--batch-size", "16", "--samples", "768", "--rows", "900",
+         "--cache-limit-ratio", "1.0", "--lr", "0.5", "--nepoch", "3",
+         "--scan-steps", "8", "--val-ratio", "0.25", "--seed", "4"]))
+    assert rep["chunk_memo_active"] is True
+    assert rep["chunk_memo_hits"] > 0   # epoch-repeat stream must hit
