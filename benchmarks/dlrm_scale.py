@@ -13,8 +13,11 @@ environment allows:
                 planned flushes + hot-row caches) at rows=100M —
                 sizing, planner timing at the 100M key space, exchange
                 capacities, memory accounting, overflow==0.
-  --mode chip   one real v5e chip: rows=100M x emb 64 bf16 (12.8 GB
-                HBM-resident table), scheduled steps, examples/sec.
+  --mode chip   one real v5e chip: rows=50M x emb 128 bf16 (12.8 GB
+                HBM-resident table — a bf16 row narrower than the
+                128-lane tile allocates 128 lanes physically, so
+                100M x 64 would cost 25.6 GB and OOM), scheduled
+                steps, examples/sec.
 
     python benchmarks/dlrm_scale.py --mode mesh   # canonical artifact:
                                                   # docs/dlrm_scale_report.json
@@ -142,24 +145,26 @@ def _run(rows, steps, batch, dim, comm, table_dtype):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["mesh", "chip"], default="mesh")
-    ap.add_argument("--rows", type=int, default=100_000_000)
+    ap.add_argument("--rows", type=int, default=None,
+                    help="table rows (default: 100M mesh, 50M chip — "
+                         "one v5e fits 50M x 128 bf16 = 12.8 GB; an "
+                         "explicit over-budget value is your own OOM)")
     ap.add_argument("--steps", type=int, default=48)
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--dim", type=int, default=None)
     args = ap.parse_args()
     if args.mode == "mesh":
-        rep = run_mesh(args.rows, args.steps, args.batch_size or 64,
-                       args.dim or 8)
+        rep = run_mesh(args.rows or 100_000_000, args.steps,
+                       args.batch_size or 64, args.dim or 8)
     else:
         # dim 128, rows 50M: a bf16 row narrower than the 128-lane tile
         # still allocates 128 lanes physically (bf16[100M,64] costs
         # 25.6 GB, not 12.8 — measured OOM on the 16 GB chip), so the
         # single-chip DLRM anchor is 50M x 128 = 12.8 GB with zero
-        # padding waste; 100M+ rows is the MESH leg's regime (sharded)
-        rep = run_chip(args.rows if args.rows != 100_000_000
-                       else 50_000_000,
-                       args.steps, args.batch_size or 256,
-                       args.dim or 128)
+        # padding waste; 100M+ rows is the MESH leg's regime (sharded).
+        # An EXPLICIT --rows is honored verbatim, never rewritten.
+        rep = run_chip(args.rows or 50_000_000, args.steps,
+                       args.batch_size or 256, args.dim or 128)
     print(json.dumps(rep, indent=2))
 
 

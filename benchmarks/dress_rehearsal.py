@@ -185,11 +185,14 @@ def main():
                          "bug, not an optimizer-semantics deviation")
     ap.add_argument("--embed-lr", type=float, default=None)
     ap.add_argument("--chunk-memo-mb", type=int, default=None,
-                    help="staged-chunk memo budget passed through to the "
-                         "CLI: sized to one epoch's distinct program "
-                         "bytes (~1.8 GB at the 10M benchdist shape), "
-                         "epochs 3+ of a repeated big stream memcmp-hit "
-                         "and run put-free")
+                    help="staged-chunk memo budget passed through to "
+                         "the CLI. Attribution result (report.json "
+                         "chunk_memo_hits): the 10M benchdist stream's "
+                         "working set exceeds the cache, its programs "
+                         "never reach a fixed point, and the memo gets "
+                         "ZERO hits at any budget — the knob helps "
+                         "only cache-fixed-point streams (see "
+                         "docs/OPERATIONS.md)")
     args = ap.parse_args()
     if args.ab:
         args.opt = args.opt or "adagrad"

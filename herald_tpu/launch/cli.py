@@ -158,12 +158,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "debugging and ablation)")
     p.add_argument("--chunk-memo-mb", type=int, default=None,
                    help="staged-chunk memo budget in MB (default 256). "
-                        "Size it to one epoch's distinct program bytes "
-                        "to hold big repeated streams at tape "
-                        "throughput from epoch 3 on — the memo "
-                        "disables itself when the stream's distinct "
-                        "programs exceed the budget, so oversizing "
-                        "only risks HBM, never correctness")
+                        "The memo only pays off on streams that reach "
+                        "their cache fixed point (working set inside "
+                        "the cache: programs byte-identical across "
+                        "epochs) — size the window to one epoch's "
+                        "distinct program bytes then. Streams whose "
+                        "working set exceeds the cache never repeat "
+                        "(measured: 0 hits at any budget, docs/"
+                        "OPERATIONS.md) and the memo disables itself "
+                        "after churning 4x the budget; oversizing "
+                        "risks HBM, never correctness")
     p.add_argument("--autosize", action="store_true",
                    help="scheduled mode: run a host-only probe plan first "
                         "and size everything from measurements — program "
@@ -350,9 +354,10 @@ def resolve_config(args) -> "HeraldConfig":
             a2a_capacity_factor=args.a2a_capacity_factor,
             prefetch=not args.no_prefetch,
             sched_chunk_memo=not args.no_chunk_memo,
+            # dataclass default when unset — no duplicated literal
             sched_chunk_memo_mb=(args.chunk_memo_mb
                                  if args.chunk_memo_mb is not None
-                                 else 256),
+                                 else HeraldConfig.sched_chunk_memo_mb),
             log_dir=args.log_dir,
             flush_wire_dtype=(jnp.int8 if args.int8_flush
                               else jnp.bfloat16 if args.bf16_flush
@@ -1052,9 +1057,16 @@ def run_training(args) -> dict:
                  "timing_steps_per_call": args.scan_steps,
                  # staged-chunk memo observability: chunks whose put was
                  # elided (epoch-repeat hits), and whether the stream's
-                 # distinct programs stayed inside --chunk-memo-mb
-                 "chunk_memo_hits": eng.memo_hits,
-                 "chunk_memo_active": eng._memo_on}
+                 # distinct programs stayed inside --chunk-memo-mb.
+                 # Autosize runs stage cold-phase chunks through a
+                 # SEPARATE cold engine — fold its memo in so the
+                 # attribution fields see the whole run
+                 "chunk_memo_hits": (eng.memo_hits
+                                     + (eng_cold.memo_hits
+                                        if eng_cold is not None else 0)),
+                 "chunk_memo_active": bool(
+                     eng._memo_on or (eng_cold is not None
+                                      and eng_cold._memo_on))}
     elif args.assign_only:
         eng = Engine(cfg, table_rows=rows)
         state = eng.init_state(cfg.seed)

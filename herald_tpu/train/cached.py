@@ -934,8 +934,22 @@ class CachedEngine(Engine):
             return hit[1]
         staged = PackedChunk(put(buf), layout, index_feed, mesh=mesh)
         with self._memo_lock:
-            if self._chunk_memo.get(key) is None:
+            if not self._memo_on:
+                # a racing insert crossed the churn guard and disabled
+                # the memo while this thread was staging — don't leak an
+                # entry into a dict nothing will consult again
+                return staged
+            prev = self._chunk_memo.get(key)
+            if prev is None:
                 self._memo_bytes += buf.nbytes
+            else:
+                # same sampled key, different bytes: the resident entry
+                # is REPLACED without ever having been reused — that is
+                # churn exactly like an eviction (big streams whose
+                # programs mutate under a cap-padded constant layout hit
+                # this path every chunk; without counting it the
+                # disable guard below could never trip)
+                self._memo_evicted += prev[0].nbytes
             self._chunk_memo[key] = (buf, staged)
             # sliding-window LRU eviction: insertion follows stream
             # order, so when the budget holds at least one epoch the
@@ -950,8 +964,8 @@ class CachedEngine(Engine):
             if self.memo_hits == 0 and self._memo_evicted > 4 * cap:
                 # churned 4x the budget without a single reuse: the
                 # stream is not repeating inside the window (shuffled,
-                # or the budget is under one epoch) — stop paying the
-                # copies and probes
+                # mutating under collided keys, or the budget is under
+                # one epoch) — stop paying the copies and probes
                 self._chunk_memo.clear()
                 self._memo_bytes = 0
                 self._memo_on = False

@@ -308,7 +308,9 @@ def test_cli_chunk_memo_flag_wiring(tmp_path):
             "--batch-size", "16", "--rows", "900",
             "--cache-limit-ratio", "0.6"]
     cfg = resolve_config(build_parser().parse_args(base))
-    assert cfg.sched_chunk_memo and cfg.sched_chunk_memo_mb == 256
+    from herald_tpu import HeraldConfig
+    assert cfg.sched_chunk_memo
+    assert cfg.sched_chunk_memo_mb == HeraldConfig.sched_chunk_memo_mb
     cfg = resolve_config(build_parser().parse_args(
         base + ["--no-chunk-memo", "--chunk-memo-mb", "17"]))
     assert not cfg.sched_chunk_memo and cfg.sched_chunk_memo_mb == 17

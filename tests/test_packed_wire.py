@@ -313,3 +313,25 @@ def test_mesh_chunk_memo_reuses_identical_buffers():
     v3, s3 = stage()
     assert eng.memo_hits == 1 and s3 is not s1
     planner.close()
+
+
+def test_chunk_memo_collided_key_churn_disables():
+    """Streams whose programs mutate under a constant cap-padded layout
+    collide on the sampled key every chunk: the replace must count as
+    churn so the 4x-budget no-reuse guard can trip (without this, such
+    a stream pays a full memcmp per chunk forever and pins the budget
+    in host RAM + HBM with zero hits — the measured big-stream case)."""
+    cfg = HeraldConfig(model="wdl_criteo", batch_size=B, embedding_dim=8,
+                       comm_mode="local", cache_limit_ratio=0.6,
+                       sched_chunk_memo_mb=1)
+    eng = CachedEngine(cfg, table_rows=900)
+    layout = (((1 << 20,), "|u1"),)
+    for i in range(1, 8):
+        buf = np.zeros(1 << 20, np.uint8)
+        buf[1000] = i          # same first/last 64 bytes, same size
+        eng._memo_stage(2, buf, layout, False,
+                        lambda b: jax.device_put(b), mesh=False)
+        if not eng._memo_on:
+            break
+    assert not eng._memo_on, "collided-key churn never tripped the guard"
+    assert eng.memo_hits == 0 and not eng._chunk_memo
